@@ -1,0 +1,303 @@
+"""Agent tools: search (semantic), grep (exact/regex), read (line range).
+
+Tool JSON schemas and the ``<chunk file=.. start=.. end=.. distance=..>``
+result envelope are part of the cross-CLI contract (reference:
+src/ask/tools.rs:34-94 for the chunk format, :98-205 for the schemas) — an
+LLM prompted against the reference behaves identically against this
+implementation.
+
+The grep engine prefers the native C++ scanner
+(:mod:`semtools_tpu.utils.grepscan`) and falls back to Python ``re`` when
+the shared library is unavailable.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from typing import Dict, List, Optional, Sequence
+
+from semtools_tpu.utils.text import read_file_text, split_lines
+
+# -- schemas (shared by both chat and responses APIs) -----------------------
+
+_SEARCH_CONFIG_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "n_lines": {
+            "type": "integer",
+            "description": "Number of context lines to include before and after each match",
+            "default": 5,
+        },
+        "ignore_case": {
+            "type": "boolean",
+            "description": "Whether to ignore case when searching",
+            "default": False,
+        },
+        "max_distance": {
+            "type": "number",
+            "description": "Maximum semantic distance for matches (lower is more similar)",
+            "default": 0.5,
+        },
+        "top_k": {
+            "type": "integer",
+            "description": "Number of top results to return",
+            "default": 3,
+        },
+    },
+    "required": [],
+    "title": "Config",
+    "additionalProperties": False,
+}
+
+SEARCH_TOOL = {
+    "name": "search",
+    "description": (
+        "Search through files using semantic keyword search. Returns relevant "
+        "document chunks with their file paths and line numbers. If top-k is "
+        "not specified, returns all relevant results within the max distance "
+        "threshold."
+    ),
+    "parameters": {
+        "$defs": {"Config": _SEARCH_CONFIG_SCHEMA},
+        "type": "object",
+        "properties": {
+            "query": {
+                "type": "string",
+                "description": "The search query. Works best as a comma separated list of keywords.",
+            },
+            "config": {"$ref": "#/$defs/Config"},
+        },
+        "required": ["query", "config"],
+        "additionalProperties": False,
+    },
+}
+
+READ_TOOL = {
+    "name": "read",
+    "description": (
+        "Read a specific range of lines from a file. Returns the content "
+        "between start_line and end_line."
+    ),
+    "parameters": {
+        "type": "object",
+        "properties": {
+            "path": {"type": "string", "description": "The file path to read from"},
+            "start_line": {
+                "type": "integer",
+                "description": "The starting line number (0-based)",
+            },
+            "end_line": {
+                "type": "integer",
+                "description": "The ending line number (exclusive, 0-based)",
+            },
+        },
+        "required": ["path", "start_line", "end_line"],
+        "additionalProperties": False,
+    },
+}
+
+GREP_TOOL = {
+    "name": "grep",
+    "description": (
+        "Search for exact patterns or regular expressions in files. Use this "
+        "when you know the exact string, function name, class name, or regex "
+        "pattern to search for. Best for exhaustive searches of exact "
+        "strings/patterns."
+    ),
+    "parameters": {
+        "type": "object",
+        "properties": {
+            "pattern": {
+                "type": "string",
+                "description": "The exact string or regular expression pattern to search for",
+            },
+            "file_paths": {
+                "type": "array",
+                "items": {"type": "string"},
+                "description": (
+                    "Optional list of specific file paths to search. If empty or "
+                    "not provided, searches all available files."
+                ),
+                "default": [],
+            },
+            "is_regex": {
+                "type": "boolean",
+                "description": "Whether the pattern is a regular expression",
+                "default": False,
+            },
+            "case_sensitive": {
+                "type": "boolean",
+                "description": "Whether the search should be case sensitive",
+                "default": True,
+            },
+            "context_lines": {
+                "type": "integer",
+                "description": "Number of lines to show before and after each match for context",
+                "default": 5,
+            },
+        },
+        "required": ["pattern"],
+        "additionalProperties": False,
+    },
+}
+
+ALL_TOOLS = [GREP_TOOL, SEARCH_TOOL, READ_TOOL]
+
+
+def chat_tool_defs() -> List[Dict]:
+    """Chat Completions API tool wrapper."""
+    return [{"type": "function", "function": dict(t)} for t in ALL_TOOLS]
+
+
+def responses_tool_defs() -> List[Dict]:
+    """Responses API tool wrapper (flat function objects)."""
+    return [{"type": "function", **t} for t in ALL_TOOLS]
+
+
+# -- result formatting ------------------------------------------------------
+
+
+def format_search_results(results) -> str:
+    out = []
+    for r in results:
+        out.append(
+            f"<chunk file={r.filename} start={r.start} end={r.end} "
+            f"distance={repr(float(r.distance))}>\n"
+        )
+        for line in r.lines:
+            out.append(f"{line}\n")
+        out.append("</chunk>\n")
+    return "".join(out)
+
+
+def format_ranked_lines(ranked_lines, n_lines: int) -> str:
+    out = []
+    for rl in ranked_lines:
+        match_line = rl.line_number
+        start = max(0, match_line - n_lines)
+        end = match_line + n_lines + 1
+        out.append(
+            f"<chunk file={rl.path} start={start} end={end} "
+            f"distance={repr(float(rl.distance))}>\n"
+        )
+        try:
+            lines = split_lines(read_file_text(rl.path))
+            for line in lines[start : min(end, len(lines))]:
+                out.append(f"{line}\n")
+        except OSError:
+            out.append("[Error: Could not read file content]")
+        out.append("</chunk>\n")
+    return "".join(out)
+
+
+# -- tool implementations ---------------------------------------------------
+
+
+def search_tool(
+    files: Sequence[str],
+    query: str,
+    model,
+    config,
+    files_searched: List[str],
+    workspace_name: Optional[str] = None,
+) -> str:
+    from semtools_tpu.search import search_files, search_with_workspace
+    from semtools_tpu.store import NoActiveWorkspace, Workspace
+
+    if config.ignore_case:
+        query = query.lower()
+    if not files:
+        raise ValueError(
+            "Error: No input provided. Either specify files as arguments or pipe input to stdin."
+        )
+
+    try:
+        Workspace.active(workspace_name)
+        ws_active = True
+    except NoActiveWorkspace:
+        ws_active = False
+
+    if ws_active:
+        ranked = search_with_workspace(files, query, model, config, workspace_name)
+        for rl in ranked:
+            if rl.path not in files_searched:
+                files_searched.append(rl.path)
+        return format_ranked_lines(ranked, config.n_lines)
+
+    results = search_files(files, query, model, config)
+    for r in results:
+        if r.filename not in files_searched:
+            files_searched.append(r.filename)
+    return format_search_results(results)
+
+
+def read_tool(path: str, start_line: int, end_line: int) -> str:
+    lines = split_lines(read_file_text(path))
+    actual_end = min(end_line, len(lines))
+    body = "\n".join(lines[start_line:actual_end])
+    return f"<chunk file={path} start={start_line} end={actual_end}>\n{body}</chunk>\n"
+
+
+def _python_grep(
+    path: str, pattern: "re.Pattern[str]", lines: List[str]
+) -> List[int]:
+    return [i for i, line in enumerate(lines) if pattern.search(line)]
+
+
+def grep_tool(
+    all_files: Sequence[str],
+    pattern: str,
+    file_paths: Optional[Sequence[str]] = None,
+    is_regex: bool = False,
+    case_sensitive: bool = True,
+    context_lines: int = 5,
+) -> str:
+    import os
+
+    files_to_search = list(file_paths) if file_paths else list(all_files)
+    if not files_to_search:
+        raise ValueError("No files to search")
+
+    pat_text = pattern if is_regex else re.escape(pattern)
+    flags = 0 if case_sensitive else re.IGNORECASE
+    try:
+        compiled = re.compile(pat_text, flags)
+    except re.error as e:
+        raise ValueError(f"Invalid regex pattern: {e}")
+
+    out = []
+    any_match = False
+    for file_path in files_to_search:
+        if not os.path.isfile(file_path):
+            continue
+        try:
+            lines = split_lines(read_file_text(file_path))
+        except OSError as e:
+            print(f"Warning: Could not search {file_path}: {e}", file=sys.stderr)
+            continue
+        match_lines = _grep_lines(file_path, compiled, lines)
+        for mi in match_lines:
+            any_match = True
+            start = max(0, mi - context_lines)
+            end = min(mi + context_lines + 1, len(lines))
+            out.append(f"<chunk file={file_path} start={start} end={end}>\n")
+            for line in lines[start:end]:
+                out.append(f"{line}\n")
+            out.append("</chunk>\n")
+
+    if not any_match:
+        return "No matches found."
+    return "".join(out)
+
+
+def _grep_lines(path: str, compiled: "re.Pattern[str]", lines: List[str]) -> List[int]:
+    """Match line indices; native scanner when available, else Python re."""
+    try:
+        from semtools_tpu.utils import grepscan
+
+        if grepscan.available():
+            return grepscan.match_lines(path, compiled.pattern, bool(compiled.flags & re.IGNORECASE))
+    except ImportError:
+        pass
+    return _python_grep(path, compiled, lines)

@@ -1,0 +1,395 @@
+"""The ``semtools`` command-line interface.
+
+Flag surface, defaults, output formats, exit codes, and stdin behavior
+replicate the reference CLI (src/bin/semtools.rs:7-132 and src/cmds/):
+
+- ``semtools parse [-c CONFIG] [-b BACKEND] [-v] FILES...``
+- ``semtools search QUERY [FILES...] [-n N] [--top-k K] [-m DIST] [-i] [-j]
+  [-w WORKSPACE]``
+- ``semtools ask QUERY [FILES...] [-c CONFIG] [--api-key] [--base-url]
+  [-m MODEL] [--api-mode chat|responses] [-j] [-w WORKSPACE]``
+- ``semtools workspace [-j] use|status|prune [NAME]``
+
+Unix-pipeline-first: ``parse`` prints one output path per line so
+``parse docs/*.pdf | xargs semtools search "query"`` composes; ``search``
+and ``ask`` read stdin when no files are given and stdin is not a TTY.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+from semtools_tpu.utils import json_mode
+from semtools_tpu.utils.text import read_file_text, split_lines
+
+_HIGHLIGHT_ON = "\x1b[43m\x1b[30m"
+_HIGHLIGHT_OFF = "\x1b[0m"
+
+
+def _fmt_distance(d: float) -> str:
+    """Shortest round-trip float formatting (Rust ``{}`` on f64 parity)."""
+    return repr(float(d))
+
+
+# ---------------------------------------------------------------------------
+# search
+
+
+def _print_search_results(results) -> None:
+    is_tty = sys.stdout.isatty()
+    for r in results:
+        print(f"{r.filename}:{r.start}::{r.end} ({_fmt_distance(r.distance)})")
+        for i, line in enumerate(r.lines):
+            line_number = r.start + i
+            text = f"{line_number + 1:4}: {line}"
+            if line_number == r.match_line and is_tty:
+                print(f"{_HIGHLIGHT_ON}{text}{_HIGHLIGHT_OFF}")
+            else:
+                print(text)
+        print()
+
+
+def _print_workspace_search_results(ranked_lines, n_lines: int) -> None:
+    is_tty = sys.stdout.isatty()
+    for rl in ranked_lines:
+        match_line = rl.line_number
+        start = max(0, match_line - n_lines)
+        end = match_line + n_lines + 1
+        print(f"{rl.path}:{start}::{end} ({_fmt_distance(rl.distance)})")
+        try:
+            lines = split_lines(read_file_text(rl.path))
+        except OSError:
+            print("    [Error: Could not read file content]")
+            print()
+            continue
+        for ln in range(start, min(end, len(lines))):
+            text = f"{ln + 1:4}: {lines[ln]}"
+            if ln == match_line and is_tty:
+                print(f"{_HIGHLIGHT_ON}{text}{_HIGHLIGHT_OFF}")
+            else:
+                print(text)
+        print()
+
+
+def _search_result_json(r) -> dict:
+    return json_mode.search_result(
+        r.filename, r.start, r.end, r.match_line, r.distance, "\n".join(r.lines)
+    )
+
+
+def _ranked_line_json(rl, n_lines: int) -> dict:
+    match_line = rl.line_number
+    start = max(0, match_line - n_lines)
+    end = match_line + n_lines + 1
+    try:
+        lines = split_lines(read_file_text(rl.path))
+        content = "\n".join(lines[start : min(end, len(lines))])
+    except OSError:
+        content = "[Error: Could not read file content]"
+    return json_mode.search_result(rl.path, start, end, match_line, rl.distance, content)
+
+
+def search_cmd(args) -> int:
+    from semtools_tpu.models.static_model import StaticModel
+    from semtools_tpu.search import (
+        Document,
+        SearchConfig,
+        create_document_from_content,
+        search_documents,
+        search_files,
+        search_with_workspace,
+    )
+    from semtools_tpu.store import NoActiveWorkspace, Workspace
+
+    model = StaticModel.from_pretrained(args.model_path or os.environ.get(
+        "SEMTOOLS_TPU_MODEL", "minishlab/potion-multilingual-128M"
+    ))
+
+    query = args.query.lower() if args.ignore_case else args.query
+    config = SearchConfig(
+        n_lines=args.n_lines,
+        top_k=args.top_k,
+        max_distance=args.max_distance,
+        ignore_case=args.ignore_case,
+    )
+
+    # stdin input (non-workspace mode)
+    if not args.files and not sys.stdin.isatty():
+        stdin_lines = sys.stdin.read().split("\n")
+        if stdin_lines and stdin_lines[-1] == "":
+            stdin_lines.pop()
+        if stdin_lines:
+            to_embed = [ln.lower() for ln in stdin_lines] if args.ignore_case else stdin_lines
+            embeddings = model.encode(to_embed, max_length=2048)
+            documents = [Document("<stdin>", stdin_lines, embeddings)]
+            query_embedding = model.encode_single(query)
+            results = search_documents(documents, query_embedding, config)
+            if args.json:
+                print(json_mode.dumps(
+                    json_mode.search_output([_search_result_json(r) for r in results])
+                ))
+            else:
+                _print_search_results(results)
+            return 0
+
+    if not args.files:
+        msg = "No input provided. Either specify files as arguments or pipe input to stdin."
+        if args.json:
+            print(json_mode.dumps(json_mode.error_output(msg, "NoInput")), file=sys.stderr)
+        else:
+            print(f"Error: {msg}", file=sys.stderr)
+        return 1
+
+    workspace_active = True
+    try:
+        Workspace.active(args.workspace)
+    except NoActiveWorkspace:
+        workspace_active = False
+
+    if workspace_active:
+        ranked = search_with_workspace(args.files, query, model, config, args.workspace)
+        if args.json:
+            print(json_mode.dumps(
+                json_mode.search_output([_ranked_line_json(rl, args.n_lines) for rl in ranked])
+            ))
+        else:
+            _print_workspace_search_results(ranked, args.n_lines)
+    else:
+        results = search_files(args.files, query, model, config)
+        if args.json:
+            print(json_mode.dumps(
+                json_mode.search_output([_search_result_json(r) for r in results])
+            ))
+        else:
+            _print_search_results(results)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parse
+
+
+def parse_cmd(args) -> int:
+    from semtools_tpu.parse import LlamaParseBackend, load_parse_config
+
+    parse_config = load_parse_config(args.config)
+
+    for f in args.files:
+        if not os.path.exists(f):
+            print(f"Warning: File does not exist: {f}", file=sys.stderr)
+
+    if args.backend != "llama-parse":
+        print(
+            f"Error: Unknown backend '{args.backend}'. Supported backends: llama-parse",
+            file=sys.stderr,
+        )
+        return 1
+
+    backend = LlamaParseBackend(parse_config, verbose=args.verbose)
+    if args.json:
+        results = backend.parse_detailed(args.files)
+        print(json_mode.dumps(json_mode.parse_output([
+            json_mode.parse_result(r.input_path, r.output_path, r.was_cached)
+            for r in results
+        ])))
+    else:
+        for path in backend.parse(args.files):
+            print(path)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# workspace
+
+
+def workspace_use_cmd(args) -> int:
+    from semtools_tpu.store import Store, Workspace, WorkspaceConfig
+
+    name = args.name
+    ws = Workspace(WorkspaceConfig(name=name, root_dir=Workspace.root_path(name)))
+    ws.save()
+
+    if args.json:
+        total_documents = 0
+        try:
+            with Store(ws.config.root_dir) as store:
+                total_documents = store.get_stats().total_documents
+        except Exception:
+            pass
+        print(json_mode.dumps(
+            json_mode.workspace_output(ws.config.name, ws.config.root_dir, total_documents)
+        ))
+    else:
+        print(f"Workspace '{name}' configured.")
+        print("To activate it, run:")
+        print(f"  export SEMTOOLS_WORKSPACE={name}")
+        print()
+        print("Or add this to your shell profile (.bashrc, .zshrc, etc.)")
+        print()
+        print("Or use the `--workspace` option on the commands that support it")
+    return 0
+
+
+def workspace_status_cmd(args) -> int:
+    from semtools_tpu.store import Store, Workspace
+
+    Workspace.active(args.name)
+    ws = Workspace.open(args.name)
+    with Store(ws.config.root_dir) as store:
+        stats = store.get_stats()
+
+    if args.json:
+        print(json_mode.dumps(
+            json_mode.workspace_output(ws.config.name, ws.config.root_dir, stats.total_documents)
+        ))
+    else:
+        print(f"Active workspace: {ws.config.name}")
+        print(f"Root: {ws.config.root_dir}")
+        print(f"Documents: {stats.total_documents}")
+        if stats.has_index:
+            print(f"Index: Yes ({stats.index_type or 'Unknown'})")
+        else:
+            print("Index: No")
+    return 0
+
+
+def workspace_prune_cmd(args) -> int:
+    from semtools_tpu.store import Store, Workspace
+
+    Workspace.active(args.name)
+    ws = Workspace.open(args.name)
+    with Store(ws.config.root_dir) as store:
+        all_paths = store.get_all_document_paths()
+        missing = [p for p in all_paths if not os.path.exists(p)]
+        if missing:
+            store.delete_documents(missing)
+        files_removed = len(missing)
+        files_remaining = len(all_paths) - files_removed
+
+    if args.json:
+        print(json_mode.dumps(json_mode.prune_output(files_removed, files_remaining)))
+    elif not missing:
+        print("No stale documents found. Workspace is clean.")
+    else:
+        print(f"Found {len(missing)} stale documents:")
+        for p in missing:
+            print(f"  - {p}")
+        print(f"Removed {len(missing)} stale documents from workspace.")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# ask
+
+
+def ask_cmd(args) -> int:
+    from semtools_tpu.ask import run_ask
+
+    return run_ask(args)
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="semtools", description="TPU-native semantic document toolkit"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("parse", help="Parse documents using various backends")
+    p.add_argument("-c", "--config", default=None, help="Path to the config file")
+    p.add_argument("-b", "--backend", default="llama-parse", help="Backend type")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-j", "--json", action="store_true")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=parse_cmd)
+
+    s = sub.add_parser("search", help="Fast semantic keyword search")
+    s.add_argument("query")
+    s.add_argument("files", nargs="*", help="Files to search, optional if using stdin")
+    s.add_argument("-n", "--n-lines", "--context", dest="n_lines", type=int, default=3)
+    s.add_argument("--top-k", dest="top_k", type=int, default=3)
+    s.add_argument("-m", "--max-distance", "--threshold", dest="max_distance",
+                   type=float, default=None)
+    s.add_argument("-i", "--ignore-case", action="store_true")
+    s.add_argument("-j", "--json", action="store_true")
+    s.add_argument("-w", "--workspace", default=None)
+    s.add_argument("--model-path", default=None, help="Embedding model name or directory")
+    s.set_defaults(func=search_cmd)
+
+    a = sub.add_parser("ask", help="Document-based question answering agent")
+    a.add_argument("query")
+    a.add_argument("files", nargs="*", help="Files to search, optional if using stdin")
+    a.add_argument("-c", "--config", default=None)
+    a.add_argument("--api-key", default=None)
+    a.add_argument("--base-url", default=None)
+    a.add_argument("-m", "--model", default=None)
+    a.add_argument("--api-mode", default=None, choices=[None, "chat", "responses"])
+    a.add_argument("-j", "--json", action="store_true")
+    a.add_argument("-w", "--workspace", default=None)
+    a.set_defaults(func=ask_cmd)
+
+    w = sub.add_parser("workspace", help="Manage semtools workspaces")
+    # -j is global on the workspace subcommand (accepted before or after the
+    # action, like the reference's `global = true` clap flag).
+    w.add_argument("-j", "--json", action="store_true")
+    wsub = w.add_subparsers(dest="wcmd", required=True)
+    wu = wsub.add_parser("use", help="Use or create a workspace")
+    wu.add_argument("name")
+    wu.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
+    wu.set_defaults(func=workspace_use_cmd)
+    wst = wsub.add_parser("status", help="Show active workspace and stats")
+    wst.add_argument("name", nargs="?", default=None)
+    wst.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
+    wst.set_defaults(func=workspace_status_cmd)
+    wp = wsub.add_parser("prune", help="Remove stale files from store")
+    wp.add_argument("name", nargs="?", default=None)
+    wp.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
+    wp.set_defaults(func=workspace_prune_cmd)
+
+    return parser
+
+
+def _setup_jax_cache() -> None:
+    """Persistent XLA compile cache: a fresh CLI process would otherwise pay
+    the full compile latency on every invocation (SURVEY.md §7 'cold-start
+    latency'). With the cache, repeat invocations skip compilation."""
+    try:
+        import jax
+
+        platform = os.environ.get("SEMTOOLS_TPU_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            # CPU compiles are cheap, and XLA:CPU AOT cache reloads emit
+            # noisy machine-feature warnings; cache only accelerator builds.
+            return
+
+        cache_dir = os.environ.get(
+            "SEMTOOLS_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "semtools_tpu", "jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    _setup_jax_cache()
+    args = build_parser().parse_args(argv)
+    try:
+        return args.func(args)
+    except Exception as e:  # uniform error surface, like anyhow bubbling to main
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

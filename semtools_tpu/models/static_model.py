@@ -1,0 +1,210 @@
+"""Static embedding model: tokenizer + embedding table + TPU pooling.
+
+The equivalent of model2vec-rs' ``StaticModel`` (the reference loads
+minishlab/potion-multilingual-128M at src/cmds/search.rs:123-128 and encodes
+with ``encode_single`` / ``encode_with_args(lines, Some(2048), 16384)``,
+src/search/mod.rs:69,138). A static model has no transformer forward pass:
+embedding a text is a token-row lookup + mean pool + optional L2 normalize,
+which this module runs as a batched JAX program (see
+``semtools_tpu.ops.embed``).
+
+Model resolution order for ``StaticModel.from_pretrained(name)``:
+
+1. ``name`` is a local directory with model2vec artifacts
+   (``model.safetensors`` + ``tokenizer.json`` [+ ``config.json``]);
+2. the HuggingFace hub cache (``~/.cache/huggingface/hub``) already holds a
+   snapshot of ``name`` (no network fetch is ever attempted);
+3. the ``SEMTOOLS_TPU_MODEL_DIR`` environment variable points at artifacts;
+4. fallback: the built-in deterministic hashed n-gram model
+   (:class:`semtools_tpu.models.tokenizer.HashTokenizer` over a seeded
+   Gaussian table), so every command works hermetically offline.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import sys
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from semtools_tpu.models.tokenizer import HashTokenizer, HFTokenizer
+from semtools_tpu.ops.embed import embed_token_lists
+
+MODEL_NAME = "minishlab/potion-multilingual-128M"
+
+# Built-in fallback model parameters. Changing any of these invalidates
+# stored workspace embeddings — bump semtools_tpu.store CURRENT_EMBEDDING_VERSION.
+FALLBACK_DIM = 256
+FALLBACK_VOCAB = 1 << 16
+FALLBACK_SEED = 0x5EED
+FALLBACK_NAME = "semtools-tpu/hashed-ngram-256"
+
+
+def _read_safetensors(path: str) -> dict:
+    """Minimal safetensors reader returning {name: np.ndarray} (mmap-backed)."""
+    dtypes = {
+        "F64": np.float64,
+        "F32": np.float32,
+        "F16": np.float16,
+        "BF16": None,  # handled specially below
+        "I64": np.int64,
+        "I32": np.int32,
+        "I16": np.int16,
+        "I8": np.int8,
+        "U8": np.uint8,
+        "BOOL": np.bool_,
+    }
+    with open(path, "rb") as f:
+        (header_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(header_len))
+    data_start = 8 + header_len
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    out = {}
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        begin, end = info["data_offsets"]
+        raw = mm[data_start + begin : data_start + end]
+        if info["dtype"] == "BF16":
+            u16 = raw.view(np.uint16)
+            u32 = u16.astype(np.uint32) << 16
+            arr = u32.view(np.float32)
+        else:
+            arr = raw.view(dtypes[info["dtype"]])
+        out[name] = np.asarray(arr).reshape(info["shape"])
+    return out
+
+
+def _find_artifact_dir(name_or_path: str) -> Optional[str]:
+    """Locate a model2vec artifact directory without any network access."""
+    candidates: List[str] = []
+    p = Path(name_or_path).expanduser()
+    if p.is_dir():
+        candidates.append(str(p))
+
+    env_dir = os.environ.get("SEMTOOLS_TPU_MODEL_DIR")
+    if env_dir and Path(env_dir).is_dir():
+        candidates.append(env_dir)
+
+    hub = Path(
+        os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")
+    ) / "hub"
+    cache_name = "models--" + name_or_path.replace("/", "--")
+    snap_root = hub / cache_name / "snapshots"
+    if snap_root.is_dir():
+        candidates.extend(sorted(glob.glob(str(snap_root / "*"))))
+
+    for cand in candidates:
+        if (Path(cand) / "model.safetensors").exists() and (
+            Path(cand) / "tokenizer.json"
+        ).exists():
+            return cand
+    return None
+
+
+def _fallback_table() -> np.ndarray:
+    """Deterministic Gaussian embedding table for the hashed fallback model."""
+    rng = np.random.Generator(np.random.Philox(FALLBACK_SEED))
+    table = rng.standard_normal((FALLBACK_VOCAB, FALLBACK_DIM), dtype=np.float32)
+    table /= np.sqrt(FALLBACK_DIM)
+    return table
+
+
+class StaticModel:
+    """Tokenize on host, pool on TPU.
+
+    ``encode`` / ``encode_single`` mirror the model2vec-rs API surface the
+    reference uses (src/search/mod.rs:69,138).
+    """
+
+    def __init__(self, table: np.ndarray, tokenizer, *, normalize: bool = True, name: str = ""):
+        import jax.numpy as jnp
+
+        self.table_np = np.ascontiguousarray(table, dtype=np.float32)
+        self.table = jnp.asarray(self.table_np)  # device-resident for the life of the model
+        self.tokenizer = tokenizer
+        self.normalize = normalize
+        self.name = name
+        self.dim = int(table.shape[1])
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        name_or_path: str = MODEL_NAME,
+        hf_token: Optional[str] = None,  # parity arg; private-model fetch unsupported offline
+        normalize_override: Optional[bool] = None,
+        subfolder: Optional[str] = None,
+    ) -> "StaticModel":
+        del hf_token
+        target = name_or_path if subfolder is None else str(Path(name_or_path) / subfolder)
+        art_dir = _find_artifact_dir(target)
+        if art_dir is None:
+            print(
+                f"semtools: model '{name_or_path}' not found locally; "
+                f"using built-in deterministic embedder ({FALLBACK_NAME})",
+                file=sys.stderr,
+            )
+            return cls.fallback(normalize_override=normalize_override)
+
+        tensors = _read_safetensors(str(Path(art_dir) / "model.safetensors"))
+        if "embeddings" in tensors:
+            table = tensors["embeddings"]
+        else:  # some exports name the single tensor differently
+            table = next(iter(tensors.values()))
+        tokenizer = HFTokenizer(str(Path(art_dir) / "tokenizer.json"))
+
+        normalize = True
+        cfg_path = Path(art_dir) / "config.json"
+        if cfg_path.exists():
+            cfg = json.loads(cfg_path.read_text())
+            normalize = bool(cfg.get("normalize", True))
+        if normalize_override is not None:
+            normalize = normalize_override
+
+        return cls(np.asarray(table, dtype=np.float32), tokenizer, normalize=normalize, name=target)
+
+    @classmethod
+    def fallback(cls, normalize_override: Optional[bool] = None) -> "StaticModel":
+        normalize = True if normalize_override is None else normalize_override
+        return cls(
+            _fallback_table(),
+            HashTokenizer(vocab_size=FALLBACK_VOCAB),
+            normalize=normalize,
+            name=FALLBACK_NAME,
+        )
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode(
+        self,
+        texts: Sequence[str],
+        max_length: Optional[int] = 2048,
+        batch_size: int = 16384,
+    ) -> np.ndarray:
+        """Embed a batch of texts → [N, dim] float32."""
+        del batch_size  # device-call chunking is handled in ops.embed
+        if len(texts) == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        token_lists = self.tokenizer.encode_batch(texts)
+        return embed_token_lists(
+            self.table,
+            token_lists,
+            max_length=max_length if max_length is not None else 1 << 30,
+            normalize=self.normalize,
+        )
+
+    def encode_single(self, text: str) -> np.ndarray:
+        """Embed one text → [dim] float32."""
+        return self.encode([text])[0]
+
+
+def load_model(name_or_path: str = MODEL_NAME) -> StaticModel:
+    """Convenience loader used by the CLI."""
+    return StaticModel.from_pretrained(name_or_path)

@@ -1,0 +1,163 @@
+"""TPU embedding kernel: token-row gather + segment mean + L2 normalize.
+
+This is the TPU-native replacement for the reference's model2vec-rs CPU
+encode path (``encode_with_args(lines, Some(2048), 16384)``,
+src/search/mod.rs:69): per text, look up the embedding-table row of every
+token, mean-pool, and optionally L2-normalize.
+
+Design notes (TPU-first, not a port):
+
+- Lines are ragged. Instead of padding each line to a common length (which
+  wastes gather bandwidth on pad rows), all token ids are flattened into a
+  single ``[T]`` vector with a parallel ``[T]`` segment-id vector, and the
+  pooling is a sorted ``segment_sum`` — XLA lowers this to an efficient
+  scatter-add on TPU since segment ids are monotonically non-decreasing.
+- Shapes under ``jit`` must be static, so ``T`` (total tokens) and ``B``
+  (number of texts) are padded up to power-of-two buckets; the jit cache
+  holds one executable per (T-bucket, B-bucket) pair, bounding recompiles
+  regardless of workload shape.
+- Pad tokens carry weight 0 and are routed to a trash segment past the real
+  ones, so they influence neither sums nor counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Upper bound on tokens processed per device call: bounds the [T, D] gather
+# activation (2^19 tokens * 256 dims * 4 B = 512 MB) well under HBM.
+MAX_TOKENS_PER_CALL = 1 << 19
+# Upper bound on texts per device call (the reference's encode batch size,
+# src/search/mod.rs:69).
+MAX_TEXTS_PER_CALL = 16384
+
+_MIN_T_BUCKET = 256
+_MIN_B_BUCKET = 8
+
+
+def _next_pow2(n: int, floor: int) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "normalize"))
+def _embed_segments(table, flat_ids, seg_ids, weights, *, num_segments: int, normalize: bool):
+    """Pooled embeddings for ``num_segments`` texts from flattened tokens.
+
+    table:    [V, D] float   embedding rows
+    flat_ids: [T]    int32   token ids (pad entries may hold any valid id)
+    seg_ids:  [T]    int32   text index per token, sorted; pads point at the
+                             trash segment ``num_segments - 1``
+    weights:  [T]    float32 1.0 for real tokens, 0.0 for pads
+    Returns [num_segments - 1, D] float32 (trash segment dropped).
+    """
+    rows = jnp.take(table, flat_ids, axis=0).astype(jnp.float32)
+    rows = rows * weights[:, None]
+    sums = jax.ops.segment_sum(rows, seg_ids, num_segments=num_segments, indices_are_sorted=True)
+    counts = jax.ops.segment_sum(
+        weights, seg_ids, num_segments=num_segments, indices_are_sorted=True
+    )
+    mean = sums / jnp.maximum(counts, 1.0)[:, None]
+    if normalize:
+        norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
+        mean = jnp.where(norm > 0.0, mean / jnp.maximum(norm, 1e-30), mean)
+    return mean[:-1]
+
+
+def _flatten_bucketed(token_lists: Sequence[Sequence[int]], max_length: int):
+    """Flatten ragged token lists into bucket-padded flat/seg/weight arrays."""
+    b = len(token_lists)
+    clipped = [ids[:max_length] for ids in token_lists]
+    t = sum(len(ids) for ids in clipped)
+
+    t_bucket = _next_pow2(t, _MIN_T_BUCKET)
+    b_bucket = _next_pow2(b, _MIN_B_BUCKET)
+
+    flat = np.zeros(t_bucket, dtype=np.int32)
+    seg = np.full(t_bucket, b_bucket, dtype=np.int32)  # trash segment
+    weights = np.zeros(t_bucket, dtype=np.float32)
+
+    pos = 0
+    for i, ids in enumerate(clipped):
+        n = len(ids)
+        if n:
+            flat[pos : pos + n] = ids
+            seg[pos : pos + n] = i
+            weights[pos : pos + n] = 1.0
+            pos += n
+    return flat, seg, weights, b_bucket
+
+
+def embed_token_lists(
+    table,
+    token_lists: Sequence[Sequence[int]],
+    *,
+    max_length: int = 2048,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Embed ragged token-id lists → ``[len(token_lists), D]`` float32.
+
+    Splits work into device calls bounded by MAX_TOKENS_PER_CALL /
+    MAX_TEXTS_PER_CALL so activation memory stays bounded for arbitrarily
+    large files.
+    """
+    if len(token_lists) == 0:
+        return np.zeros((0, table.shape[1]), dtype=np.float32)
+
+    out: List[np.ndarray] = []
+    chunk: List[Sequence[int]] = []
+    chunk_tokens = 0
+
+    def flush():
+        nonlocal chunk, chunk_tokens
+        if not chunk:
+            return
+        flat, seg, weights, b_bucket = _flatten_bucketed(chunk, max_length)
+        res = _embed_segments(
+            table,
+            jnp.asarray(flat),
+            jnp.asarray(seg),
+            jnp.asarray(weights),
+            num_segments=b_bucket + 1,
+            normalize=normalize,
+        )
+        out.append(np.asarray(res[: len(chunk)]))
+        chunk = []
+        chunk_tokens = 0
+
+    for ids in token_lists:
+        n = min(len(ids), max_length)
+        if chunk and (chunk_tokens + n > MAX_TOKENS_PER_CALL or len(chunk) >= MAX_TEXTS_PER_CALL):
+            flush()
+        chunk.append(ids)
+        chunk_tokens += n
+    flush()
+
+    return np.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
+def embed_token_lists_reference(
+    table: np.ndarray,
+    token_lists: Sequence[Sequence[int]],
+    *,
+    max_length: int = 2048,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Pure-numpy reference implementation for correctness tests."""
+    out = np.zeros((len(token_lists), table.shape[1]), dtype=np.float32)
+    for i, ids in enumerate(token_lists):
+        ids = list(ids)[:max_length]
+        if not ids:
+            continue
+        vec = table[np.asarray(ids, dtype=np.int64)].astype(np.float32).mean(axis=0)
+        if normalize:
+            norm = np.linalg.norm(vec)
+            if norm > 0:
+                vec = vec / norm
+        out[i] = vec
+    return out

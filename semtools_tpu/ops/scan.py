@@ -1,0 +1,117 @@
+"""TPU similarity scan: tiled ``q @ E^T`` on the MXU + top-k selection.
+
+Replaces the reference's hot inner loop — a per-line SIMD cosine call
+(``f32::cosine(query, line)``, src/search/mod.rs:86) — with a single batched
+matrix product over the whole corpus. Vectors are stored L2-normalized (or
+zero), so cosine similarity is a plain dot product and
+``distance = 1 - sim`` matches the reference's output scale
+(store.rs:531 uses the same ``1 - score`` conversion).
+
+Zero-vector semantics: an empty line embeds to the zero vector; its dot with
+any query is 0, giving distance 1.0 — i.e. "maximally dissimilar but
+defined", which ranks it last without poisoning sort order.
+
+Large corpora are processed in fixed-size column chunks so the jit cache
+holds a single executable per (Q, chunk) shape and the distance matrix for a
+chunk stays small. Each chunk yields its own top-k (values + global indices)
+and chunks are merged with one final top-k — the same
+partial-top-k-then-merge shape used for the multi-device path in
+``semtools_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Column-chunk length for the scan; 2^20 rows * 256 dims * 4 B = 1 GB reads
+# per chunk, a good grain for HBM streaming while keeping [Q, chunk]
+# distance tiles modest for small Q.
+SCAN_CHUNK = 1 << 20
+
+
+# Full-f32 accumulation: the default TPU matmul precision truncates inputs
+# to bf16, which perturbs distances by ~1e-3 — enough to flip near-ties vs
+# the reference's f64 cosine. The scan is HBM-bandwidth-bound for CLI-sized
+# query batches, so the extra MXU passes are free; the batched-throughput
+# bench path opts into bf16 explicitly (see semtools_tpu.ops.scan_fused).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def cosine_distances(q, e):
+    """[Q, D] x [N, D] -> [Q, N] cosine distances (inputs unit-or-zero)."""
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    return 1.0 - sims
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_chunk(q, e, base: int, *, k: int):
+    """Per-chunk scan: distances + top-k with global indices."""
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    neg_dist, idx = jax.lax.top_k(sims, k)  # max sim == min distance
+    return 1.0 - neg_dist, idx + base
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk(dists, idxs, *, k: int):
+    """Merge per-chunk candidates [Q, C*k] -> global top-k [Q, k].
+
+    Ties are broken toward the lower global index (stable w.r.t. corpus
+    order, matching the reference's stable sort at src/search/mod.rs:107).
+    """
+    # lax.top_k on -distance prefers earlier positions on ties; candidates
+    # are already ordered by chunk, i.e. by global index.
+    neg, pos = jax.lax.top_k(-dists, k)
+    return -neg, jnp.take_along_axis(idxs, pos, axis=1)
+
+
+def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k nearest lines for each query row.
+
+    q: [Q, D] float32 (unit-or-zero rows)
+    e: [N, D] float32 (unit-or-zero rows)
+    Returns (distances [Q, k'], indices [Q, k']) with k' = min(k, N),
+    sorted ascending by distance; ties keep corpus order.
+    """
+    n = e.shape[0]
+    k_eff = min(k, n)
+    if k_eff == 0:
+        qn = np.shape(q)[0]
+        return (np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64))
+
+    if n <= SCAN_CHUNK:
+        d, i = _topk_chunk(q, e, 0, k=k_eff)
+        return np.asarray(d), np.asarray(i)
+
+    parts_d = []
+    parts_i = []
+    for start in range(0, n, SCAN_CHUNK):
+        chunk = e[start : start + SCAN_CHUNK]
+        kk = min(k_eff, chunk.shape[0])
+        d, i = _topk_chunk(q, chunk, start, k=kk)
+        parts_d.append(d)
+        parts_i.append(i)
+    dists = jnp.concatenate(parts_d, axis=1)
+    idxs = jnp.concatenate(parts_i, axis=1)
+    d, i = _merge_topk(dists, idxs, k=k_eff)
+    return np.asarray(d), np.asarray(i)
+
+
+def threshold_scan(q, e, max_distance: float) -> Tuple[np.ndarray, np.ndarray]:
+    """All (query, line) pairs with distance strictly below ``max_distance``.
+
+    Mirrors the reference's threshold mode, which returns an unbounded number
+    of hits (src/search/mod.rs:113-119: the threshold overrides top-k).
+    Returns (distances [M], flat indices [M]) for Q == 1 queries, ascending.
+    """
+    assert q.shape[0] == 1, "threshold_scan expects a single query row"
+    dists = np.asarray(cosine_distances(q, e))[0]
+    keep = np.nonzero(dists < max_distance)[0]
+    order = np.argsort(dists[keep], kind="stable")
+    keep = keep[order]
+    return dists[keep], keep

@@ -1,0 +1,14 @@
+from semtools_tpu.parse.backend import LlamaParseBackend, ParseResult
+from semtools_tpu.parse.cache import CacheManager
+from semtools_tpu.parse.config import LlamaParseConfig, load_parse_config
+from semtools_tpu.parse.client import JobError, ParseClient
+
+__all__ = [
+    "LlamaParseBackend",
+    "ParseResult",
+    "CacheManager",
+    "LlamaParseConfig",
+    "load_parse_config",
+    "ParseClient",
+    "JobError",
+]

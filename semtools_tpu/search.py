@@ -1,0 +1,205 @@
+"""Semantic per-line search core.
+
+Behavioral contract mirrors the reference's ``src/search/mod.rs``:
+
+- a *document* is a file split into lines; every line is embedded
+  independently (truncated at 2048 tokens, mod.rs:69);
+- a search scores the query against every line, keeps lines with
+  ``distance < max_distance`` (default threshold 100.0 keeps everything,
+  mod.rs:88), attaches a context window of ``n_lines`` before/after clamped
+  to file bounds (mod.rs:90-91), sorts ascending by distance (stable,
+  mod.rs:107), and returns all hits when a threshold was given else the
+  top-k (mod.rs:113-119);
+- ``ignore_case`` lowercases both query and lines before embedding but
+  reports the original text (mod.rs:63-67).
+
+The scoring itself runs on TPU as one batched matmul over the concatenated
+corpus (see semtools_tpu.ops.scan) instead of the reference's per-line SIMD
+cosine loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from semtools_tpu.models.static_model import StaticModel
+from semtools_tpu.ops.scan import cosine_distances, threshold_scan, topk_scan
+from semtools_tpu.utils.text import read_file_text, split_lines
+
+
+@dataclass
+class Document:
+    filename: str
+    lines: List[str]
+    embeddings: np.ndarray  # [num_lines, dim] float32, unit-or-zero rows
+
+
+@dataclass
+class SearchConfig:
+    n_lines: int = 3
+    top_k: int = 3
+    max_distance: Optional[float] = None
+    ignore_case: bool = False
+
+
+@dataclass
+class SearchResult:
+    filename: str
+    lines: List[str]
+    start: int  # 0-based, inclusive
+    end: int  # 0-based, exclusive
+    match_line: int  # 0-based line that matched
+    distance: float
+
+
+def create_document_from_content(
+    filename: str, content: str, model: StaticModel, ignore_case: bool
+) -> Optional[Document]:
+    """Split content into lines and embed each; None for empty content."""
+    lines = split_lines(content)
+    if not lines:
+        return None
+    to_embed = [ln.lower() for ln in lines] if ignore_case else lines
+    embeddings = model.encode(to_embed, max_length=2048)
+    return Document(filename=filename, lines=lines, embeddings=embeddings)
+
+
+def _result_for_line(
+    doc: Document, line_idx: int, distance: float, n_lines: int
+) -> SearchResult:
+    start = max(0, line_idx - n_lines)
+    end = min(len(doc.lines), line_idx + n_lines + 1)
+    return SearchResult(
+        filename=doc.filename,
+        lines=doc.lines[start:end],
+        start=start,
+        end=end,
+        match_line=line_idx,
+        distance=float(distance),
+    )
+
+
+def _corpus_of(documents: Sequence[Document]) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """Concatenate doc embeddings; map flat row -> (doc index, line index)."""
+    mats = [d.embeddings for d in documents if len(d.lines)]
+    owners: List[Tuple[int, int]] = []
+    for di, d in enumerate(documents):
+        owners.extend((di, li) for li in range(len(d.lines)))
+    if not mats:
+        dim = documents[0].embeddings.shape[1] if documents else 0
+        return np.zeros((0, dim), np.float32), owners
+    return np.concatenate(mats, axis=0), owners
+
+
+def search_documents(
+    documents: Sequence[Document],
+    query_embedding: np.ndarray,
+    config: SearchConfig,
+) -> List[SearchResult]:
+    if not documents:
+        return []
+    corpus, owners = _corpus_of(documents)
+    if corpus.shape[0] == 0:
+        return []
+    q = np.asarray(query_embedding, dtype=np.float32).reshape(1, -1)
+
+    if config.max_distance is not None:
+        dists, idxs = threshold_scan(q, corpus, float(config.max_distance))
+    else:
+        # Default threshold 100.0 admits every line; top-k over the corpus is
+        # equivalent to the reference's collect-sort-truncate.
+        dists, idxs = topk_scan(q, corpus, config.top_k)
+        dists, idxs = dists[0], idxs[0]
+
+    results = []
+    for dist, flat in zip(dists, idxs):
+        di, li = owners[int(flat)]
+        results.append(_result_for_line(documents[di], li, dist, config.n_lines))
+    return results
+
+
+def search_files(
+    files: Sequence[str],
+    query: str,
+    model: StaticModel,
+    config: SearchConfig,
+) -> List[SearchResult]:
+    """Read, embed, and search files. IO errors propagate (reference mod.rs:130)."""
+    documents = []
+    for f in files:
+        content = read_file_text(f)
+        doc = create_document_from_content(f, content, model, config.ignore_case)
+        if doc is not None:
+            documents.append(doc)
+
+    query_text = query.lower() if config.ignore_case else query
+    query_embedding = model.encode_single(query_text)
+    return search_documents(documents, query_embedding, config)
+
+
+def search_with_workspace(
+    files: Sequence[str],
+    query: str,
+    model: StaticModel,
+    config: SearchConfig,
+    workspace_name: Optional[str] = None,
+):
+    """Workspace-backed search with incremental re-embedding.
+
+    Mirrors the reference flow (src/search/mod.rs:146-211): classify files
+    as new/changed/unchanged via size+mtime+version, re-embed only
+    new/changed files, upsert, then run the filtered store scan. Returns
+    ``List[RankedLine]`` — (path, line_number, distance) only; context text
+    is re-read from the live file at print time (src/cmds/search.rs:66-110).
+    """
+    import sys
+
+    from semtools_tpu.store import Store, Workspace
+
+    query_embedding = model.encode_single(query)
+    ws = Workspace.open(workspace_name)
+    store = Store(ws.config.root_dir, dim=model.dim, model_name=model.name)
+
+    states = store.analyze_document_states(files)
+
+    lines_upserted = 0
+    metas = []
+    for state in states:
+        if state.kind in ("changed", "new"):
+            info = state.info
+            doc = create_document_from_content(
+                info.filename, info.content, model, config.ignore_case
+            )
+            if doc is not None:
+                store.upsert_document_lines(info.filename, doc.embeddings)
+                lines_upserted += len(doc.lines)
+                metas.append(info.meta)
+
+    if lines_upserted:
+        print(
+            f"Updating workspace with {lines_upserted} lines from new/changed docs...",
+            file=sys.stderr,
+        )
+    if metas:
+        print(
+            f"Updating workspace with {len(metas)} new/changed documents...",
+            file=sys.stderr,
+        )
+        store.upsert_document_metadata(metas)
+
+    ranked = store.search_line_embeddings(
+        query_embedding, list(files), config.top_k, config.max_distance
+    )
+    store.close()
+    return ranked
+
+
+def query_distances(
+    query_embedding: np.ndarray, embeddings: np.ndarray
+) -> np.ndarray:
+    """Distances of one query against an [N, D] matrix (test/bench helper)."""
+    q = np.asarray(query_embedding, dtype=np.float32).reshape(1, -1)
+    return np.asarray(cosine_distances(q, embeddings))[0]

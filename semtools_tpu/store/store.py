@@ -1,0 +1,503 @@
+"""Persistent line-embedding store backing ``semtools workspace``.
+
+The TPU-native replacement for the reference's embedded qdrant-edge shards
+(src/workspace/store.rs). Same capabilities — idempotent upsert keyed on
+deterministic path hashes, size/mtime/version change detection, filtered
+cosine search with score threshold, prune, counts — but a storage layout
+designed for matmul scans instead of an ANN graph:
+
+- Vectors live in one growable mmap file ``lines.f32`` shaped [capacity, D].
+  A document's lines always occupy a *contiguous slot range* (documents are
+  re-embedded wholesale on change — the same invariant the reference
+  relies on at src/search/mod.rs:166-190), so the line number is implicit:
+  ``line_number = slot - slot_start``. No per-line metadata rows exist at
+  all, which keeps metadata O(documents) even for 10M-line corpora.
+- Document metadata (path, size, mtime, version, slot range) and the
+  free-range list live in sqlite — transactional, crash-safe, zero deps.
+- A search gathers the slot ranges of the requested path subset and runs
+  the MXU scan from :mod:`semtools_tpu.ops.scan`. Unlike the reference's
+  per-1000-path-chunk ANN queries with ``limit = top_k * 2`` (store.rs:517)
+  — which can miss true global top-k hits — this scan is exact.
+
+Change-detection parity: ``CURRENT_EMBEDDING_VERSION`` bumps force global
+re-embeds (store.rs:29-34); additionally the embedding model's name is
+recorded, and opening a store with a different model invalidates all rows
+(a failure mode the reference does not guard against).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from semtools_tpu.ops.scan import threshold_scan, topk_scan
+from semtools_tpu.utils.hashing import doc_id
+from semtools_tpu.utils.text import read_file_text
+
+CURRENT_EMBEDDING_VERSION = 2
+LINE_EMBEDDING_SIZE = 256
+
+_VECTORS_FILE = "lines.f32"
+_DB_FILE = "store.sqlite"
+
+
+def _to_i64(u: int) -> int:
+    """Map an unsigned 64-bit id into sqlite's signed integer domain."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@dataclass
+class DocMeta:
+    path: str
+    size_bytes: int
+    mtime: int
+    _version: int = CURRENT_EMBEDDING_VERSION
+
+    def id(self) -> int:
+        return doc_id(self.path)
+
+
+@dataclass
+class DocumentInfo:
+    filename: str
+    content: str
+    meta: DocMeta
+
+
+@dataclass
+class DocumentState:
+    """Tagged union mirroring the reference's enum (store.rs:62-67)."""
+
+    kind: str  # "unchanged" | "changed" | "new"
+    path: str
+    info: Optional[DocumentInfo] = None
+
+    @classmethod
+    def unchanged(cls, path: str) -> "DocumentState":
+        return cls("unchanged", path)
+
+    @classmethod
+    def changed(cls, info: DocumentInfo) -> "DocumentState":
+        return cls("changed", info.filename, info)
+
+    @classmethod
+    def new(cls, info: DocumentInfo) -> "DocumentState":
+        return cls("new", info.filename, info)
+
+
+@dataclass
+class LineEmbedding:
+    path: str
+    line_number: int
+    embedding: np.ndarray
+
+
+@dataclass
+class RankedLine:
+    path: str
+    line_number: int
+    distance: float
+
+
+@dataclass
+class WorkspaceStats:
+    total_documents: int
+    has_index: bool
+    index_type: Optional[str]
+    total_lines: int = 0
+
+
+class Store:
+    """Open (creating if needed) the store under ``workspace_dir``."""
+
+    def __init__(
+        self,
+        workspace_dir: str,
+        dim: int = LINE_EMBEDDING_SIZE,
+        model_name: str = "",
+    ):
+        self.dir = Path(workspace_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.vec_path = self.dir / _VECTORS_FILE
+        self.db = sqlite3.connect(self.dir / _DB_FILE)
+        self.db.execute("PRAGMA journal_mode=WAL")
+        self._init_schema()
+        self.dim = self._resolve_dim(dim)
+        self._check_model(model_name)
+        if not self.vec_path.exists():
+            self.vec_path.touch()
+
+    # -- schema ------------------------------------------------------------
+
+    def _init_schema(self) -> None:
+        self.db.executescript(
+            """
+            CREATE TABLE IF NOT EXISTS meta (
+              key TEXT PRIMARY KEY, value TEXT NOT NULL);
+            CREATE TABLE IF NOT EXISTS docs (
+              id INTEGER PRIMARY KEY,
+              path TEXT UNIQUE NOT NULL,
+              size_bytes INTEGER,
+              mtime INTEGER,
+              version INTEGER,
+              slot_start INTEGER,
+              n_lines INTEGER);
+            CREATE TABLE IF NOT EXISTS free (
+              start INTEGER PRIMARY KEY, length INTEGER NOT NULL);
+            """
+        )
+        self.db.commit()
+
+    def _resolve_dim(self, dim: int) -> int:
+        row = self.db.execute("SELECT value FROM meta WHERE key='dim'").fetchone()
+        if row is None:
+            self.db.execute("INSERT INTO meta VALUES ('dim', ?)", (str(dim),))
+            self.db.commit()
+            return dim
+        return int(row[0])
+
+    def _check_model(self, model_name: str) -> None:
+        """Invalidate every stored row if the embedding model changed."""
+        if not model_name:
+            return
+        row = self.db.execute("SELECT value FROM meta WHERE key='model'").fetchone()
+        if row is None:
+            self.db.execute("INSERT INTO meta VALUES ('model', ?)", (model_name,))
+            self.db.commit()
+        elif row[0] != model_name:
+            self.db.execute("UPDATE docs SET version = -1")
+            self.db.execute(
+                "UPDATE meta SET value = ? WHERE key='model'", (model_name,)
+            )
+            self.db.commit()
+
+    # -- vector file -------------------------------------------------------
+
+    def _capacity(self) -> int:
+        size = self.vec_path.stat().st_size if self.vec_path.exists() else 0
+        return size // (4 * self.dim)
+
+    def _grow_to(self, slots: int) -> None:
+        with open(self.vec_path, "r+b") as f:
+            f.truncate(slots * 4 * self.dim)
+
+    def _mmap(self, mode: str = "r") -> Optional[np.ndarray]:
+        cap = self._capacity()
+        if cap == 0:
+            return None
+        return np.memmap(self.vec_path, dtype=np.float32, mode=mode, shape=(cap, self.dim))
+
+    # -- free-range allocator ---------------------------------------------
+
+    def _free_range(self, start: int, length: int) -> None:
+        if length <= 0:
+            return
+        # Merge with adjacent free ranges.
+        prev = self.db.execute(
+            "SELECT start, length FROM free WHERE start + length = ?", (start,)
+        ).fetchone()
+        nxt = self.db.execute(
+            "SELECT start, length FROM free WHERE start = ?", (start + length,)
+        ).fetchone()
+        if prev:
+            self.db.execute("DELETE FROM free WHERE start = ?", (prev[0],))
+            start, length = prev[0], prev[1] + length
+        if nxt:
+            self.db.execute("DELETE FROM free WHERE start = ?", (nxt[0],))
+            length += nxt[1]
+        self.db.execute("INSERT INTO free VALUES (?, ?)", (start, length))
+
+    def _alloc_range(self, length: int) -> int:
+        if length <= 0:
+            return 0
+        row = self.db.execute(
+            "SELECT start, length FROM free WHERE length >= ? ORDER BY length LIMIT 1",
+            (length,),
+        ).fetchone()
+        if row is not None:
+            start, flen = row
+            self.db.execute("DELETE FROM free WHERE start = ?", (start,))
+            if flen > length:
+                self.db.execute("INSERT INTO free VALUES (?, ?)", (start + length, flen - length))
+            return start
+        start = self._capacity()
+        self._grow_to(start + length)
+        return start
+
+    # -- upserts -----------------------------------------------------------
+
+    def upsert_document_lines(self, path: str, embeddings: np.ndarray) -> None:
+        """Replace a document's line vectors with a new contiguous block."""
+        embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+        n = embeddings.shape[0]
+        row = self.db.execute(
+            "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+        ).fetchone()
+        if row is not None and row[0] is not None:
+            self._free_range(row[0], row[1])
+        start = self._alloc_range(n)
+        if n:
+            mm = self._mmap("r+")
+            mm[start : start + n] = embeddings
+            mm.flush()
+            del mm
+        self.db.execute(
+            """INSERT INTO docs (id, path, slot_start, n_lines) VALUES (?, ?, ?, ?)
+               ON CONFLICT(path) DO UPDATE SET slot_start = ?, n_lines = ?""",
+            (_to_i64(doc_id(path)), path, start, n, start, n),
+        )
+        self.db.commit()
+
+    def upsert_line_embeddings(self, line_embeddings: Sequence[LineEmbedding]) -> None:
+        """Group by path and replace each document's block.
+
+        The public write path always supplies complete documents (lines
+        0..n-1, src/search/mod.rs:170-182), which this enforces.
+        """
+        if not line_embeddings:
+            return
+        by_path: Dict[str, List[LineEmbedding]] = {}
+        for le in line_embeddings:
+            by_path.setdefault(le.path, []).append(le)
+        for path, les in by_path.items():
+            les.sort(key=lambda le: le.line_number)
+            nums = [le.line_number for le in les]
+            if nums != list(range(len(les))):
+                raise ValueError(
+                    f"upsert for {path!r} must cover lines 0..n-1, got {nums[:5]}..."
+                )
+            mat = np.stack([np.asarray(le.embedding, np.float32) for le in les])
+            self.upsert_document_lines(path, mat)
+
+    def upsert_document_metadata(self, metas: Sequence[DocMeta]) -> None:
+        for meta in metas:
+            self.db.execute(
+                """INSERT INTO docs (id, path, size_bytes, mtime, version)
+                   VALUES (?, ?, ?, ?, ?)
+                   ON CONFLICT(path) DO UPDATE SET
+                     size_bytes = ?, mtime = ?, version = ?""",
+                (
+                    _to_i64(meta.id()),
+                    meta.path,
+                    meta.size_bytes,
+                    meta.mtime,
+                    meta._version,
+                    meta.size_bytes,
+                    meta.mtime,
+                    meta._version,
+                ),
+            )
+        self.db.commit()
+
+    # -- reads -------------------------------------------------------------
+
+    def get_existing_docs(self, paths: Sequence[str]) -> Dict[str, DocMeta]:
+        out: Dict[str, DocMeta] = {}
+        for i in range(0, len(paths), 1000):
+            chunk = list(paths[i : i + 1000])
+            q = ",".join("?" for _ in chunk)
+            rows = self.db.execute(
+                f"""SELECT path, size_bytes, mtime, version FROM docs
+                    WHERE path IN ({q}) AND size_bytes IS NOT NULL""",
+                chunk,
+            ).fetchall()
+            for path, size_bytes, mtime, version in rows:
+                out[path] = DocMeta(path, size_bytes, mtime, version)
+        return out
+
+    def get_all_document_paths(self) -> List[str]:
+        rows = self.db.execute(
+            "SELECT path FROM docs WHERE size_bytes IS NOT NULL"
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def count_documents(self) -> int:
+        return self.db.execute(
+            "SELECT COUNT(*) FROM docs WHERE size_bytes IS NOT NULL"
+        ).fetchone()[0]
+
+    def count_line_embeddings(self) -> int:
+        return self.db.execute(
+            "SELECT COALESCE(SUM(n_lines), 0) FROM docs WHERE slot_start IS NOT NULL"
+        ).fetchone()[0]
+
+    def get_stats(self) -> WorkspaceStats:
+        return WorkspaceStats(
+            total_documents=self.count_documents(),
+            has_index=True,
+            index_type="exact-mxu-scan",
+            total_lines=self.count_line_embeddings(),
+        )
+
+    # -- change detection --------------------------------------------------
+
+    def analyze_document_states(self, file_paths: Sequence[str]) -> List[DocumentState]:
+        existing = self.get_existing_docs(file_paths)
+        states: List[DocumentState] = []
+        for path in file_paths:
+            try:
+                st = os.stat(path)
+            except OSError:
+                continue  # missing files are skipped (store.rs:613-616)
+            current = DocMeta(
+                path=path,
+                size_bytes=st.st_size,
+                mtime=int(st.st_mtime),
+                _version=CURRENT_EMBEDDING_VERSION,
+            )
+            prev = existing.get(path)
+            if prev is None:
+                states.append(
+                    DocumentState.new(DocumentInfo(path, read_file_text(path), current))
+                )
+            elif (
+                prev.size_bytes != current.size_bytes
+                or prev.mtime != current.mtime
+                or prev._version != CURRENT_EMBEDDING_VERSION
+            ):
+                states.append(
+                    DocumentState.changed(DocumentInfo(path, read_file_text(path), current))
+                )
+            else:
+                states.append(DocumentState.unchanged(path))
+        return states
+
+    # -- search ------------------------------------------------------------
+
+    def _subset_slots(self, subset_paths: Sequence[str]) -> List[Tuple[str, int, int]]:
+        """(path, slot_start, n_lines) for stored docs in the subset."""
+        out: List[Tuple[str, int, int]] = []
+        for i in range(0, len(subset_paths), 1000):
+            chunk = list(subset_paths[i : i + 1000])
+            q = ",".join("?" for _ in chunk)
+            rows = self.db.execute(
+                f"""SELECT path, slot_start, n_lines FROM docs
+                    WHERE path IN ({q}) AND slot_start IS NOT NULL AND n_lines > 0""",
+                chunk,
+            ).fetchall()
+            out.extend(rows)
+        return out
+
+    def search_line_embeddings(
+        self,
+        query_vec: np.ndarray,
+        subset_paths: Sequence[str],
+        top_k: int,
+        max_distance: Optional[float] = None,
+    ) -> List[RankedLine]:
+        """Exact filtered scan. Workspace-mode semantics: a score threshold
+        still truncates to top_k (store.rs:517,538-543)."""
+        if not subset_paths or top_k == 0:
+            return []
+        ranges = self._subset_slots(subset_paths)
+        if not ranges:
+            return []
+        mm = self._mmap("r")
+        if mm is None:
+            return []
+
+        slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
+        slots = np.concatenate(slot_blocks)
+        corpus = np.asarray(mm[slots])  # gather subset into RAM then device
+        del mm
+
+        # Map scan row -> (path, line_number)
+        owners_path: List[str] = []
+        owners_line = np.concatenate(
+            [np.arange(n, dtype=np.int64) for _, _, n in ranges]
+        )
+        for path, _, n in ranges:
+            owners_path.extend([path] * n)
+
+        q = np.asarray(query_vec, np.float32).reshape(1, -1)
+        if max_distance is not None:
+            dists, idxs = threshold_scan(q, corpus, float(max_distance))
+            dists, idxs = dists[:top_k], idxs[:top_k]
+        else:
+            d, i = topk_scan(q, corpus, top_k)
+            dists, idxs = d[0], i[0]
+
+        return [
+            RankedLine(
+                path=owners_path[int(j)],
+                line_number=int(owners_line[int(j)]),
+                distance=float(dist),
+            )
+            for dist, j in zip(dists, idxs)
+        ]
+
+    def load_subset_matrix(
+        self, subset_paths: Sequence[str]
+    ) -> Tuple[np.ndarray, List[str], np.ndarray]:
+        """Materialize (corpus, owner paths, owner line numbers) for a subset.
+
+        Used by the distributed scan path and benchmarks.
+        """
+        ranges = self._subset_slots(subset_paths)
+        mm = self._mmap("r")
+        if not ranges or mm is None:
+            return np.zeros((0, self.dim), np.float32), [], np.zeros(0, np.int64)
+        slots = np.concatenate([np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges])
+        corpus = np.asarray(mm[slots])
+        del mm
+        owners_path: List[str] = []
+        for path, _, n in ranges:
+            owners_path.extend([path] * n)
+        owners_line = np.concatenate([np.arange(n, dtype=np.int64) for _, _, n in ranges])
+        return corpus, owners_path, owners_line
+
+    # -- deletes -----------------------------------------------------------
+
+    def delete_line_embeddings(self, paths: Sequence[str]) -> None:
+        for path in paths:
+            row = self.db.execute(
+                "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+            ).fetchone()
+            if row and row[0] is not None:
+                self._free_range(row[0], row[1])
+                self.db.execute(
+                    "UPDATE docs SET slot_start = NULL, n_lines = NULL WHERE path = ?",
+                    (path,),
+                )
+        self.db.commit()
+        self._drop_empty_rows()
+
+    def delete_document_metadata(self, paths: Sequence[str]) -> None:
+        for path in paths:
+            self.db.execute(
+                """UPDATE docs SET size_bytes = NULL, mtime = NULL, version = NULL
+                   WHERE path = ?""",
+                (path,),
+            )
+        self.db.commit()
+        self._drop_empty_rows()
+
+    def delete_documents(self, paths: Sequence[str]) -> None:
+        self.delete_document_metadata(paths)
+        self.delete_line_embeddings(paths)
+
+    def _drop_empty_rows(self) -> None:
+        self.db.execute(
+            "DELETE FROM docs WHERE size_bytes IS NULL AND slot_start IS NULL"
+        )
+        self.db.commit()
+
+    # -- maintenance -------------------------------------------------------
+
+    def flush(self) -> None:
+        self.db.commit()
+
+    def close(self) -> None:
+        self.db.commit()
+        self.db.close()
+
+    def __enter__(self) -> "Store":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

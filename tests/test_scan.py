@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+
+import semtools_tpu.ops.scan as scan_mod
+from semtools_tpu.ops.scan import cosine_distances, threshold_scan, topk_scan
+
+
+def _unit_rows(rng, n, d):
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_cosine_distances_vs_numpy(rng):
+    q = _unit_rows(rng, 3, 32)
+    e = _unit_rows(rng, 50, 32)
+    got = np.asarray(cosine_distances(q, e))
+    want = 1.0 - q @ e.T
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_hand_checked_distances():
+    # Orthogonal / identical / opposite vectors have distances 1 / 0 / 2.
+    q = np.array([[1.0, 0.0]], np.float32)
+    e = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]], np.float32)
+    got = np.asarray(cosine_distances(q, e))[0]
+    np.testing.assert_allclose(got, [0.0, 1.0, 2.0], atol=1e-6)
+
+
+def test_topk_sorted_and_correct(rng):
+    q = _unit_rows(rng, 2, 16)
+    e = _unit_rows(rng, 100, 16)
+    d, i = topk_scan(q, e, 5)
+    assert d.shape == (2, 5) and i.shape == (2, 5)
+    full = 1.0 - q @ e.T
+    for row in range(2):
+        want_idx = np.argsort(full[row], kind="stable")[:5]
+        np.testing.assert_array_equal(i[row], want_idx)
+        assert np.all(np.diff(d[row]) >= -1e-6)
+
+
+def test_topk_k_larger_than_n(rng):
+    q = _unit_rows(rng, 1, 8)
+    e = _unit_rows(rng, 3, 8)
+    d, i = topk_scan(q, e, 10)
+    assert d.shape == (1, 3)
+
+
+def test_topk_tie_break_prefers_lower_index():
+    q = np.array([[1.0, 0.0]], np.float32)
+    e = np.array([[0.0, 1.0], [1.0, 0.0], [1.0, 0.0]], np.float32)
+    _, i = topk_scan(q, e, 2)
+    np.testing.assert_array_equal(i[0], [1, 2])
+
+
+def test_threshold_scan_strictness():
+    q = np.array([[1.0, 0.0]], np.float32)
+    e = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]], np.float32)
+    d, i = threshold_scan(q, e, 1.0)  # strictly below 1.0 keeps only the exact match
+    np.testing.assert_array_equal(i, [0])
+    np.testing.assert_allclose(d, [0.0], atol=1e-6)
+
+
+def test_threshold_scan_returns_all_below(rng):
+    q = _unit_rows(rng, 1, 16)
+    e = _unit_rows(rng, 200, 16)
+    d, i = threshold_scan(q, e, 1.05)
+    full = 1.0 - (q @ e.T)[0]
+    assert len(i) == int((full < 1.05).sum())
+    assert np.all(np.diff(d) >= -1e-6)
+
+
+def test_chunked_scan_equals_unchunked(rng, monkeypatch):
+    q = _unit_rows(rng, 2, 16)
+    e = _unit_rows(rng, 301, 16)
+    d_want, i_want = topk_scan(q, e, 7)
+    monkeypatch.setattr(scan_mod, "SCAN_CHUNK", 64)
+    d_got, i_got = topk_scan(q, e, 7)
+    np.testing.assert_allclose(d_got, d_want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i_got, i_want)
+
+
+def test_zero_vector_line_gets_distance_one(rng):
+    q = _unit_rows(rng, 1, 8)
+    e = np.zeros((2, 8), np.float32)
+    e[0] = q[0]
+    d = np.asarray(cosine_distances(q, e))[0]
+    np.testing.assert_allclose(d, [0.0, 1.0], atol=1e-6)
