@@ -1,0 +1,119 @@
+"""Mesh-sharded similarity scan: per-device partial top-k + all-gather merge.
+
+Mathematically the same merge the reference's store performs over its
+1000-path query chunks (store.rs:495-543: per-chunk candidates, global
+re-sort, truncate) — per-shard top-k followed by a global top-k over the
+gathered candidates preserves the exact global top-k for brute-force
+scoring, because no shard can contribute more than k winners.
+
+TPU mapping: each device scans its local [N/d, D] shard on the MXU; the
+[Q, k] candidate tiles (values + global indices) ride ICI via
+``all_gather``; the final ``lax.top_k`` over [Q, d*k] is negligible. Per
+step this moves O(Q·k·d) bytes over ICI versus O(Q·N) for gathering raw
+distances — the collective cost is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from semtools_tpu.parallel.mesh import SHARD_AXIS, corpus_mesh, shard_corpus
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _local_then_global_topk(
+    q, e_local, *, k: int, n_local: int, n_shards: int, n_true: int, axis: str
+):
+    """Runs per device under shard_map; returns replicated global top-k."""
+    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    # Padding rows (global index >= n_true) must never win the merge: a pad
+    # row's sim of 0.0 would outrank genuinely negative similarities.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
+    global_col = col + jax.lax.axis_index(axis) * n_local
+    sims = jnp.where(global_col < n_true, sims, -jnp.inf)
+    k_local = min(k, n_local)
+    vals, idx = jax.lax.top_k(sims, k_local)  # local winners [Q, k_local]
+    idx = idx + jax.lax.axis_index(axis) * n_local  # globalize indices
+
+    # Candidate tiles from every shard, concatenated in shard order so
+    # lax.top_k's prefer-earlier tie-break keeps corpus order.
+    vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)  # [Q, d*k_local]
+    idx_all = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+
+    best_vals, pos = jax.lax.top_k(vals_all, min(k, n_shards * k_local))
+    best_idx = jnp.take_along_axis(idx_all, pos, axis=1)
+    return 1.0 - best_vals, best_idx
+
+
+def sharded_topk_fn(
+    mesh: Mesh, k: int, n_local: int, n_true: int, axis: str = SHARD_AXIS
+):
+    """Build the jitted sharded scan for a given mesh/k/shard size."""
+    fn = jax.shard_map(
+        functools.partial(
+            _local_then_global_topk,
+            k=k,
+            n_local=n_local,
+            n_shards=int(mesh.devices.size),
+            n_true=n_true,
+            axis=axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_topk_scan(
+    q: np.ndarray,
+    corpus: np.ndarray,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = SHARD_AXIS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of ``q`` against ``corpus`` sharded across ``mesh``.
+
+    Returns (distances [Q, k'], global indices [Q, k']), k' = min(k, N),
+    ascending by distance. Results match the single-device
+    ``semtools_tpu.ops.scan.topk_scan`` exactly (up to cross-shard ties).
+    """
+    if mesh is None:
+        mesh = corpus_mesh()
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    if k_eff == 0:
+        return (
+            np.zeros((q.shape[0], 0), np.float32),
+            np.zeros((q.shape[0], 0), np.int64),
+        )
+
+    e_sharded, _ = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
+    n_local = e_sharded.shape[0] // mesh.devices.size
+    fn = sharded_topk_fn(mesh, k_eff, n_local, n, axis)
+    d, i = fn(jnp.asarray(q, jnp.float32), e_sharded)
+    d = np.asarray(d)
+    i = np.asarray(i)
+
+    # Padding rows (index >= n) can only surface when k > true local rows;
+    # mask them out.
+    valid = i < n
+    if not valid.all():
+        out_d = []
+        out_i = []
+        for row in range(d.shape[0]):
+            keep = valid[row]
+            out_d.append(d[row][keep][:k_eff])
+            out_i.append(i[row][keep][:k_eff])
+        width = min(min(len(r) for r in out_i), k_eff)
+        d = np.stack([r[:width] for r in out_d])
+        i = np.stack([r[:width] for r in out_i])
+    return d, i

@@ -1,0 +1,211 @@
+"""Ask agent tests against a scripted fake OpenAI server.
+
+The reference's agent loop and tools are untested (SURVEY.md §4). Covered
+here: both API modes' loops, tool dispatch + argument parsing, chunk
+formatting, files_searched tracking, max-iteration fallback, stdin mode,
+and the grep/read/search tools directly.
+"""
+
+import json
+
+import pytest
+
+from semtools_tpu.ask.agent import (
+    AskOutput,
+    ask_agent,
+    ask_agent_with_stdin,
+    call_tool,
+)
+from semtools_tpu.ask.config import ApiMode
+from semtools_tpu.ask.openai_client import OpenAIClient
+from semtools_tpu.ask.tools import grep_tool, read_tool
+from tests.fake_servers import (
+    FakeOpenAI,
+    FakeServer,
+    chat_text_response,
+    chat_tool_call_response,
+    responses_text,
+    responses_tool_call,
+)
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    f1 = tmp_path / "notes.txt"
+    f1.write_text("alpha line\nbeta line\ngamma target line\ndelta line\n")
+    f2 = tmp_path / "other.txt"
+    f2.write_text("unrelated content\nmore text\n")
+    return [str(f1), str(f2)]
+
+
+def client_for(script):
+    server = FakeServer(FakeOpenAI(script))
+    return server
+
+
+# -- tools directly ---------------------------------------------------------
+
+
+def test_read_tool_chunk_format(corpus):
+    out = read_tool(corpus[0], 1, 3)
+    assert out.startswith(f"<chunk file={corpus[0]} start=1 end=3>\n")
+    assert "beta line\ngamma target line" in out
+    assert out.endswith("</chunk>\n")
+
+
+def test_read_tool_clamps_end(corpus):
+    out = read_tool(corpus[0], 2, 99)
+    assert "end=4>" in out
+
+
+def test_grep_literal_and_context(corpus):
+    out = grep_tool(corpus, "gamma target", context_lines=1)
+    assert "<chunk file=" in out
+    assert "start=1 end=4" in out
+    assert "beta line" in out  # context
+
+
+def test_grep_regex_and_case(corpus):
+    assert "No matches found." == grep_tool(corpus, "GAMMA", case_sensitive=True)
+    out = grep_tool(corpus, "GAMMA", case_sensitive=False)
+    assert "gamma target line" in out
+    out = grep_tool(corpus, r"ga.{2}a", is_regex=True)
+    assert "gamma" in out
+
+
+def test_grep_literal_escapes_regex_chars(tmp_path):
+    f = tmp_path / "code.txt"
+    f.write_text("x = arr[0]\ny = 2\n")
+    out = grep_tool([str(f)], "arr[0]")
+    assert "arr[0]" in out
+
+
+def test_grep_invalid_regex(corpus):
+    with pytest.raises(ValueError, match="Invalid regex"):
+        grep_tool(corpus, "(unclosed", is_regex=True)
+
+
+def test_grep_restricts_to_file_paths(corpus):
+    out = grep_tool(corpus, "line", file_paths=[corpus[1]])
+    assert "No matches found." == out  # 'line' only in notes.txt
+
+
+# -- call_tool dispatch -----------------------------------------------------
+
+
+def test_call_tool_search(corpus, fallback_model, capsys):
+    out_state = AskOutput(query="q", response="")
+    result = call_tool(
+        "search",
+        json.dumps({"query": "gamma target", "config": {"top_k": 1, "n_lines": 1}}),
+        corpus,
+        fallback_model,
+        out_state,
+    )
+    assert "<chunk file=" in result
+    assert "distance=" in result
+    assert corpus[0] in out_state.files_searched
+    logged = capsys.readouterr().out
+    assert "[Tool Call: search]" in logged
+
+
+def test_call_tool_unknown_name(corpus, fallback_model):
+    with pytest.raises(ValueError, match="Unknown tool"):
+        call_tool("nope", "{}", corpus, fallback_model, AskOutput("q", ""))
+
+
+def test_call_tool_missing_args(corpus, fallback_model):
+    with pytest.raises(ValueError, match="Missing 'pattern'"):
+        call_tool("grep", "{}", corpus, fallback_model, AskOutput("q", ""))
+
+
+# -- agent loops ------------------------------------------------------------
+
+
+def test_chat_agent_tool_loop(corpus, fallback_model):
+    script = [
+        chat_tool_call_response("read", {"path": corpus[0], "start_line": 0, "end_line": 2}),
+        chat_text_response("Answer with citation [1].\n\n## References\n[1] notes.txt:1"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "what?", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.CHAT,
+        )
+    assert "Answer with citation" in out.response
+    assert corpus[0] in out.files_searched
+    # second request must include the tool result in history
+    app = server.app
+    second = app.requests[1]["body"]
+    roles = [m["role"] for m in second["messages"]]
+    assert "tool" in roles
+
+
+def test_responses_agent_tool_loop(corpus, fallback_model):
+    script = [
+        responses_tool_call("grep", {"pattern": "gamma target"}),
+        responses_text("Found it [1].\n\n## References\n[1] notes.txt:3"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "where is gamma?", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert out.response.startswith("Found it")
+    app = server.app
+    # second request's input must carry the function_call_output
+    second = app.requests[1]["body"]
+    types = [it.get("type") for it in second["input"]]
+    assert "function_call_output" in types
+    assert second["store"] is False
+    assert second["max_output_tokens"] == 4096
+
+
+def test_max_iterations_fallback(corpus, fallback_model):
+    script = [
+        responses_tool_call("read", {"path": corpus[0], "start_line": 0, "end_line": 1}),
+        responses_tool_call("read", {"path": corpus[0], "start_line": 1, "end_line": 2}),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q", fallback_model, client, "gpt-test", 2,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert "Max iterations (2) reached" in out.response
+
+
+def test_stdin_mode_chat(fallback_model):
+    server = client_for([chat_text_response("stdin answer")])
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent_with_stdin("piped content", "summarize", client, "gpt-test", ApiMode.CHAT)
+    assert out.response == "stdin answer"
+    assert out.files_searched == ["<stdin>"]
+    body = server.app.requests[0]["body"]
+    assert "tools" not in body
+    assert "<stdin_content>" in body["messages"][1]["content"]
+
+
+def test_stdin_mode_responses(fallback_model):
+    server = client_for([responses_text("resp answer")])
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent_with_stdin("piped", "q", client, "gpt-test", ApiMode.RESPONSES)
+    assert out.response == "resp answer"
+
+
+def test_tool_definitions_sent(corpus, fallback_model):
+    server = client_for([responses_text("done")])
+    with server:
+        client = OpenAIClient("k", server.url)
+        ask_agent(corpus, "q", fallback_model, client, "m", 3, api_mode=ApiMode.RESPONSES)
+    body = server.app.requests[0]["body"]
+    names = {t["name"] for t in body["tools"]}
+    assert names == {"grep", "search", "read"}
+    assert body["instructions"]  # system prompt via instructions param

@@ -1,0 +1,165 @@
+"""End-to-end CLI tests (subprocess, real entry point).
+
+The reference has no CLI-level tests (SURVEY.md §4) — a gap this suite
+closes. Each test execs ``python -m semtools_tpu.cli`` with an isolated
+HOME and the CPU platform pinned.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, stdin=None, home=None, env_extra=None):
+    env = dict(os.environ)
+    env["SEMTOOLS_TPU_PLATFORM"] = "cpu"
+    env.pop("SEMTOOLS_WORKSPACE", None)
+    if home:
+        env["HOME"] = str(home)
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "semtools_tpu.cli", *args],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "a.txt").write_text(
+        "the quick brown fox\njumps over the lazy dog\nan essay about databases\n"
+    )
+    (d / "b.txt").write_text("neural networks for vision\nconvolutional layers\n")
+    return d
+
+
+def test_search_files_plain(corpus, tmp_path):
+    r = run_cli(
+        ["search", "databases", str(corpus / "a.txt"), "--top-k", "1"],
+        stdin="",
+        home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert str(corpus / "a.txt") in r.stdout
+    assert "an essay about databases" in r.stdout
+    # header format: path:start::end (distance)
+    assert "::" in r.stdout.splitlines()[0]
+
+
+def test_search_json_schema(corpus, tmp_path):
+    r = run_cli(
+        ["search", "fox", str(corpus / "a.txt"), "--top-k", "1", "-j"],
+        stdin="",
+        home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert set(data) == {"results"}
+    row = data["results"][0]
+    assert set(row) == {
+        "filename",
+        "start_line_number",
+        "end_line_number",
+        "match_line_number",
+        "distance",
+        "content",
+    }
+
+
+def test_search_stdin(tmp_path):
+    r = run_cli(
+        ["search", "beta two", "--top-k", "1", "-n", "0"],
+        stdin="alpha one\nbeta two\ngamma three\n",
+        home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "<stdin>" in r.stdout
+    assert "beta two" in r.stdout
+
+
+def test_search_no_input_errors(tmp_path):
+    r = run_cli(["search", "q"], stdin="", home=tmp_path)
+    assert r.returncode == 1
+    assert "No input provided" in r.stderr
+
+
+def test_search_threshold_overrides_topk(corpus, tmp_path):
+    r = run_cli(
+        ["search", "word", str(corpus / "a.txt"), "--top-k", "1", "-m", "10.0", "-j"],
+        stdin="",
+        home=tmp_path,
+    )
+    data = json.loads(r.stdout)
+    assert len(data["results"]) == 3  # all lines pass a distance-10 threshold
+
+
+def test_workspace_end_to_end(corpus, tmp_path):
+    r = run_cli(["workspace", "use", "wtest"], stdin="", home=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "export SEMTOOLS_WORKSPACE=wtest" in r.stdout
+
+    env = {"SEMTOOLS_WORKSPACE": "wtest"}
+    r = run_cli(
+        ["search", "fox", str(corpus / "a.txt"), "--top-k", "1"],
+        stdin="",
+        home=tmp_path,
+        env_extra=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Updating workspace" in r.stderr
+
+    # second run: no re-embed
+    r2 = run_cli(
+        ["search", "fox", str(corpus / "a.txt"), "--top-k", "1"],
+        stdin="",
+        home=tmp_path,
+        env_extra=env,
+    )
+    assert "Updating workspace" not in r2.stderr
+    assert r2.stdout == r.stdout
+
+    r = run_cli(["workspace", "status", "-j"], stdin="", home=tmp_path, env_extra=env)
+    data = json.loads(r.stdout)
+    assert data["name"] == "wtest"
+    assert data["total_documents"] == 1
+
+    r = run_cli(["workspace", "prune"], stdin="", home=tmp_path, env_extra=env)
+    assert "clean" in r.stdout
+
+
+def test_workspace_status_without_active_errors(tmp_path):
+    r = run_cli(["workspace", "status"], stdin="", home=tmp_path)
+    assert r.returncode == 1
+    assert "No active workspace" in r.stderr
+
+
+def test_parse_passthrough_and_missing(corpus, tmp_path):
+    r = run_cli(
+        ["parse", str(corpus / "a.txt"), str(corpus / "nope.pdf")],
+        stdin="",
+        home=tmp_path,
+    )
+    assert r.returncode == 0
+    lines = r.stdout.splitlines()
+    assert lines == [str(corpus / "a.txt"), str(corpus / "nope.pdf")]
+    assert "Warning: File does not exist" in r.stderr
+
+
+def test_ask_requires_api_key(corpus, tmp_path):
+    env = {k: "" for k in ("OPENAI_API_KEY",)}
+    r = run_cli(
+        ["ask", "what?", str(corpus / "a.txt")], stdin="", home=tmp_path, env_extra=env
+    )
+    assert r.returncode == 1
+    assert "API key not found" in r.stderr

@@ -1,0 +1,104 @@
+import numpy as np
+import pytest
+
+from semtools_tpu.index import IvfPqIndex, kmeans_fit, pq_encode, pq_fit
+from semtools_tpu.index.pq import adc_scan
+from semtools_tpu.ops.scan import topk_scan
+from semtools_tpu.parallel import corpus_mesh
+
+
+def _clustered(rng, n_clusters=16, per=64, d=32, spread=0.05):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + spread * rng.standard_normal(
+        (n_clusters * per, d)
+    ).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts, centers
+
+
+def test_kmeans_reduces_quantization_error(rng):
+    x, _ = _clustered(rng)
+    c1, a1 = kmeans_fit(x, 16, iters=1, seed=0)
+    c8, a8 = kmeans_fit(x, 16, iters=8, seed=0)
+
+    def err(c, a):
+        return float(np.sum((x - c[a]) ** 2))
+
+    assert err(c8, a8) <= err(c1, a1) + 1e-4
+
+
+def test_kmeans_sharded_equals_single(rng):
+    x, _ = _clustered(rng, n_clusters=4, per=32, d=16)
+    c_single, _ = kmeans_fit(x, 4, iters=5, seed=3)
+    c_shard, _ = kmeans_fit(x, 4, iters=5, seed=3, mesh=corpus_mesh())
+    np.testing.assert_allclose(c_single, c_shard, rtol=1e-4, atol=1e-5)
+
+
+def test_pq_roundtrip_error_small_on_clustered(rng):
+    x, _ = _clustered(rng, d=32)
+    pq = pq_fit(x, m=8, iters=5)
+    codes = pq_encode(x, pq)
+    assert codes.shape == (x.shape[0], 8)
+    assert codes.dtype == np.uint8
+    # Decode and measure distortion
+    decoded = np.concatenate(
+        [pq.codebooks[j][codes[:, j]] for j in range(8)], axis=1
+    )
+    rel_err = np.linalg.norm(decoded - x) / np.linalg.norm(x)
+    assert rel_err < 0.35
+
+
+def test_adc_approximates_exact_sims(rng):
+    x, _ = _clustered(rng, d=32)
+    q = x[:3] + 0.01
+    pq = pq_fit(x, m=8, iters=5)
+    codes = pq_encode(x, pq)
+    approx_d = adc_scan(q, codes, pq)
+    exact_d = 1.0 - q @ x.T
+    # mean absolute error of distances should be small on clustered data
+    assert np.mean(np.abs(approx_d - exact_d)) < 0.05
+
+
+def test_ivfpq_recall_at_10(rng):
+    x, _ = _clustered(rng, n_clusters=32, per=64, d=32)
+    queries = x[rng.choice(len(x), 20, replace=False)] + 0.01 * rng.standard_normal(
+        (20, 32)
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    index = IvfPqIndex.build(x, nlist=32, m=8, train_iters=6, seed=0)
+    d_got, i_got = index.search(queries, k=10, nprobe=8, rerank=4)
+
+    d_true, i_true = topk_scan(queries, x, 10)
+    recall = np.mean(
+        [
+            len(set(i_got[qi].tolist()) & set(i_true[qi].tolist())) / 10
+            for qi in range(len(queries))
+        ]
+    )
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_ivfpq_rerank_orders_exactly(rng):
+    x, _ = _clustered(rng, n_clusters=8, per=32, d=32)
+    q = x[:1]
+    index = IvfPqIndex.build(x, nlist=8, m=8, train_iters=6)
+    d, i = index.search(q, k=5, nprobe=8, rerank=8)
+    # With all lists probed and re-ranking on, top-1 must be the exact hit
+    d_true, i_true = topk_scan(q, x, 5)
+    assert i[0, 0] == i_true[0, 0]
+    np.testing.assert_allclose(d[0, 0], d_true[0, 0], atol=1e-5)
+
+
+def test_ivfpq_save_load_roundtrip(rng, tmp_path):
+    x, _ = _clustered(rng, n_clusters=4, per=16, d=16)
+    index = IvfPqIndex.build(x, nlist=4, m=4, train_iters=3)
+    p = str(tmp_path / "idx.npz")
+    index.save(p)
+    loaded = IvfPqIndex.load(p)
+    q = x[:2]
+    d1, i1 = index.search(q, k=3)
+    d2, i2 = loaded.search(q, k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
