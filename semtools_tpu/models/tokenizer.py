@@ -17,12 +17,52 @@ id-lists``):
 
 from __future__ import annotations
 
+import ctypes
 import re
 from typing import List, Sequence
 
 from semtools_tpu.utils.hashing import fnv1a_64
 
 _WORD_RE = re.compile(r"[\w]+|[^\w\s]", re.UNICODE)
+
+
+def _native_encode_ascii_batch(texts: Sequence[str], vocab_size: int,
+                               ngram_min: int, ngram_max: int) -> List[List[int]]:
+    """Encode ASCII-only texts via the C++ fast path (cpp/hashtok.cpp).
+
+    Byte-for-byte parity with the Python implementation is unit-tested;
+    non-ASCII texts must not reach this function (Unicode word/space
+    classes differ from the ASCII ones the native scanner uses).
+    """
+    from semtools_tpu.utils import native
+
+    lib = native.load()
+    assert lib is not None
+    blob = "".join(texts).encode("ascii")
+    offsets = (ctypes.c_longlong * (len(texts) + 1))()
+    pos = 0
+    for i, t in enumerate(texts):
+        offsets[i] = pos
+        pos += len(t)
+    offsets[len(texts)] = pos
+
+    out_offsets = (ctypes.c_longlong * (len(texts) + 1))()
+    cap = max(1, pos * 4)  # ids per char is ~ngram count; grow on overflow
+    while True:
+        out_ids = (ctypes.c_uint32 * cap)()
+        n = lib.hashtok_encode_batch(
+            blob, offsets, len(texts), vocab_size, ngram_min, ngram_max,
+            out_ids, cap, out_offsets,
+        )
+        if n < 0:
+            raise RuntimeError(f"hashtok_encode_batch failed (code {n})")
+        if n <= cap:
+            break
+        cap = n
+    return [
+        list(out_ids[out_offsets[i]:out_offsets[i + 1]])
+        for i in range(len(texts))
+    ]
 
 
 class HashTokenizer:
@@ -54,8 +94,34 @@ class HashTokenizer:
             ids.extend(self._word_ids(word))
         return ids
 
-    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+    def _encode_py_batch(self, texts: Sequence[str]) -> List[List[int]]:
         return [self.encode(t) for t in texts]
+
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batch encode; ASCII texts take the native C++ path when built.
+
+        Non-ASCII texts go through the Python implementation (its Unicode
+        word/space classes are the source of truth), so results are
+        identical with or without the native library.
+        """
+        from semtools_tpu.utils import native
+
+        if not texts or not native.available():
+            return self._encode_py_batch(texts)
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        if not ascii_idx:
+            return self._encode_py_batch(texts)
+        native_out = _native_encode_ascii_batch(
+            [texts[i] for i in ascii_idx],
+            self.vocab_size, self.ngram_min, self.ngram_max,
+        )
+        out: List[List[int]] = [None] * len(texts)  # type: ignore[list-item]
+        for i, ids in zip(ascii_idx, native_out):
+            out[i] = ids
+        for i, t in enumerate(texts):
+            if out[i] is None:
+                out[i] = self.encode(t)
+        return out
 
 
 class HFTokenizer:

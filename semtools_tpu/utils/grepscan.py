@@ -1,59 +1,32 @@
-"""ctypes bindings for the native grep scanner (cpp/grepscan.cpp).
+"""ctypes interface to the native grep scanner (cpp/grepscan.cpp).
 
 The reference backs its grep tool with the ripgrep engine crates
-(src/ask/tools.rs:434-553); here the native scanner is a C++ shared library
-loaded via ctypes, with a pure-Python ``re`` fallback in
-semtools_tpu.ask.tools when the library has not been built.
+(src/ask/tools.rs:434-553); here the native scanner lives in the shared
+runtime library loaded by :mod:`semtools_tpu.utils.native`, with a pure
+Python ``re`` fallback in semtools_tpu.ask.tools when the library is
+unavailable.
 """
 
 from __future__ import annotations
 
 import ctypes
-import sys
-from pathlib import Path
-from typing import List, Optional
+from typing import List
 
-_LIB: Optional[ctypes.CDLL] = None
-_TRIED = False
-
-
-def _lib_path() -> Path:
-    suffix = ".dylib" if sys.platform == "darwin" else ".so"
-    return Path(__file__).resolve().parent.parent / "_native" / f"libgrepscan{suffix}"
-
-
-def _load() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
-    if _TRIED:
-        return _LIB
-    _TRIED = True
-    path = _lib_path()
-    if not path.exists():
-        return None
-    try:
-        lib = ctypes.CDLL(str(path))
-        lib.grepscan_match_lines.restype = ctypes.c_longlong
-        lib.grepscan_match_lines.argtypes = [
-            ctypes.c_char_p,  # file path
-            ctypes.c_char_p,  # pattern (ECMAScript regex)
-            ctypes.c_int,  # ignore_case
-            ctypes.POINTER(ctypes.c_longlong),  # out buffer
-            ctypes.c_longlong,  # out capacity
-        ]
-        _LIB = lib
-    except OSError:
-        _LIB = None
-    return _LIB
+from semtools_tpu.utils import native
 
 
 def available() -> bool:
-    return _load() is not None
+    return native.available()
 
 
 def match_lines(path: str, pattern: str, ignore_case: bool) -> List[int]:
-    """0-based indices of lines matching ``pattern`` in ``path``."""
-    lib = _load()
-    assert lib is not None, "native grepscan not built"
+    """0-based indices of lines matching ``pattern`` in ``path``.
+
+    Raises ValueError on scanner errors (unreadable file, bad pattern);
+    callers catch and fall back to the Python implementation.
+    """
+    lib = native.load()
+    assert lib is not None, "native library not built"
     cap = 1 << 16
     while True:
         buf = (ctypes.c_longlong * cap)()

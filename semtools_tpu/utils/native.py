@@ -1,0 +1,96 @@
+"""Loader for the native runtime library (cpp/ -> _native/libsemtools_native.so).
+
+The reference's performance-sensitive host code is native (ripgrep engine
+crates for grep, Rust tokenizers for tokenization). This build keeps that
+property with a single C++ shared library holding:
+
+- ``grepscan_match_lines`` — the ask agent's grep scanner (cpp/grepscan.cpp)
+- ``hashtok_encode_batch`` — hashed-tokenizer fast path (cpp/hashtok.cpp)
+
+Loading is lazy and resilient: if the library is missing, the loader
+attempts a one-shot quiet build with ``make`` (disable by setting
+``SEMTOOLS_TPU_NO_NATIVE_BUILD=1``); on any failure callers fall back to
+their pure-Python implementations, so the framework never hard-requires a
+toolchain at runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_PKG_DIR = Path(__file__).resolve().parent.parent
+
+
+def lib_path() -> Path:
+    suffix = ".dylib" if sys.platform == "darwin" else ".so"
+    return _PKG_DIR / "_native" / f"libsemtools_native{suffix}"
+
+
+def _try_build() -> bool:
+    if os.environ.get("SEMTOOLS_TPU_NO_NATIVE_BUILD"):
+        return False
+    cpp_dir = _PKG_DIR.parent / "cpp"
+    if not (cpp_dir / "Makefile").exists():
+        return False
+    try:
+        proc = subprocess.run(
+            ["make", "-C", str(cpp_dir)],
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    return proc.returncode == 0 and lib_path().exists()
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.grepscan_match_lines.restype = ctypes.c_longlong
+    lib.grepscan_match_lines.argtypes = [
+        ctypes.c_char_p,  # file path
+        ctypes.c_char_p,  # pattern
+        ctypes.c_int,  # ignore_case
+        ctypes.POINTER(ctypes.c_longlong),  # out line indices
+        ctypes.c_longlong,  # out capacity
+    ]
+    lib.hashtok_encode_batch.restype = ctypes.c_longlong
+    lib.hashtok_encode_batch.argtypes = [
+        ctypes.c_char_p,  # concatenated texts
+        ctypes.POINTER(ctypes.c_longlong),  # text offsets [n+1]
+        ctypes.c_longlong,  # n_texts
+        ctypes.c_longlong,  # vocab size
+        ctypes.c_int,  # ngram_min
+        ctypes.c_int,  # ngram_max
+        ctypes.POINTER(ctypes.c_uint32),  # out ids
+        ctypes.c_longlong,  # out capacity
+        ctypes.POINTER(ctypes.c_longlong),  # out per-text offsets [n+1]
+    ]
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first use if possible."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = lib_path()
+    if not path.exists() and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        _bind(lib)
+        _LIB = lib
+    except (OSError, AttributeError):
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None

@@ -23,6 +23,12 @@ def split_lines(content: str) -> List[str]:
 
 
 def read_file_text(path: str) -> str:
-    """Read a file as UTF-8 with replacement for undecodable bytes."""
-    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+    """Read a file as UTF-8 with replacement for undecodable bytes.
+
+    ``newline=""`` disables universal-newline translation so a lone ``\\r``
+    is NOT a line break — matching Rust's ``fs::read_to_string`` +
+    ``str::lines()`` (the reference's read path), where only ``\\n``
+    terminates a line.
+    """
+    with open(path, "r", encoding="utf-8", errors="replace", newline="") as fh:
         return fh.read()
