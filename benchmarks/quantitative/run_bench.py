@@ -1,0 +1,220 @@
+"""Quantitative benchmark harness: the BASELINE.md measured-config matrix.
+
+Covers the five configurations from BASELINE.md on a deterministic
+synthetic corpus (gen_corpus.py), printing one JSON line per config:
+
+1. ``search_e2e``      — single-query brute-force search over N files,
+                         end-to-end through the library path the CLI uses
+                         (read + embed + scan + context assembly).
+2. ``batched_scan``    — Q queries vs a chunk-vector matrix, queries/sec.
+3. ``workspace_warm``  — incremental re-search latency with a warm
+                         workspace (change detection + cached embeddings).
+4. ``ivfpq_recall``    — IVF-PQ recall@10 against the exact scan + its
+                         query speedup.
+5. ``sharded_scan``    — per-device partial top-k + all-gather merge over
+                         however many devices the backend exposes (on CPU,
+                         set XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+Usage:
+    python benchmarks/quantitative/run_bench.py [--files 100] [--lines 200]
+        [--configs search_e2e,batched_scan,...] [--out results.json]
+
+Runs hermetically on CPU (SEMTOOLS_TPU_PLATFORM=cpu) or on TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from gen_corpus import gen_corpus  # noqa: E402
+
+
+def _now() -> float:
+    return time.perf_counter()
+
+
+def bench_search_e2e(paths, model, results):
+    from semtools_tpu.search import SearchConfig, search_files
+
+    cfg = SearchConfig(top_k=3, n_lines=3)
+    files = [str(p) for p in paths]
+    search_files(files, "attention mechanisms in transformers", model, cfg)  # warm
+    t0 = _now()
+    reps = 3
+    for _ in range(reps):
+        out = search_files(files, "attention mechanisms in transformers", model, cfg)
+    dt = (_now() - t0) / reps
+    results.append({
+        "config": "search_e2e", "metric": "seconds_per_query", "value": dt,
+        "files": len(files), "hits": len(out),
+    })
+
+
+def bench_batched_scan(results, n=100_000, q=1_000, d=256, k=10):
+    import numpy as np
+
+    from semtools_tpu.ops.scan import topk_scan
+
+    rng = np.random.default_rng(0)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    qq = rng.standard_normal((q, d)).astype(np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+    topk_scan(qq, e, k)  # compile + warm
+    t0 = _now()
+    topk_scan(qq, e, k)
+    dt = _now() - t0
+    results.append({
+        "config": "batched_scan", "metric": "queries_per_sec", "value": q / dt,
+        "n_chunks": n, "k": k,
+    })
+
+
+def bench_workspace_warm(paths, model, results):
+    from semtools_tpu.search import SearchConfig, search_with_workspace
+    from semtools_tpu.store import Store, Workspace, WorkspaceConfig
+
+    name = "bench_ws"
+    ws = Workspace(WorkspaceConfig(name=name, root_dir=Workspace.root_path(name)))
+    ws.save()
+    files = [str(p) for p in paths]
+    cfg = SearchConfig(top_k=3, n_lines=3)
+    t0 = _now()
+    search_with_workspace(files, "gradient descent convergence", model, cfg, workspace_name=name)
+    cold = _now() - t0
+    t0 = _now()
+    search_with_workspace(files, "gradient descent convergence", model, cfg, workspace_name=name)
+    warm = _now() - t0
+    results.append({
+        "config": "workspace_warm", "metric": "seconds_per_query", "value": warm,
+        "cold_seconds": cold, "files": len(files),
+    })
+
+
+def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
+    import numpy as np
+
+    from semtools_tpu.index.ivf_pq import IvfPqIndex
+    from semtools_tpu.ops.scan import topk_scan
+
+    # Clustered data (mixture of gaussians): isotropic random vectors have
+    # no neighborhood structure in 256-d, which makes recall@10 measure PQ
+    # noise rather than index quality; real line embeddings cluster.
+    rng = np.random.default_rng(1)
+    n_clusters = 512
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    e = centers[assign] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    qq = e[rng.integers(0, n, n_queries)] + 0.05 * rng.standard_normal((n_queries, d)).astype(np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+
+    t0 = _now()
+    index = IvfPqIndex.build(e, nlist=256, m=32, train_iters=8)
+    build_s = _now() - t0
+
+    d_exact, i_exact = topk_scan(qq, e, k)
+    t0 = _now()
+    _, i_ann = index.search(qq, k=k, nprobe=16, rerank=4)
+    ann_s = _now() - t0
+    t0 = _now()
+    topk_scan(qq, e, k)
+    exact_s = _now() - t0
+
+    recall = float(
+        sum(len(set(map(int, a)) & set(map(int, b))) for a, b in zip(i_ann, i_exact))
+    ) / (n_queries * k)
+    results.append({
+        "config": "ivfpq_recall", "metric": "recall_at_10", "value": recall,
+        "build_seconds": build_s, "speedup_vs_exact": exact_s / max(ann_s, 1e-9),
+        "n": n,
+    })
+
+
+def bench_sharded(results, n=1 << 18, d=256, q=64, k=10):
+    import jax
+    import numpy as np
+
+    from semtools_tpu.parallel.scan import sharded_topk_scan
+
+    nd = len(jax.devices())
+    rng = np.random.default_rng(2)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    qq = rng.standard_normal((q, d)).astype(np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+    sharded_topk_scan(qq, e, k)  # compile + warm
+    t0 = _now()
+    sharded_topk_scan(qq, e, k)
+    dt = _now() - t0
+    results.append({
+        "config": "sharded_scan", "metric": "chunk_vectors_per_ms",
+        "value": n / (dt * 1e3), "devices": nd, "queries": q,
+    })
+
+
+ALL = ["search_e2e", "batched_scan", "workspace_warm", "ivfpq_recall", "sharded_scan"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=100)
+    ap.add_argument("--lines", type=int, default=200)
+    ap.add_argument("--configs", default=",".join(ALL))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--small", action="store_true",
+                    help="CPU-smoke sizes (seconds, not minutes)")
+    args = ap.parse_args()
+    configs = args.configs.split(",")
+    if args.small:
+        args.files = min(args.files, 20)
+        args.lines = min(args.lines, 50)
+
+    # Isolate workspace state from the user's home.
+    home = tempfile.mkdtemp(prefix="semtools_bench_home_")
+    os.environ["HOME"] = home
+
+    from semtools_tpu.utils.platform import configure_jax
+
+    configure_jax()
+
+    from semtools_tpu.models.static_model import load_model
+
+    results = []
+    with tempfile.TemporaryDirectory(prefix="semtools_bench_corpus_") as td:
+        paths = gen_corpus(Path(td), args.files, args.lines, seed=0)
+        model = load_model()
+        if "search_e2e" in configs:
+            bench_search_e2e(paths, model, results)
+        if "batched_scan" in configs:
+            if args.small:
+                bench_batched_scan(results, n=20_000, q=100)
+            else:
+                bench_batched_scan(results)
+        if "workspace_warm" in configs:
+            bench_workspace_warm(paths, model, results)
+        if "ivfpq_recall" in configs:
+            if args.small:
+                bench_ivfpq(results, n=20_000, n_queries=20)
+            else:
+                bench_ivfpq(results)
+        if "sharded_scan" in configs:
+            bench_sharded(results, n=1 << 14 if args.small else 1 << 18)
+
+    for r in results:
+        print(json.dumps(r))
+    if args.out:
+        Path(args.out).write_text("\n".join(json.dumps(r) for r in results) + "\n")
+
+
+if __name__ == "__main__":
+    main()

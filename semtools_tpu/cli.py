@@ -355,34 +355,10 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _setup_jax_cache() -> None:
-    """Persistent XLA compile cache: a fresh CLI process would otherwise pay
-    the full compile latency on every invocation (SURVEY.md §7 'cold-start
-    latency'). With the cache, repeat invocations skip compilation."""
-    try:
-        import jax
-
-        platform = os.environ.get("SEMTOOLS_TPU_PLATFORM")
-        if platform:
-            jax.config.update("jax_platforms", platform)
-        if platform == "cpu":
-            # CPU compiles are cheap, and XLA:CPU AOT cache reloads emit
-            # noisy machine-feature warnings; cache only accelerator builds.
-            return
-
-        cache_dir = os.environ.get(
-            "SEMTOOLS_TPU_COMPILE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "semtools_tpu", "jax_cache"),
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
-
-
 def main(argv: Optional[List[str]] = None) -> int:
-    _setup_jax_cache()
+    from semtools_tpu.utils.platform import configure_jax
+
+    configure_jax()
     args = build_parser().parse_args(argv)
     try:
         return args.func(args)

@@ -1,0 +1,308 @@
+"""Pallas TPU kernel: fused cosine scan + per-tile top-k candidate extraction.
+
+The XLA scan path (semtools_tpu.ops.scan) materializes the full [Q, N]
+similarity matrix in HBM before ``lax.top_k`` reads it back. For large
+corpora that round-trips Q*N*4 bytes of HBM traffic on top of the corpus
+read itself. This kernel fuses selection into the scan: each grid step
+streams one [TILE_N, D] corpus tile HBM->VMEM (Pallas double-buffers
+block-mapped inputs automatically), computes the [Q, TILE_N] similarity
+tile on the MXU, and reduces it to K candidates per query on the VPU
+before anything leaves VMEM. Only [num_tiles, Q, K] candidates (tiny)
+are written back; a single ``lax.top_k`` merge outside the kernel
+recovers the exact global top-k, the same per-shard-candidates-then-merge
+shape used by the multi-device path (semtools_tpu.parallel.scan) and by
+the reference's chunked store query (store.rs:495-543).
+
+In-kernel top-k: Mosaic has no sort primitive, so candidates are extracted
+with K rounds of (max, earliest-argmax, mask-out) over the similarity
+tile — K*Q*TILE_N VPU work, well under the HBM streaming time of the tile
+for CLI-scale K and Q. Earliest-argmax keeps the tie-break identical to
+``lax.top_k`` (prefer the lower corpus index).
+
+Replaces the reference's per-line SIMD cosine loop (src/search/mod.rs:86).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Corpus rows per grid step. 2048 rows x 256 dims x 4B = 2 MB (f32) per
+# buffered tile — two buffers fit comfortably in 16 MB VMEM alongside the
+# query block and scratch.
+TILE_N = 2048
+
+_NEG_INF = float("-inf")
+
+
+def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int):
+    """One grid step: similarity tile + K-round candidate extraction."""
+    i = pl.program_id(0)
+    tile_q = q_ref[:]  # [Q, D]
+    tile_e = e_ref[:]  # [TILE_N, D]
+    qn = tile_q.shape[0]
+
+    sims = jax.lax.dot_general(
+        tile_q,
+        tile_e,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q, TILE_N]
+
+    # Mask padding rows (global index >= n_true): their sim of 0.0 would
+    # outrank genuinely negative similarities.
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
+    global_col = col + i * TILE_N
+    sims = jnp.where(global_col < n_true, sims, _NEG_INF)
+
+    # K rounds of max / earliest-argmax / mask-out.
+    vals = []
+    idxs = []
+    for _ in range(k):
+        m = jnp.max(sims, axis=1, keepdims=True)  # [Q, 1]
+        arg = jnp.min(
+            jnp.where(sims == m, col, TILE_N), axis=1, keepdims=True
+        )  # [Q, 1] earliest max position
+        vals.append(m)
+        idxs.append(arg)
+        sims = jnp.where(col == arg, _NEG_INF, sims)
+
+    vals_ref[0] = jnp.concatenate(vals, axis=1)  # [Q, K]
+    idx_ref[0] = jnp.concatenate(idxs, axis=1) + i * TILE_N  # global indices
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret"))
+def _pallas_candidates(q, e_padded, *, k: int, n_true: int, interpret: bool):
+    """Per-tile candidates [T, Q, k] (sims desc) over the padded corpus."""
+    qn, d = q.shape
+    n_pad = e_padded.shape[0]
+    num_tiles = n_pad // TILE_N
+
+    kernel = functools.partial(_scan_kernel, k=k, n_true=n_true)
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qn, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    flops_tile = 2 * qn * TILE_N * d
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, qn, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * num_tiles,
+            bytes_accessed=n_pad * d * e_padded.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, e_padded)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge(cand_vals, cand_idx, *, k: int):
+    """[T, Q, k] candidates -> exact global top-k (distances asc)."""
+    t, qn, kk = cand_vals.shape
+    flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(qn, t * kk)
+    flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(qn, t * kk)
+    # Candidates are ordered by tile (i.e. by corpus index) and desc within
+    # a tile; lax.top_k prefers earlier positions on ties, preserving the
+    # lower-corpus-index tie-break.
+    best, pos = jax.lax.top_k(flat_vals, k)
+    return 1.0 - best, jnp.take_along_axis(flat_idx, pos, axis=1)
+
+
+# -- two-phase scan: per-tile max sweep + candidate-tile rescan -------------
+#
+# The K-round extraction above costs K VPU passes over every similarity
+# tile, which dominates once the matmul is HBM-bound. The two-phase scan
+# removes it from the streaming loop entirely:
+#
+#   phase 1  sweep the corpus computing only each tile's per-query MAX
+#            (one VPU pass, fused with the matmul — HBM-bound);
+#   select   lax.top_k over the [Q, T] tile maxes picks each query's k
+#            candidate tiles. Exactness: order elements by (value desc,
+#            index asc). A tile's rank is its best element's rank, so if
+#            the tile holding the j-th best element (j <= k) were outside
+#            the top-k tiles, k tiles with better best-elements would each
+#            contribute an element ranked above it — contradiction.
+#   phase 2  rescan ONLY those <= Q*k tiles with the K-round extraction,
+#            reading them straight from HBM via scalar-prefetched block
+#            indices (no gather materialization).
+#
+# Total extra traffic beyond the corpus read: [T, Q] maxes out, Q*k tiles
+# re-read — O(1%) for bench-scale corpora.
+
+
+def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int):
+    """One grid step of phase 1: per-query max similarity of this tile."""
+    i = pl.program_id(0)
+    qn = q_ref.shape[0]
+    sims = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
+    sims = jnp.where(col + i * TILE_N < n_true, sims, _NEG_INF)
+    # Output block is (1, 8, Q): Mosaic wants the sublane dim divisible by
+    # 8, so the per-query maxes are broadcast over a padded axis of 8.
+    out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
+
+
+def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
+                   k_tiles: int, n_true: int):
+    """One grid step of phase 2: full K-round extraction of one candidate
+    tile, emitted only for the query that selected it (row mask), so a
+    tile chosen by several queries never duplicates candidates."""
+    i = pl.program_id(0)
+    tile_id = ids_ref[i]
+    owner = i // k_tiles  # grid is query-major: k_tiles consecutive steps per query
+    qn = q_ref.shape[0]
+
+    sims = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 0)
+    valid = (col + tile_id * TILE_N < n_true) & (row == owner)
+    sims = jnp.where(valid, sims, _NEG_INF)
+
+    vals = []
+    idxs = []
+    for _ in range(k):
+        m = jnp.max(sims, axis=1, keepdims=True)
+        arg = jnp.min(jnp.where(sims == m, col, TILE_N), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(arg)
+        sims = jnp.where(col == arg, _NEG_INF, sims)
+
+    vals_ref[0] = jnp.concatenate(vals, axis=1)
+    idx_ref[0] = jnp.concatenate(idxs, axis=1) + tile_id * TILE_N
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret"))
+def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool):
+    """Exact top-k via tile-max sweep + candidate rescan (distances asc)."""
+    qn, d = q.shape
+    n_pad = e_padded.shape[0]
+    num_tiles = n_pad // TILE_N
+
+    tile_max = pl.pallas_call(
+        functools.partial(_tilemax_kernel, n_true=n_true),
+        grid_spec=pl.GridSpec(
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, qn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n_pad * d,
+            bytes_accessed=n_pad * d * e_padded.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, e_padded)[:, 0, :]  # [T, Q]
+
+    k_tiles = min(k, num_tiles)
+    # [Q, T] -> each query's candidate tiles; ties prefer the earlier tile,
+    # matching the global lower-index tie-break.
+    _, tile_ids = jax.lax.top_k(tile_max.T, k_tiles)  # [Q, k_tiles]
+    flat_ids = tile_ids.reshape(-1).astype(jnp.int32)  # query-major [Q*k_tiles]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qn * k_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i, ids: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    cand_vals, cand_idx = pl.pallas_call(
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat_ids, q, e_padded)
+    # Phase-2 candidates arrive in tile-max order, NOT corpus order, so the
+    # prefer-earlier-position trick of _merge would break value ties toward
+    # the wrong corpus index; sort by (value desc, index asc) explicitly.
+    t, _, kk = cand_vals.shape
+    flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(qn, t * kk)
+    flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(qn, t * kk)
+    sv, si = jax.lax.sort((-flat_vals, flat_idx), dimension=1, num_keys=2)
+    return 1.0 + sv[:, :k], si[:, :k]
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pallas_topk_scan(
+    q,
+    e,
+    k: int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k cosine-distance scan via the fused Pallas kernel.
+
+    Same contract as :func:`semtools_tpu.ops.scan.topk_scan`: unit-or-zero
+    rows in, (distances [Q, k'], indices [Q, k']) out, ascending distance,
+    ties keep corpus order. Off-TPU backends run the kernel in interpreter
+    mode (exact but slow — used by the CPU test suite).
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    q = jnp.asarray(q)
+    e = jnp.asarray(e)
+    n = e.shape[0]
+    k_eff = min(k, n)
+    if k_eff == 0:
+        qn = q.shape[0]
+        return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
+
+    n_pad = -(-n // TILE_N) * TILE_N
+    if n_pad != n:
+        e = jnp.concatenate([e, jnp.zeros((n_pad - n, e.shape[1]), e.dtype)], axis=0)
+
+    num_tiles = n_pad // TILE_N
+    # Two-phase pays one extra tile-read per (query, candidate tile); it
+    # wins once that rescan is small next to the K-round extraction it
+    # removes from every streamed tile.
+    if num_tiles > 2 * q.shape[0] * min(k_eff, num_tiles):
+        d, i = _two_phase_topk(q, e, k=k_eff, n_true=n, interpret=interpret)
+    else:
+        cand_vals, cand_idx = _pallas_candidates(
+            q, e, k=k_eff, n_true=n, interpret=interpret
+        )
+        d, i = _merge(cand_vals, cand_idx, k=k_eff)
+    return np.asarray(d), np.asarray(i)

@@ -70,6 +70,30 @@ def _merge_topk(dists, idxs, *, k: int):
     return -neg, jnp.take_along_axis(idxs, pos, axis=1)
 
 
+def _use_pallas(n: int, k: int) -> bool:
+    """Route large-corpus scans through the fused Pallas kernel on TPU.
+
+    The fused kernel keeps selection in VMEM (no [Q, N] HBM round-trip); it
+    pays off once the corpus spans multiple tiles. Its per-tile extraction
+    unrolls k rounds, so very large k stays on the XLA path. Opt out with
+    SEMTOOLS_TPU_NO_PALLAS=1.
+    """
+    import os
+
+    if os.environ.get("SEMTOOLS_TPU_NO_PALLAS"):
+        return False
+    if k > 64:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    from semtools_tpu.ops.pallas_scan import TILE_N
+
+    return n >= 2 * TILE_N
+
+
 def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k nearest lines for each query row.
 
@@ -83,6 +107,11 @@ def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
     if k_eff == 0:
         qn = np.shape(q)[0]
         return (np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64))
+
+    if _use_pallas(n, k_eff):
+        from semtools_tpu.ops.pallas_scan import pallas_topk_scan
+
+        return pallas_topk_scan(q, e, k_eff)
 
     if n <= SCAN_CHUNK:
         d, i = _topk_chunk(q, e, 0, k=k_eff)
