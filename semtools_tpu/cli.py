@@ -256,6 +256,32 @@ def workspace_status_cmd(args) -> int:
     return 0
 
 
+def workspace_index_cmd(args) -> int:
+    from semtools_tpu.store import Store, Workspace
+
+    Workspace.active(args.name)
+    ws = Workspace.open(args.name)
+    with Store(ws.config.root_dir) as store:
+        index = store.build_ann_index(force=args.force, verbose=True)
+        stats = store.get_stats()
+    if args.json:
+        print(json_mode.dumps({
+            "workspace": ws.config.name,
+            "index_type": stats.index_type,
+            "built": index is not None,
+            "total_lines": stats.total_lines,
+        }))
+    else:
+        if index is not None:
+            print(f"Index ready: {stats.index_type} over {stats.total_lines} lines")
+        else:
+            print(
+                "Corpus below ANN threshold; exact MXU scan in use "
+                "(pass --force to build anyway)"
+            )
+    return 0
+
+
 def workspace_prune_cmd(args) -> int:
     from semtools_tpu.store import Store, Workspace
 
@@ -347,6 +373,13 @@ def build_parser() -> argparse.ArgumentParser:
     wst.add_argument("name", nargs="?", default=None)
     wst.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
     wst.set_defaults(func=workspace_status_cmd)
+    wi = wsub.add_parser("index", help="Build or refresh the IVF-PQ ANN index")
+    wi.add_argument("name", nargs="?", default=None)
+    wi.add_argument("-f", "--force", action="store_true",
+                    help="Build even below the corpus-size threshold")
+    wi.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
+    wi.set_defaults(func=workspace_index_cmd)
+
     wp = wsub.add_parser("prune", help="Remove stale files from store")
     wp.add_argument("name", nargs="?", default=None)
     wp.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
@@ -357,11 +390,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     from semtools_tpu.utils.platform import configure_jax
+    from semtools_tpu.utils.tracing import maybe_device_trace
 
     configure_jax()
     args = build_parser().parse_args(argv)
     try:
-        return args.func(args)
+        with maybe_device_trace():
+            return args.func(args)
     except Exception as e:  # uniform error surface, like anyhow bubbling to main
         print(f"Error: {e}", file=sys.stderr)
         return 1

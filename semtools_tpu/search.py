@@ -28,6 +28,7 @@ import numpy as np
 from semtools_tpu.models.static_model import StaticModel
 from semtools_tpu.ops.scan import cosine_distances, threshold_scan, topk_scan
 from semtools_tpu.utils.text import read_file_text, split_lines
+from semtools_tpu.utils.tracing import stage
 
 
 @dataclass
@@ -63,7 +64,8 @@ def create_document_from_content(
     if not lines:
         return None
     to_embed = [ln.lower() for ln in lines] if ignore_case else lines
-    embeddings = model.encode(to_embed, max_length=2048)
+    with stage("embed"):
+        embeddings = model.encode(to_embed, max_length=2048)
     return Document(filename=filename, lines=lines, embeddings=embeddings)
 
 
@@ -106,13 +108,14 @@ def search_documents(
         return []
     q = np.asarray(query_embedding, dtype=np.float32).reshape(1, -1)
 
-    if config.max_distance is not None:
-        dists, idxs = threshold_scan(q, corpus, float(config.max_distance))
-    else:
-        # Default threshold 100.0 admits every line; top-k over the corpus is
-        # equivalent to the reference's collect-sort-truncate.
-        dists, idxs = topk_scan(q, corpus, config.top_k)
-        dists, idxs = dists[0], idxs[0]
+    with stage("scan"):
+        if config.max_distance is not None:
+            dists, idxs = threshold_scan(q, corpus, float(config.max_distance))
+        else:
+            # Default threshold 100.0 admits every line; top-k over the corpus
+            # is equivalent to the reference's collect-sort-truncate.
+            dists, idxs = topk_scan(q, corpus, config.top_k)
+            dists, idxs = dists[0], idxs[0]
 
     results = []
     for dist, flat in zip(dists, idxs):
@@ -129,8 +132,9 @@ def search_files(
 ) -> List[SearchResult]:
     """Read, embed, and search files. IO errors propagate (reference mod.rs:130)."""
     documents = []
-    for f in files:
-        content = read_file_text(f)
+    with stage("read_files"):
+        contents = [(f, read_file_text(f)) for f in files]
+    for f, content in contents:
         doc = create_document_from_content(f, content, model, config.ignore_case)
         if doc is not None:
             documents.append(doc)
@@ -190,9 +194,15 @@ def search_with_workspace(
         )
         store.upsert_document_metadata(metas)
 
-    ranked = store.search_line_embeddings(
-        query_embedding, list(files), config.top_k, config.max_distance
-    )
+    # Refresh the IVF-PQ tier when the corpus is large enough to warrant
+    # it (no-op below the threshold or when already fresh).
+    with stage("ann_build"):
+        store.build_ann_index(verbose=True)
+
+    with stage("store_scan"):
+        ranked = store.search_line_embeddings(
+            query_embedding, list(files), config.top_k, config.max_distance
+        )
     store.close()
     return ranked
 

@@ -44,6 +44,20 @@ LINE_EMBEDDING_SIZE = 256
 
 _VECTORS_FILE = "lines.f32"
 _DB_FILE = "store.sqlite"
+_ANN_FILE = "ann.npz"
+_ANN_META_FILE = "ann_meta.npz"
+
+
+def _ann_min_rows() -> int:
+    """Corpus size at which the IVF-PQ tier starts paying for its build.
+
+    Below this the exact MXU scan is already interactive; above it, ADC
+    probing bounds per-query work. Override with SEMTOOLS_TPU_ANN_MIN_ROWS.
+    """
+    try:
+        return int(os.environ.get("SEMTOOLS_TPU_ANN_MIN_ROWS", 200_000))
+    except ValueError:
+        return 200_000
 
 
 def _to_i64(u: int) -> int:
@@ -251,6 +265,7 @@ class Store:
                ON CONFLICT(path) DO UPDATE SET slot_start = ?, n_lines = ?""",
             (_to_i64(doc_id(path)), path, start, n, start, n),
         )
+        self._bump_generation()
         self.db.commit()
 
     def upsert_line_embeddings(self, line_embeddings: Sequence[LineEmbedding]) -> None:
@@ -327,12 +342,129 @@ class Store:
         ).fetchone()[0]
 
     def get_stats(self) -> WorkspaceStats:
+        index_type = "ivf-pq" if self._ann_fresh() is not None else "exact-mxu-scan"
         return WorkspaceStats(
             total_documents=self.count_documents(),
             has_index=True,
-            index_type="exact-mxu-scan",
+            index_type=index_type,
             total_lines=self.count_line_embeddings(),
         )
+
+    # -- ANN tier (IVF-PQ) -------------------------------------------------
+    #
+    # The reference's qdrant-edge shard is an ANN index with filtered
+    # cosine search (SURVEY.md §1 L0); here the exact MXU scan is the
+    # default tier and IVF-PQ kicks in for large corpora. The index is
+    # keyed to a store `generation` counter bumped on every vector
+    # mutation, so a stale index silently falls back to the exact scan
+    # until rebuilt.
+
+    def _bump_generation(self) -> None:
+        self.db.execute(
+            """INSERT INTO meta (key, value) VALUES ('generation', '1')
+               ON CONFLICT(key) DO UPDATE SET value = CAST(value AS INTEGER) + 1"""
+        )
+
+    def generation(self) -> int:
+        row = self.db.execute("SELECT value FROM meta WHERE key='generation'").fetchone()
+        return int(row[0]) if row else 0
+
+    def _valid_ranges(self) -> List[Tuple[str, int, int]]:
+        """(path, slot_start, n_lines) for every stored document, in slot
+        order, skipping docs whose vectors were deleted."""
+        rows = self.db.execute(
+            """SELECT path, slot_start, n_lines FROM docs
+               WHERE slot_start IS NOT NULL AND n_lines > 0
+               ORDER BY slot_start"""
+        ).fetchall()
+        return [(r[0], int(r[1]), int(r[2])) for r in rows]
+
+    def _ann_paths(self) -> Tuple[Path, Path]:
+        return self.dir / _ANN_FILE, self.dir / _ANN_META_FILE
+
+    def _ann_fresh(self):
+        """(index, slots) when a saved ANN index matches the current
+        generation; None otherwise."""
+        ann_path, meta_path = self._ann_paths()
+        if not (ann_path.exists() and meta_path.exists()):
+            return None
+        try:
+            meta = np.load(meta_path)
+            if int(meta["generation"]) != self.generation():
+                return None
+            from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+            return IvfPqIndex.load(str(ann_path)), meta["slots"]
+        except Exception:
+            return None
+
+    def build_ann_index(self, force: bool = False, verbose: bool = False):
+        """Build (or refresh) the IVF-PQ tier over all stored vectors.
+
+        Returns the index, or None when the corpus is below the ANN
+        threshold and ``force`` is unset. Safe to call repeatedly — a
+        fresh index is a no-op.
+        """
+        fresh = self._ann_fresh()
+        if fresh is not None:
+            return fresh[0]
+        n = self.count_line_embeddings()
+        if n == 0 or (not force and n < _ann_min_rows()):
+            return None
+        from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+        ranges = self._valid_ranges()
+        slots = np.concatenate(
+            [np.arange(s, s + ln, dtype=np.int64) for _, s, ln in ranges]
+        )
+        mm = self._mmap("r")
+        x = np.asarray(mm[slots])
+        del mm
+        if verbose:
+            import sys
+
+            print(f"Building IVF-PQ index over {n} lines...", file=sys.stderr)
+        nlist = int(min(4096, max(16, 4 * np.sqrt(n))))
+        index = IvfPqIndex.build(x, nlist=nlist, m=32, keep_vectors=False)
+        ann_path, meta_path = self._ann_paths()
+        index.save(str(ann_path))
+        np.savez(meta_path, generation=self.generation(), slots=slots)
+        return index
+
+    def _search_ann(
+        self,
+        index,
+        slots: np.ndarray,
+        query_vec: np.ndarray,
+        top_k: int,
+        max_distance: Optional[float],
+    ) -> List[RankedLine]:
+        """ANN probe + exact re-rank against the mmap'd original vectors."""
+        q = np.asarray(query_vec, np.float32).reshape(1, -1)
+        oversample = max(4 * top_k, 32)
+        _, ids = index.search(q, k=min(oversample, index.n), nprobe=16)
+        ids = ids[0]
+        cand_slots = slots[ids]
+        mm = self._mmap("r")
+        rows = np.asarray(mm[cand_slots])
+        del mm
+        exact = 1.0 - (rows @ q[0])
+        order = np.argsort(exact, kind="stable")[:top_k]
+        if max_distance is not None:
+            order = order[exact[order] < max_distance]
+
+        # slot -> (path, line) via the ranges table
+        ranges = self._valid_ranges()
+        starts = np.array([s for _, s, _ in ranges], dtype=np.int64)
+        out: List[RankedLine] = []
+        for oi in order:
+            slot = int(cand_slots[oi])
+            ri = int(np.searchsorted(starts, slot, side="right")) - 1
+            path, s, ln = ranges[ri]
+            out.append(
+                RankedLine(path=path, line_number=slot - s, distance=float(exact[oi]))
+            )
+        return out
 
     # -- change detection --------------------------------------------------
 
@@ -397,6 +529,18 @@ class Store:
         ranges = self._subset_slots(subset_paths)
         if not ranges:
             return []
+
+        # ANN tier: when a fresh IVF-PQ index exists and the query is over
+        # the whole store (the common workspace search), probe it instead
+        # of streaming every vector. Subset queries keep the exact scan —
+        # filtered ANN would re-introduce the recall gap the reference's
+        # per-chunk limit had (store.rs:517).
+        if len(ranges) == len(self._valid_ranges()):
+            fresh = self._ann_fresh()
+            if fresh is not None:
+                return self._search_ann(
+                    fresh[0], fresh[1], query_vec, top_k, max_distance
+                )
         mm = self._mmap("r")
         if mm is None:
             return []
@@ -464,6 +608,7 @@ class Store:
                     "UPDATE docs SET slot_start = NULL, n_lines = NULL WHERE path = ?",
                     (path,),
                 )
+        self._bump_generation()
         self.db.commit()
         self._drop_empty_rows()
 

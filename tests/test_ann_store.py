@@ -1,0 +1,111 @@
+"""IVF-PQ ANN tier of the workspace store (generation keying, freshness,
+fallback, CLI surface)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from semtools_tpu.store.store import Store
+
+
+def _unit(rng, n, d=32):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = Store(str(tmp_path / "ws"), dim=32)
+    yield s
+    s.close()
+
+
+def _fill(store, rng, n_docs=6, lines_per_doc=40):
+    for i in range(n_docs):
+        store.upsert_document_lines(f"/doc{i}.txt", _unit(rng, lines_per_doc))
+    return [f"/doc{i}.txt" for i in range(n_docs)]
+
+
+class TestAnnTier:
+    def test_below_threshold_no_build(self, store):
+        rng = np.random.default_rng(0)
+        _fill(store, rng)
+        assert store.build_ann_index() is None  # 240 lines << threshold
+        assert store.get_stats().index_type == "exact-mxu-scan"
+
+    def test_force_build_and_fresh(self, store):
+        rng = np.random.default_rng(1)
+        _fill(store, rng)
+        index = store.build_ann_index(force=True)
+        assert index is not None
+        assert store._ann_fresh() is not None
+        assert store.get_stats().index_type == "ivf-pq"
+        # idempotent: second call reuses the fresh index
+        assert store.build_ann_index(force=True) is not None
+
+    def test_mutation_stales_index(self, store):
+        rng = np.random.default_rng(2)
+        paths = _fill(store, rng)
+        store.build_ann_index(force=True)
+        store.upsert_document_lines("/new.txt", _unit(rng, 10))
+        assert store._ann_fresh() is None
+        assert store.get_stats().index_type == "exact-mxu-scan"
+        # deletes stale it too
+        store.build_ann_index(force=True)
+        store.delete_line_embeddings([paths[0]])
+        assert store._ann_fresh() is None
+
+    def test_ann_search_matches_exact_on_clustered_data(self, store):
+        rng = np.random.default_rng(3)
+        centers = _unit(rng, 8)
+        paths = []
+        for i in range(8):
+            rows = centers[i] + 0.05 * rng.standard_normal((50, 32)).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            p = f"/c{i}.txt"
+            store.upsert_document_lines(p, rows)
+            paths.append(p)
+        store.build_ann_index(force=True)
+        q = centers[2]
+
+        exact = Store.search_line_embeddings  # same API, exact path used when no index
+        got = store.search_line_embeddings(q, paths, top_k=5)
+        # sanity: all hits come from the matching cluster and are sorted
+        assert all(rl.path == "/c2.txt" for rl in got)
+        dists = [rl.distance for rl in got]
+        assert dists == sorted(dists)
+
+    def test_subset_query_uses_exact_scan(self, store):
+        rng = np.random.default_rng(4)
+        paths = _fill(store, rng)
+        store.build_ann_index(force=True)
+        # subset of paths -> exact path (results must still be valid)
+        q = _unit(rng, 1)[0]
+        got = store.search_line_embeddings(q, paths[:2], top_k=3)
+        assert all(rl.path in paths[:2] for rl in got)
+
+    def test_ann_respects_max_distance(self, store):
+        rng = np.random.default_rng(5)
+        paths = _fill(store, rng)
+        store.build_ann_index(force=True)
+        q = _unit(rng, 1)[0]
+        got = store.search_line_embeddings(q, paths, top_k=10, max_distance=0.5)
+        assert all(rl.distance < 0.5 for rl in got)
+
+
+def test_workspace_index_cli(tmp_path, monkeypatch):
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.setenv("SEMTOOLS_TPU_PLATFORM", "cpu")
+    from semtools_tpu.cli import main
+
+    assert main(["workspace", "use", "anntest"]) == 0
+    monkeypatch.setenv("SEMTOOLS_WORKSPACE", "anntest")
+    # empty store: below threshold, not built
+    assert main(["workspace", "index"]) == 0
+    # add some data through the search path, then force-build
+    f = tmp_path / "f.txt"
+    f.write_text("\n".join(f"line about topic {i}" for i in range(30)) + "\n")
+    assert main(["search", "topic", str(f)]) == 0
+    assert main(["workspace", "index", "--force"]) == 0
+    assert main(["workspace", "status"]) == 0
