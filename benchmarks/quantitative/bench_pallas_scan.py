@@ -1,6 +1,9 @@
-"""Microbench: fused Pallas scan kernel vs the XLA matmul+top_k scan.
+"""Microbench: fused Pallas scan variants on the real chip.
 
-Isolates the headline hot path at bench scale. Run on the real TPU:
+Measures the two-phase exact scan (bf16/f32) and the int8-quantized scan
+at bench scale, in chunk-vectors/ms/chip. The XLA matmul+top_k baseline
+measured ~60k vecs/ms (dominated by the [Q, N] top_k); see git history.
+
     python benchmarks/quantitative/bench_pallas_scan.py
 """
 
@@ -16,11 +19,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-from semtools_tpu.ops.pallas_scan import (  # noqa: E402
-    _merge,
-    _pallas_candidates,
-    _two_phase_topk,
-)
+from semtools_tpu.ops.int8_scan import _int8_two_phase, quantize_rows  # noqa: E402
+from semtools_tpu.ops.int8_scan import TILE_N as INT8_TILE  # noqa: E402
+from semtools_tpu.ops.pallas_scan import _two_phase_topk, tile_for_dtype  # noqa: E402
 
 DIM = 256
 N = 1 << 21
@@ -43,62 +44,63 @@ def bench(fn, *args) -> float:
     return (time.perf_counter() - t0) / REPEATS
 
 
+def make_two_phase_runner(tile_n):
+    @jax.jit
+    def run(q0, e):
+        def body(i, carry):
+            acc, qq = carry
+            d, idx = _two_phase_topk(qq, e, k=K, n_true=N, interpret=False,
+                                     tile_n=tile_n)
+            acc = acc + d[0, 0] + idx.astype(jnp.float32)[0, 0]
+            qq = (qq.astype(jnp.float32) + 1e-12 * acc).astype(qq.dtype)
+            return acc, qq
+
+        acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
+        return acc
+
+    return run
+
+
 @jax.jit
-def run_xla(q0, e):
+def run_int8(q8, e8, qs, es):
     def body(i, carry):
         acc, qq = carry
-        sims = jnp.dot(qq, e.T, preferred_element_type=jnp.float32)
-        vals, idx = jax.lax.top_k(sims, K)
-        acc = acc + vals[0, 0] + idx.astype(jnp.float32)[0, 0]
-        qq = (qq.astype(jnp.float32) + 1e-12 * acc).astype(qq.dtype)
-        return acc, qq
-
-    acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
-    return acc
-
-
-@jax.jit
-def run_pallas(q0, e):
-    def body(i, carry):
-        acc, qq = carry
-        cv, ci = _pallas_candidates(qq, e, k=K, n_true=N, interpret=False)
-        d, idx = _merge(cv, ci, k=K)
+        d, idx = _int8_two_phase(qq, e8, qs, es, k=K, n_true=N, interpret=False)
         acc = acc + d[0, 0] + idx.astype(jnp.float32)[0, 0]
-        qq = (qq.astype(jnp.float32) + 1e-12 * acc).astype(qq.dtype)
+        qq = jnp.clip(qq + (acc > 1e30).astype(jnp.int8), -127, 127)
         return acc, qq
 
-    acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
-    return acc
-
-
-@jax.jit
-def run_two_phase(q0, e):
-    def body(i, carry):
-        acc, qq = carry
-        d, idx = _two_phase_topk(qq, e, k=K, n_true=N, interpret=False)
-        acc = acc + d[0, 0] + idx.astype(jnp.float32)[0, 0]
-        qq = (qq.astype(jnp.float32) + 1e-12 * acc).astype(qq.dtype)
-        return acc, qq
-
-    acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
+    acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q8))
     return acc
 
 
 def main():
+    results = {}
     for dtype, name in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
         e = corpus(N, dtype)
         q = corpus(Q, dtype)
-        t_x = bench(run_xla, q, e)
-        t_p = bench(run_pallas, q, e)
-        t_2 = bench(run_two_phase, q, e)
-        print(json.dumps({
-            "dtype": name,
-            "xla_vecs_per_ms": round(N / (t_x * 1e3), 1),
-            "pallas_vecs_per_ms": round(N / (t_p * 1e3), 1),
-            "two_phase_vecs_per_ms": round(N / (t_2 * 1e3), 1),
-            "speedup_vs_xla": round(t_x / t_2, 2),
-        }))
+        tile = tile_for_dtype(dtype)
+        t = bench(make_two_phase_runner(tile), q, e)
+        results[f"two_phase_{name}_tile{tile}"] = round(N / (t * 1e3), 1)
+        print(json.dumps({f"two_phase_{name}_tile{tile}_vecs_per_ms":
+                          results[f"two_phase_{name}_tile{tile}"]}), flush=True)
         del e
+
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(0))
+    x = rng.standard_normal((N, DIM), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    e8_np, es_np = quantize_rows(x)
+    del x
+    q8_np, qs_np = quantize_rows(rng.standard_normal((Q, DIM), dtype=np.float32))
+    e8 = jnp.asarray(e8_np)
+    es = jnp.asarray(es_np)
+    q8 = jnp.asarray(q8_np)
+    qs = jnp.asarray(qs_np)
+    t = bench(run_int8, q8, e8, qs, es)
+    results["int8"] = round(N / (t * 1e3), 1)
+    print(json.dumps({f"int8_tile{INT8_TILE}_vecs_per_ms": results["int8"]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,19 +33,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Corpus rows per grid step. 2048 rows x 256 dims x 4B = 2 MB (f32) per
-# buffered tile — two buffers fit comfortably in 16 MB VMEM alongside the
-# query block and scratch.
+# Corpus rows per grid step (default; real calls pick by dtype). Larger
+# tiles amortize per-grid-step overhead; the cap is double-buffered VMEM:
+# two e-tiles must fit alongside the query block and scratch.
 TILE_N = 2048
+
+
+def tile_for_dtype(dtype) -> int:
+    """Largest safe tile: 2 buffers x tile x 256 dims x itemsize <~ 8 MB."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return {4: 4096, 2: 8192, 1: 16384}.get(itemsize, TILE_N)
 
 _NEG_INF = float("-inf")
 
 
-def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int):
+def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int,
+                 tile_n: int):
     """One grid step: similarity tile + K-round candidate extraction."""
     i = pl.program_id(0)
     tile_q = q_ref[:]  # [Q, D]
-    tile_e = e_ref[:]  # [TILE_N, D]
+    tile_e = e_ref[:]  # [tile_n, D]
     qn = tile_q.shape[0]
 
     sims = jax.lax.dot_general(
@@ -57,8 +64,8 @@ def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int):
 
     # Mask padding rows (global index >= n_true): their sim of 0.0 would
     # outrank genuinely negative similarities.
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
-    global_col = col + i * TILE_N
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    global_col = col + i * tile_n
     sims = jnp.where(global_col < n_true, sims, _NEG_INF)
 
     # K rounds of max / earliest-argmax / mask-out.
@@ -67,36 +74,37 @@ def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int):
     for _ in range(k):
         m = jnp.max(sims, axis=1, keepdims=True)  # [Q, 1]
         arg = jnp.min(
-            jnp.where(sims == m, col, TILE_N), axis=1, keepdims=True
+            jnp.where(sims == m, col, tile_n), axis=1, keepdims=True
         )  # [Q, 1] earliest max position
         vals.append(m)
         idxs.append(arg)
         sims = jnp.where(col == arg, _NEG_INF, sims)
 
     vals_ref[0] = jnp.concatenate(vals, axis=1)  # [Q, K]
-    idx_ref[0] = jnp.concatenate(idxs, axis=1) + i * TILE_N  # global indices
+    idx_ref[0] = jnp.concatenate(idxs, axis=1) + i * tile_n  # global indices
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret"))
-def _pallas_candidates(q, e_padded, *, k: int, n_true: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
+def _pallas_candidates(q, e_padded, *, k: int, n_true: int, interpret: bool,
+                       tile_n: int = TILE_N):
     """Per-tile candidates [T, Q, k] (sims desc) over the padded corpus."""
     qn, d = q.shape
     n_pad = e_padded.shape[0]
-    num_tiles = n_pad // TILE_N
+    num_tiles = n_pad // tile_n
 
-    kernel = functools.partial(_scan_kernel, k=k, n_true=n_true)
+    kernel = functools.partial(_scan_kernel, k=k, n_true=n_true, tile_n=tile_n)
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, qn, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qn, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    flops_tile = 2 * qn * TILE_N * d
+    flops_tile = 2 * qn * tile_n * d
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -148,7 +156,7 @@ def _merge(cand_vals, cand_idx, *, k: int):
 # re-read — O(1%) for bench-scale corpora.
 
 
-def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int):
+def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int, tile_n: int):
     """One grid step of phase 1: per-query max similarity of this tile."""
     i = pl.program_id(0)
     qn = q_ref.shape[0]
@@ -158,15 +166,15 @@ def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
-    sims = jnp.where(col + i * TILE_N < n_true, sims, _NEG_INF)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    sims = jnp.where(col + i * tile_n < n_true, sims, _NEG_INF)
     # Output block is (1, 8, Q): Mosaic wants the sublane dim divisible by
     # 8, so the per-query maxes are broadcast over a padded axis of 8.
     out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
 
 
 def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
-                   k_tiles: int, n_true: int):
+                   k_tiles: int, n_true: int, tile_n: int):
     """One grid step of phase 2: full K-round extraction of one candidate
     tile, emitted only for the query that selected it (row mask), so a
     tile chosen by several queries never duplicates candidates."""
@@ -181,38 +189,39 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 0)
-    valid = (col + tile_id * TILE_N < n_true) & (row == owner)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)
+    valid = (col + tile_id * tile_n < n_true) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
     vals = []
     idxs = []
     for _ in range(k):
         m = jnp.max(sims, axis=1, keepdims=True)
-        arg = jnp.min(jnp.where(sims == m, col, TILE_N), axis=1, keepdims=True)
+        arg = jnp.min(jnp.where(sims == m, col, tile_n), axis=1, keepdims=True)
         vals.append(m)
         idxs.append(arg)
         sims = jnp.where(col == arg, _NEG_INF, sims)
 
     vals_ref[0] = jnp.concatenate(vals, axis=1)
-    idx_ref[0] = jnp.concatenate(idxs, axis=1) + tile_id * TILE_N
+    idx_ref[0] = jnp.concatenate(idxs, axis=1) + tile_id * tile_n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret"))
-def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
+def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool,
+                    tile_n: int = TILE_N):
     """Exact top-k via tile-max sweep + candidate rescan (distances asc)."""
     qn, d = q.shape
     n_pad = e_padded.shape[0]
-    num_tiles = n_pad // TILE_N
+    num_tiles = n_pad // tile_n
 
     tile_max = pl.pallas_call(
-        functools.partial(_tilemax_kernel, n_true=n_true),
+        functools.partial(_tilemax_kernel, n_true=n_true, tile_n=tile_n),
         grid_spec=pl.GridSpec(
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 8, qn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
@@ -236,7 +245,7 @@ def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool):
         grid=(qn * k_tiles,),
         in_specs=[
             pl.BlockSpec((qn, d), lambda i, ids: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -244,7 +253,8 @@ def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool):
         ],
     )
     cand_vals, cand_idx = pl.pallas_call(
-        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true),
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true,
+                          tile_n=tile_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
@@ -290,19 +300,21 @@ def pallas_topk_scan(
         qn = q.shape[0]
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
-    n_pad = -(-n // TILE_N) * TILE_N
+    tile_n = tile_for_dtype(e.dtype)
+    n_pad = -(-n // tile_n) * tile_n
     if n_pad != n:
         e = jnp.concatenate([e, jnp.zeros((n_pad - n, e.shape[1]), e.dtype)], axis=0)
 
-    num_tiles = n_pad // TILE_N
+    num_tiles = n_pad // tile_n
     # Two-phase pays one extra tile-read per (query, candidate tile); it
     # wins once that rescan is small next to the K-round extraction it
     # removes from every streamed tile.
     if num_tiles > 2 * q.shape[0] * min(k_eff, num_tiles):
-        d, i = _two_phase_topk(q, e, k=k_eff, n_true=n, interpret=interpret)
+        d, i = _two_phase_topk(q, e, k=k_eff, n_true=n, interpret=interpret,
+                               tile_n=tile_n)
     else:
         cand_vals, cand_idx = _pallas_candidates(
-            q, e, k=k_eff, n_true=n, interpret=interpret
+            q, e, k=k_eff, n_true=n, interpret=interpret, tile_n=tile_n
         )
         d, i = _merge(cand_vals, cand_idx, k=k_eff)
     return np.asarray(d), np.asarray(i)
