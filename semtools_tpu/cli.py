@@ -256,6 +256,48 @@ def workspace_status_cmd(args) -> int:
     return 0
 
 
+def daemon_cmd(args) -> int:
+    import subprocess
+    import time
+
+    from semtools_tpu import daemon
+
+    action = args.action
+    if action == "run":
+        daemon.serve()
+        return 0
+    if action == "start":
+        if daemon.ping():
+            print("Daemon already running.")
+            return 0
+        log_path = daemon.socket_path().parent / "daemon.log"
+        log_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(log_path, "ab") as log:
+            subprocess.Popen(
+                [sys.executable, "-m", "semtools_tpu.cli", "daemon", "run"],
+                stdout=log, stderr=log, start_new_session=True,
+            )
+        for _ in range(100):
+            if daemon.ping():
+                print(f"Daemon started (socket {daemon.socket_path()}).")
+                return 0
+            time.sleep(0.3)
+        print("Error: daemon did not come up; see", log_path, file=sys.stderr)
+        return 1
+    if action == "stop":
+        if daemon.stop():
+            print("Daemon stopped.")
+            return 0
+        print("No daemon running.")
+        return 0
+    # status
+    if daemon.ping():
+        print(f"Daemon running (socket {daemon.socket_path()}).")
+    else:
+        print("No daemon running.")
+    return 0
+
+
 def workspace_index_cmd(args) -> int:
     from semtools_tpu.store import Store, Workspace
 
@@ -385,12 +427,30 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
     wp.set_defaults(func=workspace_prune_cmd)
 
+    d = sub.add_parser(
+        "daemon", help="Resident process that keeps the model and compiled "
+        "executables warm across invocations"
+    )
+    d.add_argument("action", choices=["run", "start", "stop", "status"],
+                   nargs="?", default="status")
+    d.set_defaults(func=daemon_cmd)
+
     return parser
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     from semtools_tpu.utils.platform import configure_jax
     from semtools_tpu.utils.tracing import maybe_device_trace
+
+    effective_argv = list(sys.argv[1:] if argv is None else argv)
+    from semtools_tpu import daemon as _daemon
+
+    if _daemon.should_forward(effective_argv):
+        stdin_text = None if sys.stdin.isatty() else sys.stdin.read()
+        code = _daemon.forward(effective_argv, stdin_text)
+        if code is not None:
+            return code
+        # daemon unreachable: fall through and run locally
 
     configure_jax()
     args = build_parser().parse_args(argv)

@@ -1,0 +1,212 @@
+"""Daemon mode: a resident process that keeps the model + jitted
+executables warm across CLI invocations.
+
+SURVEY.md §7 flags per-invocation cold start (XLA compile + weight load)
+as the structural latency of a CLI on an accelerator. The persistent
+compile cache (utils/platform.py) removes recompiles; the daemon removes
+the rest — process start, jax init, model load, weight upload — by
+running commands inside one long-lived process.
+
+Protocol: newline-delimited JSON over a unix socket
+(``~/.semtools/daemon.sock``):
+
+    -> {"argv": [...], "stdin": "..."|null, "cwd": "...", "env": {...}}
+    <- {"stdout": "...", "stderr": "...", "exit": 0}
+
+The client is transparent: ``semtools`` forwards to a running daemon when
+``SEMTOOLS_TPU_DAEMON=1`` (or ``auto`` + socket present). Start one with
+``semtools daemon start`` (foreground: ``semtools daemon run``).
+
+Commands run one at a time under a lock — the device is single-tenant
+anyway. Output is captured, so TTY-dependent ANSI highlighting is off in
+daemon mode (same behavior as any piped invocation).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import socket
+import socketserver
+import sys
+import threading
+from pathlib import Path
+from typing import Optional
+
+_SOCK_NAME = "daemon.sock"
+
+
+def socket_path() -> Path:
+    base = os.environ.get("SEMTOOLS_TPU_DAEMON_DIR") or os.path.join(
+        os.path.expanduser("~"), ".semtools"
+    )
+    return Path(base) / _SOCK_NAME
+
+
+# -- server -----------------------------------------------------------------
+
+_run_lock = threading.Lock()
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one request per connection
+        line = self.rfile.readline()
+        if not line:
+            return
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError:
+            self._reply({"stdout": "", "stderr": "daemon: bad request\n", "exit": 2})
+            return
+        if req.get("op") == "ping":
+            self._reply({"ok": True, "pid": os.getpid()})
+            return
+        if req.get("op") == "stop":
+            self._reply({"ok": True})
+            threading.Thread(target=self.server.shutdown, daemon=True).start()
+            return
+        self._reply(_run_command(req))
+
+    def _reply(self, obj) -> None:
+        self.wfile.write(json.dumps(obj).encode() + b"\n")
+
+
+def _run_command(req) -> dict:
+    from semtools_tpu.cli import main as cli_main
+
+    argv = req.get("argv") or []
+    stdin_text = req.get("stdin")
+    cwd = req.get("cwd")
+    env_overrides = req.get("env") or {}
+
+    with _run_lock:
+        old_cwd = os.getcwd()
+        old_env = {k: os.environ.get(k) for k in env_overrides}
+        out, err = io.StringIO(), io.StringIO()
+        try:
+            if cwd:
+                os.chdir(cwd)
+            os.environ.update({k: v for k, v in env_overrides.items() if v is not None})
+            stdin = io.StringIO(stdin_text) if stdin_text is not None else io.StringIO()
+            with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+                old_stdin = sys.stdin
+                sys.stdin = stdin
+                try:
+                    code = cli_main(argv)
+                finally:
+                    sys.stdin = old_stdin
+        except SystemExit as e:
+            code = int(e.code or 0)
+        except Exception as e:  # never kill the daemon on a command error
+            err.write(f"Error: {e}\n")
+            code = 1
+        finally:
+            os.chdir(old_cwd)
+            for k, v in old_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        return {"stdout": out.getvalue(), "stderr": err.getvalue(), "exit": code}
+
+
+class _Server(socketserver.ThreadingUnixStreamServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+def serve(warm: bool = True) -> None:
+    """Run the daemon in the foreground until stopped."""
+    # Commands executed inside the daemon must never forward to the daemon.
+    os.environ["SEMTOOLS_TPU_DAEMON"] = "off"
+    path = socket_path()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.exists():
+        path.unlink()
+    if warm:
+        _warm()
+    with _Server(str(path), _Handler) as server:
+        print(f"semtools daemon listening on {path}", file=sys.stderr)
+        try:
+            server.serve_forever()
+        finally:
+            with contextlib.suppress(OSError):
+                path.unlink()
+
+
+def _warm() -> None:
+    """Load the model and compile the common executables up front."""
+    try:
+        from semtools_tpu.models.static_model import load_model
+
+        model = load_model()
+        model.encode(["warmup line"], max_length=2048)
+        model.encode_single("warmup")
+    except Exception as e:
+        print(f"daemon: warmup skipped ({e})", file=sys.stderr)
+
+
+# -- client -----------------------------------------------------------------
+
+
+def _request(obj, timeout: float = 600.0) -> Optional[dict]:
+    path = socket_path()
+    if not path.exists():
+        return None
+    try:
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.settimeout(timeout)
+            s.connect(str(path))
+            s.sendall(json.dumps(obj).encode() + b"\n")
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = s.recv(1 << 20)
+                if not chunk:
+                    break
+                buf += chunk
+        return json.loads(buf) if buf else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def ping() -> bool:
+    resp = _request({"op": "ping"}, timeout=5.0)
+    return bool(resp and resp.get("ok"))
+
+
+def stop() -> bool:
+    resp = _request({"op": "stop"}, timeout=5.0)
+    return bool(resp and resp.get("ok"))
+
+
+def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
+    """Run ``argv`` on the daemon; None if no daemon is reachable."""
+    resp = _request({
+        "argv": list(argv),
+        "stdin": stdin_text,
+        "cwd": os.getcwd(),
+        "env": {
+            k: os.environ.get(k)
+            for k in ("SEMTOOLS_WORKSPACE", "OPENAI_API_KEY", "LLAMA_CLOUD_API_KEY", "HOME")
+            if os.environ.get(k) is not None
+        },
+    })
+    if resp is None or "exit" not in resp:
+        return None
+    sys.stdout.write(resp.get("stdout", ""))
+    sys.stderr.write(resp.get("stderr", ""))
+    return int(resp["exit"])
+
+
+def should_forward(argv) -> bool:
+    """Forward when enabled and the command isn't daemon management."""
+    mode = os.environ.get("SEMTOOLS_TPU_DAEMON", "auto").lower()
+    if mode in ("0", "off", "never", ""):
+        return False
+    if argv and argv[0] == "daemon":
+        return False
+    if mode in ("1", "on", "always"):
+        return True
+    return socket_path().exists()  # auto
