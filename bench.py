@@ -1,23 +1,27 @@
 """Headline benchmark: corpus-scan throughput on one chip.
 
-Measures the framework's hot path — the dense cosine scan + top-k that
-replaces the reference's per-line SIMD loop (src/search/mod.rs:84-86) — in
-chunk-vectors scanned per millisecond per chip. BASELINE.md's north-star
-target is >=1M chunk-vectors/ms/chip; ``vs_baseline`` is the ratio against
-that target.
+Measures the framework's hot path — the fused Pallas cosine scan + exact
+top-k selection that replaces the reference's per-line SIMD loop
+(src/search/mod.rs:84-86) — in chunk-vectors scanned per millisecond per
+chip. BASELINE.md's north-star target is >=1M chunk-vectors/ms/chip;
+``vs_baseline`` is the ratio against that target.
 
-Prints exactly ONE JSON line. Extra context metrics (f32-storage scan,
-embed throughput) ride along as additional keys.
+The headline configuration is the int8 compressed tier
+(semtools_tpu/ops/int8_scan.py: global-scale int8 storage, in-VMEM bf16
+convert, two-phase exact selection). The bf16 two-phase scan
+(ops/pallas_scan.py) and device embed throughput ride along as context.
+For the record: the naive XLA matmul+lax.top_k path measures ~60k
+vecs/ms on this chip — the fused kernels are where the 20x+ comes from.
+
+Prints exactly ONE JSON line.
 
 Design notes:
 - the corpus is generated ON DEVICE (host->device transfer of a GB-scale
-  matrix would dominate wall time on tunneled-TPU hosts and benches the
-  pipe, not the chip);
-- repeats are folded into a single jitted ``fori_loop`` so per-dispatch
-  RPC latency is amortized out of the measurement;
-- bf16 storage is the headline (ranking quality is unaffected for
-  retrieval; HBM traffic halves); f32 rides along for the parity
-  configuration.
+  matrix would bench the tunnel pipe, not the chip);
+- repeats are folded into a single jitted ``fori_loop`` with a data
+  dependency between iterations so nothing can be hoisted or folded;
+- ``float()`` readback forces completion (block_until_ready can return
+  early on tunneled runtimes; a value transfer cannot).
 """
 
 from __future__ import annotations
@@ -29,55 +33,72 @@ import jax
 import jax.numpy as jnp
 
 DIM = 256
-N_BF16 = 1 << 21  # 2M vectors * 256 * 2B = 1 GB
-N_F32 = 1 << 20  # 1M vectors * 256 * 4B = 1 GB
+N = 1 << 21  # 2M vectors
 Q = 8
 K = 10
-REPEATS = 256
+REPEATS = 64
 
 EMBED_TOKENS = 1 << 19
 EMBED_LINES = 1 << 15
 
+BASELINE_VECS_PER_MS = 1_000_000.0
 
-def _device_corpus(n: int, dtype) -> jax.Array:
+
+def _unit_corpus(n: int) -> jax.Array:
     key = jax.random.PRNGKey(0)
     e = jax.random.normal(key, (n, DIM), dtype=jnp.float32)
-    e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-    return e.astype(dtype)
+    return e / jnp.linalg.norm(e, axis=1, keepdims=True)
 
 
-def _scan_bench(e: jax.Array, precision) -> float:
-    """Seconds per full-corpus scan (amortized over REPEATS)."""
-    q = _device_corpus(Q, e.dtype)
+def _bench(fn, *args) -> float:
+    """Seconds per iteration (fn folds REPEATS internally)."""
+    float(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return (time.perf_counter() - t0) / REPEATS
 
-    # NOTE: e must be an ARGUMENT, not a closure capture — jit inlines
-    # closed-over arrays as HLO constants, which would push the GB-scale
-    # corpus through the compiler.
+
+def _int8_bench(base: jax.Array) -> float:
+    from semtools_tpu.ops.int8_scan import _int8_two_phase
+
+    amax = jnp.max(jnp.abs(base))
+    e8 = jnp.clip(jnp.rint(base * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    q8 = e8[:Q]
+
+    @jax.jit
+    def run(q0, e):
+        def body(i, carry):
+            acc, qq = carry
+            s, idx = _int8_two_phase(qq, e, k=K, n_true=N, interpret=False)
+            acc = acc + s[0, 0] + idx.astype(jnp.float32)[0, 0]
+            qq = qq + (acc > 1e30).astype(jnp.int8)  # unprovable, keeps deps
+            return acc, qq
+
+        acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
+        return acc
+
+    return _bench(run, q8, e8)
+
+
+def _bf16_bench(base: jax.Array) -> float:
+    from semtools_tpu.ops.pallas_scan import _two_phase_topk
+
+    e = base.astype(jnp.bfloat16)
+    q = e[:Q]
+
     @jax.jit
     def run(q0, ee):
         def body(i, carry):
             acc, qq = carry
-            sims = jnp.dot(
-                qq, ee.T, preferred_element_type=jnp.float32, precision=precision
-            )
-            vals, idx = jax.lax.top_k(sims, K)
-            # Fold results into the carried query so no iteration can be
-            # folded away or hoisted.
-            acc = acc + vals[0, 0] + idx.astype(jnp.float32)[0, 0]
+            d, idx = _two_phase_topk(qq, ee, k=K, n_true=N, interpret=False)
+            acc = acc + d[0, 0] + idx.astype(jnp.float32)[0, 0]
             qq = (qq.astype(jnp.float32) + 1e-12 * acc).astype(qq.dtype)
             return acc, qq
 
         acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
         return acc
 
-    # float() forces a device->host readback of the scalar result: on
-    # tunneled runtimes block_until_ready can return before execution
-    # finishes, but a value transfer cannot.
-    float(run(q, e))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(q, e))
-    t1 = time.perf_counter()
-    return (t1 - t0) / REPEATS
+    return _bench(run, q, e)
 
 
 def _embed_bench() -> float:
@@ -122,31 +143,27 @@ def _embed_bench() -> float:
 
 
 def main() -> None:
-    e_bf16 = _device_corpus(N_BF16, jnp.bfloat16)
-    t_bf16 = _scan_bench(e_bf16, jax.lax.Precision.DEFAULT)
-    del e_bf16
-    bf16_vecs_per_ms = N_BF16 / (t_bf16 * 1e3)
+    base = _unit_corpus(N)
 
-    e_f32 = _device_corpus(N_F32, jnp.float32)
-    t_f32 = _scan_bench(e_f32, jax.lax.Precision.HIGHEST)
-    del e_f32
-    f32_vecs_per_ms = N_F32 / (t_f32 * 1e3)
+    t_int8 = _int8_bench(base)
+    int8_vecs_per_ms = N / (t_int8 * 1e3)
+
+    t_bf16 = _bf16_bench(base)
+    bf16_vecs_per_ms = N / (t_bf16 * 1e3)
+    del base
 
     embed_lines_per_s = _embed_bench()
 
-    print(
-        json.dumps(
-            {
-                "metric": "scan_chunk_vectors_per_ms_per_chip",
-                "value": round(bf16_vecs_per_ms, 1),
-                "unit": "chunk-vectors/ms/chip (bf16 storage, q=8, top-10)",
-                "vs_baseline": round(bf16_vecs_per_ms / 1e6, 3),
-                "f32_exact_vectors_per_ms": round(f32_vecs_per_ms, 1),
-                "embed_lines_per_s": round(embed_lines_per_s, 1),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    device = jax.devices()[0].device_kind
+    print(json.dumps({
+        "metric": "scan_chunk_vectors_per_ms_per_chip",
+        "value": round(int8_vecs_per_ms, 1),
+        "unit": "chunk-vectors/ms/chip (int8 tier, q=8, exact top-10)",
+        "vs_baseline": round(int8_vecs_per_ms / BASELINE_VECS_PER_MS, 3),
+        "bf16_two_phase_vecs_per_ms": round(bf16_vecs_per_ms, 1),
+        "embed_lines_per_s": round(embed_lines_per_s, 1),
+        "device": device,
+    }))
 
 
 if __name__ == "__main__":

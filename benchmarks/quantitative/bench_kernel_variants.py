@@ -102,6 +102,8 @@ def main():
     base = jax.random.normal(key, (N, DIM), dtype=jnp.float32)
     base = base / jnp.linalg.norm(base, axis=1, keepdims=True)
 
+    import os
+
     cases = [
         ("bf16", "plain", 2048),
         ("bf16", "plain", 4096),
@@ -110,6 +112,10 @@ def main():
         ("int8", "convert_bf16", 8192),
         ("int8", "int_dot", 8192),
     ]
+    only = os.environ.get("BENCH_CASES")  # e.g. "0,2" by index
+    if only:
+        idx = [int(x) for x in only.split(",")]
+        cases = [cases[i] for i in idx]
     for dtype_name, recipe, tile_n in cases:
         if dtype_name == "bf16":
             e = base.astype(jnp.bfloat16)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from semtools_tpu.ops.int8_scan import TILE_N, int8_topk_scan, quantize_rows
+from semtools_tpu.ops.int8_scan import TILE_N, int8_topk_scan, quantize_global
 from semtools_tpu.ops.scan import topk_scan
 
 
@@ -16,35 +16,36 @@ def _unit_rows(rng, n, d):
 def test_quantize_roundtrip_accuracy():
     rng = np.random.default_rng(0)
     x = _unit_rows(rng, 100, 256)
-    q8, scale = quantize_rows(x)
-    back = q8.astype(np.float32) * scale[:, None]
-    # per-element error bounded by scale/2; sims err ~1e-3
+    q8, scale = quantize_global(x)
+    back = q8.astype(np.float32) * scale
     sims_f = x @ x[0]
     sims_q = back @ back[0]
-    np.testing.assert_allclose(sims_q, sims_f, atol=5e-3)
+    np.testing.assert_allclose(sims_q, sims_f, atol=2e-2)
 
 
-def test_zero_rows():
-    q8, scale = quantize_rows(np.zeros((3, 16), np.float32))
-    assert np.all(q8 == 0) and np.all(scale == 0)
+def test_zero_corpus():
+    q8, scale = quantize_global(np.zeros((3, 16), np.float32))
+    assert np.all(q8 == 0) and scale == 0.0
 
 
 def test_selection_exact_over_quantized_sims():
-    # The kernel must select exactly the brute-force top-k of the
-    # *quantized* similarity (dequantized rows x quantized query).
+    # The kernel must select exactly the brute-force top-k of the integer
+    # similarities (quantized corpus x quantized query).
     rng = np.random.default_rng(1)
     centers = _unit_rows(rng, 10, 64)
     rows = np.repeat(centers, 40, axis=0) + 0.02 * rng.standard_normal((400, 64)).astype(np.float32)
     rows /= np.linalg.norm(rows, axis=1, keepdims=True)
-    e8, es = quantize_rows(rows)
+    e8, es = quantize_global(rows)
     q = centers[:2]
-    q8, qs = quantize_rows(q)
+    q8, qs = quantize_global(q)
     d_q, i_q = int8_topk_scan(q, e8, es, 5, interpret=True)
-    sims = (q8.astype(np.float32) * qs[:, None]) @ (e8.astype(np.float32) * es[:, None]).T
+    int_sims = q8.astype(np.int64) @ e8.astype(np.int64).T
     for qi in range(2):
-        expect = np.argsort(-sims[qi], kind="stable")[:5]
+        expect = np.argsort(-int_sims[qi], kind="stable")[:5]
         np.testing.assert_array_equal(i_q[qi], expect)
-        np.testing.assert_allclose(d_q[qi], 1.0 - sims[qi][expect], atol=1e-5)
+        np.testing.assert_allclose(
+            d_q[qi], 1.0 - int_sims[qi][expect] * qs * es, atol=1e-5
+        )
 
 
 def test_ranking_matches_f32_scan_with_real_margins():
@@ -60,12 +61,12 @@ def test_ranking_matches_f32_scan_with_real_margins():
     for rank, j in enumerate(planted):
         a = 0.9 - 0.02 * rank
         rows[j] = a * q[0] + np.sqrt(1 - a * a) * rows[j]
-    e8, es = quantize_rows(rows)
+    e8, es = quantize_global(rows)
     d_ref, i_ref = topk_scan(q, rows, 5)
     d_q, i_q = int8_topk_scan(q, e8, es, 5, interpret=True)
     np.testing.assert_array_equal(i_q[0], planted)
     np.testing.assert_array_equal(i_ref[0], planted)
-    np.testing.assert_allclose(d_q[0], d_ref[0], atol=1e-2)
+    np.testing.assert_allclose(d_q[0], d_ref[0], atol=2e-2)
 
 
 def test_multi_tile_and_padding():
@@ -75,7 +76,7 @@ def test_multi_tile_and_padding():
     target = _unit_rows(rng, 1, 64)
     rows[2 * TILE_N + 7] = 0.98 * target[0] + 0.02 * rows[0]
     rows[2 * TILE_N + 7] /= np.linalg.norm(rows[2 * TILE_N + 7])
-    e8, es = quantize_rows(rows)
+    e8, es = quantize_global(rows)
     d, i = int8_topk_scan(target, e8, es, 3, interpret=True)
     assert i[0, 0] == 2 * TILE_N + 7
     assert d.shape == (1, 3)
@@ -85,7 +86,7 @@ def test_multi_tile_and_padding():
 def test_k_exceeds_n():
     rng = np.random.default_rng(3)
     rows = _unit_rows(rng, 5, 32)
-    e8, es = quantize_rows(rows)
+    e8, es = quantize_global(rows)
     d, i = int8_topk_scan(rows[:1], e8, es, 20, interpret=True)
     assert d.shape == (1, 5)
     assert sorted(map(int, i[0])) == [0, 1, 2, 3, 4]
