@@ -541,14 +541,30 @@ class Store:
                 return self._search_ann(
                     fresh[0], fresh[1], query_vec, top_k, max_distance
                 )
-        mm = self._mmap("r")
-        if mm is None:
-            return []
+        full_store = len(ranges) == len(self._valid_ranges())
 
-        slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
-        slots = np.concatenate(slot_blocks)
-        corpus = np.asarray(mm[slots])  # gather subset into RAM then device
-        del mm
+        def _gather():
+            mm = self._mmap("r")
+            if mm is None:
+                return None
+            slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
+            slots = np.concatenate(slot_blocks)
+            corpus = np.asarray(mm[slots])  # gather subset into RAM then device
+            del mm
+            return corpus
+
+        if full_store:
+            # Long-lived processes (daemon) keep the whole corpus resident
+            # on device; the generation key guarantees freshness.
+            from semtools_tpu.store import device_cache
+
+            corpus = device_cache.get_or_put(
+                (str(self.dir), self.generation()), self._device_corpus_builder(_gather)
+            )
+        else:
+            corpus = _gather()
+        if corpus is None:
+            return []
 
         # Map scan row -> (path, line_number)
         owners_path: List[str] = []
@@ -574,6 +590,20 @@ class Store:
             )
             for dist, j in zip(dists, idxs)
         ]
+
+    @staticmethod
+    def _device_corpus_builder(gather):
+        """Builder that pushes the gathered corpus to device once."""
+
+        def build():
+            corpus = gather()
+            if corpus is None:
+                return None
+            import jax.numpy as jnp
+
+            return jnp.asarray(corpus)
+
+        return build
 
     def load_subset_matrix(
         self, subset_paths: Sequence[str]

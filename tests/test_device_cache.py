@@ -1,0 +1,74 @@
+"""Device corpus cache: LRU semantics + store integration freshness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from semtools_tpu.store import device_cache
+from semtools_tpu.store.store import Store
+
+
+@pytest.fixture(autouse=True)
+def clean_cache():
+    device_cache.invalidate()
+    yield
+    device_cache.invalidate()
+
+
+def test_get_or_put_caches():
+    calls = []
+
+    def build():
+        calls.append(1)
+        return np.zeros((4, 4), np.float32)
+
+    a = device_cache.get_or_put(("k", 1), build)
+    b = device_cache.get_or_put(("k", 1), build)
+    assert a is b and len(calls) == 1
+
+
+def test_lru_eviction(monkeypatch):
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(3 * 64))
+    for i in range(5):
+        device_cache.get_or_put(("k", i), lambda: np.zeros(16, np.float32))  # 64 B
+    n, total = device_cache.stats()
+    assert n <= 3 and total <= 3 * 64
+    # oldest keys evicted
+    calls = []
+    device_cache.get_or_put(("k", 0), lambda: (calls.append(1), np.zeros(16, np.float32))[1])
+    assert calls == [1]
+
+
+def test_oversized_entry_not_cached(monkeypatch):
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "8")
+    out = device_cache.get_or_put(("big", 0), lambda: np.zeros(100, np.float32))
+    assert out.shape == (100,)
+    assert device_cache.stats()[0] == 0
+
+
+def test_store_full_scan_uses_cache_and_respects_generation(tmp_path):
+    s = Store(str(tmp_path / "ws"), dim=16)
+    rng = np.random.default_rng(0)
+    rows = rng.standard_normal((20, 16)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    s.upsert_document_lines("/a.txt", rows)
+
+    q = rows[3]
+    got1 = s.search_line_embeddings(q, ["/a.txt"], top_k=1)
+    assert got1[0].line_number == 3
+    n1, _ = device_cache.stats()
+    assert n1 == 1
+
+    # same generation -> cache hit (entry count unchanged)
+    s.search_line_embeddings(q, ["/a.txt"], top_k=1)
+    assert device_cache.stats()[0] == 1
+
+    # mutation bumps generation -> new entry, fresh data is served
+    rows2 = rows.copy()
+    rows2[5] = rows[3]
+    s.upsert_document_lines("/a.txt", rows2)
+    got2 = s.search_line_embeddings(q, ["/a.txt"], top_k=2)
+    assert {rl.line_number for rl in got2} == {3, 5}
+    assert device_cache.stats()[0] == 2
+    s.close()
