@@ -70,19 +70,20 @@ def _merge_topk(dists, idxs, *, k: int):
     return -neg, jnp.take_along_axis(idxs, pos, axis=1)
 
 
-def _use_pallas(n: int, k: int) -> bool:
+def _use_pallas(n: int, k: int, qn: int) -> bool:
     """Route large-corpus scans through the fused Pallas kernel on TPU.
 
     The fused kernel keeps selection in VMEM (no [Q, N] HBM round-trip); it
     pays off once the corpus spans multiple tiles. Its per-tile extraction
-    unrolls k rounds, so very large k stays on the XLA path. Opt out with
+    unrolls k rounds and the two-phase rescan re-reads Q*k tiles, so very
+    large k or batch-query workloads stay on the XLA path. Opt out with
     SEMTOOLS_TPU_NO_PALLAS=1.
     """
     import os
 
     if os.environ.get("SEMTOOLS_TPU_NO_PALLAS"):
         return False
-    if k > 64:
+    if k > 64 or qn > 32:
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -108,7 +109,7 @@ def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
         qn = np.shape(q)[0]
         return (np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64))
 
-    if _use_pallas(n, k_eff):
+    if _use_pallas(n, k_eff, int(np.shape(q)[0])):
         from semtools_tpu.ops.pallas_scan import pallas_topk_scan
 
         return pallas_topk_scan(q, e, k_eff)

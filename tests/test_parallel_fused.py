@@ -1,0 +1,42 @@
+"""Fused per-device scan under shard_map (interpret mode on the CPU mesh)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semtools_tpu.ops.pallas_scan import TILE_N
+from semtools_tpu.ops.scan import topk_scan
+from semtools_tpu.parallel.mesh import corpus_mesh, shard_corpus
+from semtools_tpu.parallel.scan import sharded_topk_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs a multi-device (virtual) mesh"
+)
+
+
+def test_fused_local_matches_xla_path():
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    n_local = 2 * TILE_N + 2048  # not required to be tile-aligned
+    n = n_dev * n_local
+    e = rng.standard_normal((n, 64)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    e_sharded, _ = shard_corpus(e, mesh)
+    k = 5
+    fn_fused = sharded_topk_fn(mesh, k, n_local, n, fused=True, interpret=True)
+    fn_plain = sharded_topk_fn(mesh, k, n_local, n, fused=False)
+    d_f, i_f = fn_fused(jnp.asarray(q), e_sharded)
+    d_p, i_p = fn_plain(jnp.asarray(q), e_sharded)
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_p), atol=1e-5)
+
+    d_ref, i_ref = topk_scan(q, e, k)
+    np.testing.assert_array_equal(np.asarray(i_f), i_ref)
+    np.testing.assert_allclose(np.asarray(d_f), d_ref, atol=1e-5)
