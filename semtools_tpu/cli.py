@@ -397,7 +397,7 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--api-key", default=None)
     a.add_argument("--base-url", default=None)
     a.add_argument("-m", "--model", default=None)
-    a.add_argument("--api-mode", default=None, choices=[None, "chat", "responses"])
+    a.add_argument("--api-mode", default=None, choices=["chat", "responses"])
     a.add_argument("-j", "--json", action="store_true")
     a.add_argument("-w", "--workspace", default=None)
     a.set_defaults(func=ask_cmd)

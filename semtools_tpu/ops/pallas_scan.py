@@ -52,6 +52,13 @@ def tile_for_dtype(dtype) -> int:
 
 _NEG_INF = float("-inf")
 
+# Query counts above this stay on the XLA matmul+top_k path: measured at
+# Q=256 / N=100k on v5e, XLA takes 15 ms where the K-round Pallas
+# extraction takes 90 ms — per-element selection cost scales with Q, while
+# big-Q matmuls amortize XLA's top_k. The fused kernels win for CLI-scale
+# query counts.
+_MAX_TWO_PHASE_Q = 32
+
 
 def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int,
                  tile_n: int):
@@ -312,10 +319,15 @@ def pallas_topk_scan(
         e = jnp.concatenate([e, jnp.zeros((n_pad - n, e.shape[1]), e.dtype)], axis=0)
 
     num_tiles = n_pad // tile_n
+    qn = q.shape[0]
+    assert qn <= _MAX_TWO_PHASE_Q, (
+        "pallas_topk_scan is for CLI-scale query counts; batched workloads "
+        "use the XLA path (see _use_pallas)"
+    )
     # Two-phase pays one extra tile-read per (query, candidate tile); it
     # wins once that rescan is small next to the K-round extraction it
     # removes from every streamed tile.
-    if num_tiles > 2 * q.shape[0] * min(k_eff, num_tiles):
+    if num_tiles > 2 * qn * min(k_eff, num_tiles):
         d, i = _two_phase_topk(q, e, k=k_eff, n_true=n, interpret=interpret,
                                tile_n=tile_n)
     else:

@@ -124,3 +124,16 @@ def test_zero_vector_rows_rank_last():
     # zero row has distance exactly 1.0; every similar row ranks above it
     pos = list(i[0]).index(7)
     np.testing.assert_allclose(d[0, pos], 1.0, atol=1e-6)
+
+
+def test_batched_queries_rejected():
+    # q > _MAX_TWO_PHASE_Q must stay on the XLA path (see _use_pallas);
+    # calling the pallas scan directly asserts.
+    rng = np.random.default_rng(21)
+    e = _unit_rows(rng, 3 * TILE_N, 32)
+    q = _unit_rows(rng, 70, 32)
+    with pytest.raises(AssertionError):
+        pallas_topk_scan(q, e, 4, interpret=True)
+    # the public dispatcher handles it fine
+    d_ref, i_ref = topk_scan(q, e, 4)
+    assert d_ref.shape == (70, 4)

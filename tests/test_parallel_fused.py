@@ -40,3 +40,21 @@ def test_fused_local_matches_xla_path():
     d_ref, i_ref = topk_scan(q, e, k)
     np.testing.assert_array_equal(np.asarray(i_f), i_ref)
     np.testing.assert_allclose(np.asarray(d_f), d_ref, atol=1e-5)
+
+
+def test_int8_sharded_matches_single_device():
+    from semtools_tpu.ops.int8_scan import int8_topk_scan, quantize_global
+    from semtools_tpu.parallel.scan import sharded_int8_topk_scan
+
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(5)
+    n = n_dev * (TILE_N // 2)  # per-shard below pallas threshold is fine
+    e = rng.standard_normal((n, 64)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = e[:2] + 0.01
+    e8, es = quantize_global(e)
+    d_s, i_s = sharded_int8_topk_scan(q, e8, es, 5, mesh, interpret=True)
+    d_1, i_1 = int8_topk_scan(q, e8, es, 5, interpret=True)
+    np.testing.assert_array_equal(i_s, i_1)
+    np.testing.assert_allclose(d_s, d_1, atol=1e-5)
