@@ -34,6 +34,8 @@ def _native_encode_ascii_batch(texts: Sequence[str], vocab_size: int,
     non-ASCII texts must not reach this function (Unicode word/space
     classes differ from the ASCII ones the native scanner uses).
     """
+    import numpy as np
+
     from semtools_tpu.utils import native
 
     lib = native.load()
@@ -59,8 +61,12 @@ def _native_encode_ascii_batch(texts: Sequence[str], vocab_size: int,
         if n <= cap:
             break
         cap = n
+    # One bulk copy out of the ctypes buffer, then per-text views — never
+    # materialize millions of Python ints (the marshalling would cost more
+    # than the tokenization itself).
+    arr = np.frombuffer(out_ids, dtype=np.uint32, count=int(n)).astype(np.int32)
     return [
-        list(out_ids[out_offsets[i]:out_offsets[i + 1]])
+        arr[int(out_offsets[i]):int(out_offsets[i + 1])]
         for i in range(len(texts))
     ]
 
@@ -101,8 +107,10 @@ class HashTokenizer:
         """Batch encode; ASCII texts take the native C++ path when built.
 
         Non-ASCII texts go through the Python implementation (its Unicode
-        word/space classes are the source of truth), so results are
-        identical with or without the native library.
+        word/space classes are the source of truth), so ids are identical
+        with or without the native library. Native results are int32
+        numpy arrays (python fallback returns lists); downstream flatten
+        code handles both.
         """
         from semtools_tpu.utils import native
 

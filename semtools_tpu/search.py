@@ -60,13 +60,44 @@ def create_document_from_content(
     filename: str, content: str, model: StaticModel, ignore_case: bool
 ) -> Optional[Document]:
     """Split content into lines and embed each; None for empty content."""
-    lines = split_lines(content)
-    if not lines:
-        return None
-    to_embed = [ln.lower() for ln in lines] if ignore_case else lines
+    docs = create_documents_from_contents([(filename, content)], model, ignore_case)
+    return docs[0] if docs else None
+
+
+def create_documents_from_contents(
+    items: Sequence[Tuple[str, str]], model: StaticModel, ignore_case: bool
+) -> List[Document]:
+    """Batched variant: embed every line of every document in one encode.
+
+    One device dispatch per token-budget bucket instead of one per file —
+    on hosts with per-dispatch latency (remote/tunneled accelerators) this
+    is the difference between O(files) and O(1) round-trips. Documents
+    with no lines are dropped (reference returns None for them,
+    src/search/mod.rs:49-58).
+    """
+    per_doc_lines: List[Tuple[str, List[str]]] = []
+    all_lines: List[str] = []
+    for filename, content in items:
+        lines = split_lines(content)
+        if not lines:
+            continue
+        per_doc_lines.append((filename, lines))
+        all_lines.extend(lines)
+    if not per_doc_lines:
+        return []
+    to_embed = [ln.lower() for ln in all_lines] if ignore_case else all_lines
     with stage("embed"):
         embeddings = model.encode(to_embed, max_length=2048)
-    return Document(filename=filename, lines=lines, embeddings=embeddings)
+    docs: List[Document] = []
+    offset = 0
+    for filename, lines in per_doc_lines:
+        docs.append(Document(
+            filename=filename,
+            lines=lines,
+            embeddings=embeddings[offset:offset + len(lines)],
+        ))
+        offset += len(lines)
+    return docs
 
 
 def _result_for_line(
@@ -131,13 +162,9 @@ def search_files(
     config: SearchConfig,
 ) -> List[SearchResult]:
     """Read, embed, and search files. IO errors propagate (reference mod.rs:130)."""
-    documents = []
     with stage("read_files"):
         contents = [(f, read_file_text(f)) for f in files]
-    for f, content in contents:
-        doc = create_document_from_content(f, content, model, config.ignore_case)
-        if doc is not None:
-            documents.append(doc)
+    documents = create_documents_from_contents(contents, model, config.ignore_case)
 
     query_text = query.lower() if config.ignore_case else query
     query_embedding = model.encode_single(query_text)
@@ -171,12 +198,15 @@ def search_with_workspace(
 
     lines_upserted = 0
     metas = []
-    for state in states:
-        if state.kind in ("changed", "new"):
-            info = state.info
-            doc = create_document_from_content(
-                info.filename, info.content, model, config.ignore_case
-            )
+    dirty = [s2.info for s2 in states if s2.kind in ("changed", "new")]
+    if dirty:
+        docs = create_documents_from_contents(
+            [(info.filename, info.content) for info in dirty],
+            model, config.ignore_case,
+        )
+        by_name = {d.filename: d for d in docs}
+        for info in dirty:
+            doc = by_name.get(info.filename)
             if doc is not None:
                 store.upsert_document_lines(info.filename, doc.embeddings)
                 lines_upserted += len(doc.lines)

@@ -116,7 +116,7 @@ class TestHashTok:
             texts, tok.vocab_size, tok.ngram_min, tok.ngram_max
         )
         py_ids = tok._encode_py_batch(texts)
-        assert native_ids == py_ids
+        assert [list(map(int, ids)) for ids in native_ids] == py_ids
 
     def test_basic(self):
         self._parity(["hello world", "The QUICK brown-fox!", "", "   ", "a"])
@@ -147,4 +147,5 @@ class TestHashTok:
     def test_encode_batch_routes_non_ascii_to_python(self):
         tok = HashTokenizer()
         texts = ["plain ascii", "héllo wörld", "日本語のテキスト", "mixed é ascii"]
-        assert tok.encode_batch(texts) == tok._encode_py_batch(texts)
+        got = tok.encode_batch(texts)
+        assert [list(map(int, ids)) for ids in got] == tok._encode_py_batch(texts)
