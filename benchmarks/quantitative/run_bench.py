@@ -134,7 +134,7 @@ def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
 
     d_exact, i_exact = topk_scan(qq, e, k)
     t0 = _now()
-    _, i_ann = index.search(qq, k=k, nprobe=nprobe, rerank=4)
+    _, i_ann = index.search(qq, k=k, nprobe=nprobe)
     ann_s = _now() - t0
     t0 = _now()
     topk_scan(qq, e, k)

@@ -298,6 +298,9 @@ def _grep_lines(path: str, compiled: "re.Pattern[str]", lines: List[str]) -> Lis
 
         if grepscan.available():
             return grepscan.match_lines(path, compiled.pattern, bool(compiled.flags & re.IGNORECASE))
-    except ImportError:
+    except (ImportError, ValueError, OSError):
+        # ValueError: the native scanner rejected the pattern (std::regex
+        # lacks some Python re constructs, e.g. named groups/lookbehind)
+        # or could not read the file — the Python path is authoritative.
         pass
     return _python_grep(path, compiled, lines)

@@ -450,7 +450,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         code = _daemon.forward(effective_argv, stdin_text)
         if code is not None:
             return code
-        # daemon unreachable: fall through and run locally
+        # Daemon unreachable (e.g. stale socket): fall through and run
+        # locally — re-materialize the already-consumed stdin first.
+        if stdin_text is not None:
+            import io
+
+            sys.stdin = io.StringIO(stdin_text)
 
     configure_jax()
     args = build_parser().parse_args(argv)

@@ -88,7 +88,11 @@ def _run_command(req) -> dict:
         try:
             if cwd:
                 os.chdir(cwd)
-            os.environ.update({k: v for k, v in env_overrides.items() if v is not None})
+            for k, v in env_overrides.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
             stdin = io.StringIO(stdin_text) if stdin_text is not None else io.StringIO()
             with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
                 old_stdin = sys.stdin
@@ -187,10 +191,13 @@ def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
         "argv": list(argv),
         "stdin": stdin_text,
         "cwd": os.getcwd(),
+        # Every relevant key is sent, with null for unset — the daemon must
+        # UNSET those for the request, or its own stale environment (e.g. a
+        # SEMTOOLS_WORKSPACE it was started under) would leak into clients
+        # that have unset them.
         "env": {
             k: os.environ.get(k)
             for k in ("SEMTOOLS_WORKSPACE", "OPENAI_API_KEY", "LLAMA_CLOUD_API_KEY", "HOME")
-            if os.environ.get(k) is not None
         },
     })
     if resp is None or "exit" not in resp:

@@ -115,6 +115,9 @@ def _fallback_table() -> np.ndarray:
     return table
 
 
+_MODEL_CACHE: dict = {}
+
+
 class StaticModel:
     """Tokenize on host, pool on TPU.
 
@@ -143,6 +146,26 @@ class StaticModel:
         subfolder: Optional[str] = None,
     ) -> "StaticModel":
         del hf_token
+        # Process-level memo: long-lived processes (the daemon, test runs)
+        # must not re-read artifacts and re-upload the embedding table on
+        # every command. Models are immutable after load.
+        key = (name_or_path, normalize_override, subfolder)
+        cached = _MODEL_CACHE.get(key)
+        if cached is not None:
+            return cached
+        model = cls._from_pretrained_uncached(
+            name_or_path, normalize_override=normalize_override, subfolder=subfolder
+        )
+        _MODEL_CACHE[key] = model
+        return model
+
+    @classmethod
+    def _from_pretrained_uncached(
+        cls,
+        name_or_path: str,
+        normalize_override: Optional[bool] = None,
+        subfolder: Optional[str] = None,
+    ) -> "StaticModel":
         target = name_or_path if subfolder is None else str(Path(name_or_path) / subfolder)
         art_dir = _find_artifact_dir(target)
         if art_dir is None:
@@ -206,5 +229,5 @@ class StaticModel:
 
 
 def load_model(name_or_path: str = MODEL_NAME) -> StaticModel:
-    """Convenience loader used by the CLI."""
+    """Convenience loader used by the CLI (memoized via from_pretrained)."""
     return StaticModel.from_pretrained(name_or_path)

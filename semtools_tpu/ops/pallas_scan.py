@@ -294,29 +294,36 @@ def pallas_topk_scan(
     e,
     k: int,
     *,
+    n_true: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k cosine-distance scan via the fused Pallas kernel.
 
     Same contract as :func:`semtools_tpu.ops.scan.topk_scan`: unit-or-zero
     rows in, (distances [Q, k'], indices [Q, k']) out, ascending distance,
-    ties keep corpus order. Off-TPU backends run the kernel in interpreter
-    mode (exact but slow — used by the CPU test suite).
+    ties keep corpus order. ``n_true`` marks trailing rows as padding —
+    pre-padded (cached) corpora then skip the per-call re-pad copy. Off-TPU
+    backends run the kernel in interpreter mode (exact but slow — used by
+    the CPU test suite).
     """
     if interpret is None:
         interpret = _should_interpret()
     q = jnp.asarray(q)
     e = jnp.asarray(e)
-    n = e.shape[0]
+    n = e.shape[0] if n_true is None else min(n_true, e.shape[0])
     k_eff = min(k, n)
     if k_eff == 0:
         qn = q.shape[0]
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
     tile_n = tile_for_dtype(e.dtype)
-    n_pad = -(-n // tile_n) * tile_n
-    if n_pad != n:
-        e = jnp.concatenate([e, jnp.zeros((n_pad - n, e.shape[1]), e.dtype)], axis=0)
+    # Pad the ARRAY (which may already carry caller padding past n_true) up
+    # to a tile multiple; the kernels mask rows >= n regardless.
+    n_pad = -(-e.shape[0] // tile_n) * tile_n
+    if n_pad != e.shape[0]:
+        e = jnp.concatenate(
+            [e, jnp.zeros((n_pad - e.shape[0], e.shape[1]), e.dtype)], axis=0
+        )
 
     num_tiles = n_pad // tile_n
     qn = q.shape[0]

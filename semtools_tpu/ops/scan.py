@@ -22,7 +22,7 @@ partial-top-k-then-merge shape used for the multi-device path in
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,9 +50,16 @@ def cosine_distances(q, e):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _topk_chunk(q, e, base: int, *, k: int):
-    """Per-chunk scan: distances + top-k with global indices."""
+def _topk_chunk(q, e, base: int, n_true, *, k: int):
+    """Per-chunk scan: distances + top-k with global indices.
+
+    Rows with global index >= n_true (padding in pre-padded cached
+    corpora) are masked to -inf similarity; n_true is traced, so corpora
+    of any true length share one executable per chunk shape.
+    """
     sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, e.shape[0]), 1) + base
+    sims = jnp.where(col < n_true, sims, -jnp.inf)
     neg_dist, idx = jax.lax.top_k(sims, k)  # max sim == min distance
     return 1.0 - neg_dist, idx + base
 
@@ -98,15 +105,17 @@ def _use_pallas(n: int, k: int, qn: int) -> bool:
     return n >= 2 * TILE_N
 
 
-def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
+def topk_scan(q, e, k: int, n_true: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k nearest lines for each query row.
 
     q: [Q, D] float32 (unit-or-zero rows)
-    e: [N, D] float32 (unit-or-zero rows)
-    Returns (distances [Q, k'], indices [Q, k']) with k' = min(k, N),
+    e: [N, D] float32 (unit-or-zero rows); rows at index >= ``n_true``
+       (default: all rows are real) are padding and never selected —
+       pre-padded device-cached corpora avoid a per-query re-pad copy.
+    Returns (distances [Q, k'], indices [Q, k']) with k' = min(k, n_true),
     sorted ascending by distance; ties keep corpus order.
     """
-    n = e.shape[0]
+    n = e.shape[0] if n_true is None else min(n_true, e.shape[0])
     k_eff = min(k, n)
     if k_eff == 0:
         qn = np.shape(q)[0]
@@ -115,18 +124,18 @@ def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
     if _use_pallas(n, k_eff, int(np.shape(q)[0])):
         from semtools_tpu.ops.pallas_scan import pallas_topk_scan
 
-        return pallas_topk_scan(q, e, k_eff)
+        return pallas_topk_scan(q, e, k_eff, n_true=n)
 
-    if n <= SCAN_CHUNK:
-        d, i = _topk_chunk(q, e, 0, k=k_eff)
+    if e.shape[0] <= SCAN_CHUNK:
+        d, i = _topk_chunk(q, e, 0, n, k=k_eff)
         return np.asarray(d), np.asarray(i)
 
     parts_d = []
     parts_i = []
-    for start in range(0, n, SCAN_CHUNK):
+    for start in range(0, e.shape[0], SCAN_CHUNK):
         chunk = e[start : start + SCAN_CHUNK]
         kk = min(k_eff, chunk.shape[0])
-        d, i = _topk_chunk(q, chunk, start, k=kk)
+        d, i = _topk_chunk(q, chunk, start, n, k=kk)
         parts_d.append(d)
         parts_i.append(i)
     dists = jnp.concatenate(parts_d, axis=1)
@@ -135,15 +144,18 @@ def topk_scan(q, e, k: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(d), np.asarray(i)
 
 
-def threshold_scan(q, e, max_distance: float) -> Tuple[np.ndarray, np.ndarray]:
+def threshold_scan(q, e, max_distance: float, n_true: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """All (query, line) pairs with distance strictly below ``max_distance``.
 
     Mirrors the reference's threshold mode, which returns an unbounded number
     of hits (src/search/mod.rs:113-119: the threshold overrides top-k).
     Returns (distances [M], flat indices [M]) for Q == 1 queries, ascending.
+    Rows at index >= ``n_true`` are padding and excluded.
     """
     assert q.shape[0] == 1, "threshold_scan expects a single query row"
     dists = np.asarray(cosine_distances(q, e))[0]
+    if n_true is not None:
+        dists = dists[:n_true]
     keep = np.nonzero(dists < max_distance)[0]
     order = np.argsort(dists[keep], kind="stable")
     keep = keep[order]

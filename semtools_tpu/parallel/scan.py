@@ -40,10 +40,19 @@ def _local_then_global_topk(
         # same ~20x that the single-chip path gains. Only taken when the
         # shard has no padding rows (n_true % n_shards == 0), so every
         # local row is valid and the static n_true=n_local mask is exact.
-        from semtools_tpu.ops.pallas_scan import _two_phase_topk
+        from semtools_tpu.ops.pallas_scan import TILE_N, _two_phase_topk
 
+        # Pad the local shard to a tile multiple: _two_phase_topk's grid
+        # floors at tile boundaries, so an unpadded ragged tail would be
+        # silently skipped (n_true masks the pad rows).
+        pad = (-n_local) % TILE_N
+        e_in = e_local
+        if pad:
+            e_in = jnp.concatenate(
+                [e_local, jnp.zeros((pad, e_local.shape[1]), e_local.dtype)], axis=0
+            )
         d_loc, idx_l = _two_phase_topk(
-            q, e_local, k=k_local, n_true=n_local, interpret=interpret
+            q, e_in, k=k_local, n_true=n_local, interpret=interpret
         )
         vals = 1.0 - d_loc  # sims desc
         idx = idx_l + jax.lax.axis_index(axis) * n_local

@@ -30,9 +30,12 @@ def _max_bytes() -> int:
         return 4 << 30
 
 
-def _nbytes(arr) -> int:
+def _nbytes(value) -> int:
+    """Bytes held by an array or a (possibly nested) tuple/list of arrays."""
+    if isinstance(value, (tuple, list)):
+        return sum(_nbytes(v) for v in value)
     try:
-        return int(arr.size) * arr.dtype.itemsize
+        return int(value.size) * value.dtype.itemsize
     except Exception:
         return 0
 

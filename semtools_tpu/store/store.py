@@ -342,7 +342,7 @@ class Store:
         ).fetchone()[0]
 
     def get_stats(self) -> WorkspaceStats:
-        index_type = "ivf-pq" if self._ann_fresh() is not None else "exact-mxu-scan"
+        index_type = "ivf-pq" if self._ann_generation_matches() else "exact-mxu-scan"
         return WorkspaceStats(
             total_documents=self.count_documents(),
             has_index=True,
@@ -382,21 +382,40 @@ class Store:
     def _ann_paths(self) -> Tuple[Path, Path]:
         return self.dir / _ANN_FILE, self.dir / _ANN_META_FILE
 
-    def _ann_fresh(self):
-        """(index, slots) when a saved ANN index matches the current
-        generation; None otherwise."""
+    def _ann_generation_matches(self) -> bool:
+        """Cheap freshness probe: reads only the generation scalar (npz
+        members load lazily), never the codes/slots arrays."""
         ann_path, meta_path = self._ann_paths()
         if not (ann_path.exists() and meta_path.exists()):
-            return None
+            return False
         try:
-            meta = np.load(meta_path)
-            if int(meta["generation"]) != self.generation():
-                return None
+            with np.load(meta_path) as meta:
+                return int(meta["generation"]) == self.generation()
+        except Exception:
+            return False
+
+    def _ann_fresh(self):
+        """(index, slots) when a saved ANN index matches the current
+        generation; None otherwise. The deserialized index is cached on
+        the instance per generation — loading PQ codes for a big corpus
+        costs real I/O and every search would otherwise pay it twice."""
+        if not self._ann_generation_matches():
+            return None
+        gen = self.generation()
+        cached = getattr(self, "_ann_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1], cached[2]
+        ann_path, meta_path = self._ann_paths()
+        try:
             from semtools_tpu.index.ivf_pq import IvfPqIndex
 
-            return IvfPqIndex.load(str(ann_path)), meta["slots"]
+            index = IvfPqIndex.load(str(ann_path))
+            with np.load(meta_path) as meta:
+                slots = meta["slots"]
         except Exception:
             return None
+        self._ann_cache = (gen, index, slots)
+        return index, slots
 
     def build_ann_index(self, force: bool = False, verbose: bool = False):
         """Build (or refresh) the IVF-PQ tier over all stored vectors.
@@ -441,9 +460,11 @@ class Store:
     ) -> List[RankedLine]:
         """ANN probe + exact re-rank against the mmap'd original vectors."""
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        oversample = max(4 * top_k, 32)
-        _, ids = index.search(q, k=min(oversample, index.n), nprobe=16)
+        oversample = max(16 * top_k, 64)
+        nprobe = max(16, index.nlist // 16)
+        _, ids = index.search(q, k=min(oversample, index.n), nprobe=nprobe)
         ids = ids[0]
+        ids = ids[ids >= 0]  # drop padding entries from under-filled probes
         cand_slots = slots[ids]
         mm = self._mmap("r")
         rows = np.asarray(mm[cand_slots])
@@ -553,14 +574,20 @@ class Store:
             del mm
             return corpus
 
+        n_true = None
         if full_store:
             # Long-lived processes (daemon) keep the whole corpus resident
-            # on device; the generation key guarantees freshness.
+            # on device; the generation key guarantees freshness. The entry
+            # is pre-padded to the scan kernels' tile multiple so queries
+            # never re-pad (and re-copy) the corpus.
             from semtools_tpu.store import device_cache
 
-            corpus = device_cache.get_or_put(
+            entry = device_cache.get_or_put(
                 (str(self.dir), self.generation()), self._device_corpus_builder(_gather)
             )
+            if entry is None:
+                return []
+            corpus, n_true = entry
         else:
             corpus = _gather()
         if corpus is None:
@@ -576,10 +603,10 @@ class Store:
 
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
         if max_distance is not None:
-            dists, idxs = threshold_scan(q, corpus, float(max_distance))
+            dists, idxs = threshold_scan(q, corpus, float(max_distance), n_true=n_true)
             dists, idxs = dists[:top_k], idxs[:top_k]
         else:
-            d, i = topk_scan(q, corpus, top_k)
+            d, i = topk_scan(q, corpus, top_k, n_true=n_true)
             dists, idxs = d[0], i[0]
 
         return [
@@ -593,7 +620,8 @@ class Store:
 
     @staticmethod
     def _device_corpus_builder(gather):
-        """Builder that pushes the gathered corpus to device once."""
+        """Builder pushing the gathered corpus to device once, pre-padded
+        to the scan tile multiple; returns (device_array, n_true)."""
 
         def build():
             corpus = gather()
@@ -601,7 +629,15 @@ class Store:
                 return None
             import jax.numpy as jnp
 
-            return jnp.asarray(corpus)
+            from semtools_tpu.ops.pallas_scan import TILE_N
+
+            n = corpus.shape[0]
+            pad = (-n) % TILE_N
+            if pad:
+                corpus = np.concatenate(
+                    [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)], axis=0
+                )
+            return jnp.asarray(corpus), n
 
         return build
 

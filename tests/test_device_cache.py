@@ -72,3 +72,12 @@ def test_store_full_scan_uses_cache_and_respects_generation(tmp_path):
     assert {rl.line_number for rl in got2} == {3, 5}
     assert device_cache.stats()[0] == 2
     s.close()
+
+
+def test_nbytes_counts_tuple_entries(monkeypatch):
+    # store entries are (array, n_true) tuples; byte accounting must see them
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(2 * 64))
+    for i in range(4):
+        device_cache.get_or_put(("t", i), lambda: (np.zeros(16, np.float32), 16))
+    n, total = device_cache.stats()
+    assert n <= 2 and total <= 2 * 64

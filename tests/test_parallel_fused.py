@@ -58,3 +58,26 @@ def test_int8_sharded_matches_single_device():
     d_1, i_1 = int8_topk_scan(q, e8, es, 5, interpret=True)
     np.testing.assert_array_equal(i_s, i_1)
     np.testing.assert_allclose(d_s, d_1, atol=1e-5)
+
+
+def test_fused_local_non_tile_aligned_shard_keeps_tail():
+    # Regression: the fused branch used to floor at tile boundaries and
+    # silently skip each shard's ragged tail rows.
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(9)
+    n_local = 2 * TILE_N + 100  # NOT a multiple of TILE_N
+    n = n_dev * n_local
+    e = rng.standard_normal((n, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((1, 32)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # plant the best match in the ragged tail of the last shard
+    target = n - 5
+    e[target] = 0.98 * q[0] + 0.02 * e[0]
+    e[target] /= np.linalg.norm(e[target])
+
+    e_sharded, _ = shard_corpus(e, mesh)
+    fn = sharded_topk_fn(mesh, 3, n_local, n, fused=True, interpret=True)
+    d, i = fn(jnp.asarray(q), e_sharded)
+    assert int(np.asarray(i)[0, 0]) == target
