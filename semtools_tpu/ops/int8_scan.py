@@ -175,10 +175,13 @@ def int8_topk_scan(
     e_scale: float,
     k: int,
     *,
+    n_true: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k over a globally-scaled int8 corpus. ``q`` is f32.
 
+    ``e8`` may be a numpy or device array; rows at index >= ``n_true`` are
+    padding (pre-padded cached corpora skip the per-call re-pad copy).
     Returns (distances [Q, k'], indices [Q, k']) ascending, k' = min(k, N);
     distance = 1 - int_sim * scale_q * scale_e (~1e-2 of the f32 value,
     ranking-stable for retrieval).
@@ -186,16 +189,19 @@ def int8_topk_scan(
     if interpret is None:
         interpret = _should_interpret()
     q8, q_scale = quantize_global(np.asarray(q))
-    n = e8.shape[0]
+    n = e8.shape[0] if n_true is None else min(n_true, e8.shape[0])
     k_eff = min(k, n)
     if k_eff == 0:
         qn = q8.shape[0]
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
-    n_pad = -(-n // TILE_N) * TILE_N
-    if n_pad != n:
-        e8 = np.concatenate([e8, np.zeros((n_pad - n, e8.shape[1]), np.int8)], axis=0)
+    e8 = jnp.asarray(e8)
+    n_pad = -(-e8.shape[0] // TILE_N) * TILE_N
+    if n_pad != e8.shape[0]:
+        e8 = jnp.concatenate(
+            [e8, jnp.zeros((n_pad - e8.shape[0], e8.shape[1]), jnp.int8)], axis=0
+        )
     sims, i = _int8_two_phase(
-        jnp.asarray(q8), jnp.asarray(e8), k=k_eff, n_true=n, interpret=interpret
+        jnp.asarray(q8), e8, k=k_eff, n_true=n, interpret=interpret
     )
     return np.asarray(1.0 - np.asarray(sims) * (q_scale * e_scale)), np.asarray(i)

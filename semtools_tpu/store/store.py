@@ -48,6 +48,18 @@ _ANN_FILE = "ann.npz"
 _ANN_META_FILE = "ann_meta.npz"
 
 
+def _int8_tier_enabled() -> bool:
+    """Opt-in compressed serving tier (SEMTOOLS_TPU_STORE_INT8=1).
+
+    Whole-store scans then run on a device-cached int8 copy of the corpus
+    (4x less device memory + HBM traffic; ~1.4x faster than bf16 on v5e)
+    with an exact f32 re-rank of the oversampled top candidates, so
+    reported distances stay exact; the approximation only affects which
+    candidates reach the re-rank (int8 sim error ~1e-2).
+    """
+    return os.environ.get("SEMTOOLS_TPU_STORE_INT8") == "1"
+
+
 def _ann_min_rows() -> int:
     """Corpus size at which the IVF-PQ tier starts paying for its build.
 
@@ -575,6 +587,10 @@ class Store:
             return corpus
 
         n_true = None
+        if full_store and _int8_tier_enabled() and max_distance is None:
+            hits = self._search_int8_cached(_gather, ranges, query_vec, top_k)
+            if hits is not None:
+                return hits
         if full_store:
             # Long-lived processes (daemon) keep the whole corpus resident
             # on device; the generation key guarantees freshness. The entry
@@ -617,6 +633,63 @@ class Store:
             )
             for dist, j in zip(dists, idxs)
         ]
+
+    def _search_int8_cached(self, gather, ranges, query_vec, top_k):
+        """Whole-store scan on the device-cached int8 corpus + exact rerank."""
+        import jax.numpy as jnp
+
+        from semtools_tpu.ops.int8_scan import (
+            TILE_N as INT8_TILE,
+            int8_topk_scan,
+            quantize_global,
+        )
+        from semtools_tpu.store import device_cache
+
+        def build():
+            corpus = gather()
+            if corpus is None:
+                return None
+            n = corpus.shape[0]
+            e8, scale = quantize_global(corpus)
+            pad = (-n) % INT8_TILE
+            if pad:
+                e8 = np.concatenate(
+                    [e8, np.zeros((pad, e8.shape[1]), np.int8)], axis=0
+                )
+            return jnp.asarray(e8), float(scale), n
+
+        entry = device_cache.get_or_put(
+            (str(self.dir), self.generation(), "int8"), build
+        )
+        if entry is None:
+            return None
+        e8_dev, scale, n = entry
+        q = np.asarray(query_vec, np.float32).reshape(1, -1)
+        oversample = min(max(4 * top_k, 16), n)
+        _, idx = int8_topk_scan(q, e8_dev, scale, oversample, n_true=n)
+        idx = idx[0]
+
+        # Exact f32 re-rank of the oversampled candidates from the mmap.
+        mm = self._mmap("r")
+        if mm is None:
+            return None
+        # candidate scan-row -> slot: ranges are in slot order
+        slot_blocks = [np.arange(s2, s2 + ln, dtype=np.int64) for _, s2, ln in ranges]
+        slots = np.concatenate(slot_blocks)
+        cand_slots = slots[idx]
+        rows = np.asarray(mm[cand_slots])
+        del mm
+        exact = 1.0 - rows @ q[0]
+        order = np.argsort(exact, kind="stable")[:top_k]
+
+        starts = np.array([s2 for _, s2, _ in ranges], dtype=np.int64)
+        out = []
+        for oi in order:
+            slot = int(cand_slots[oi])
+            ri = int(np.searchsorted(starts, slot, side="right")) - 1
+            path, s2, _ = ranges[ri]
+            out.append(RankedLine(path=path, line_number=slot - s2, distance=float(exact[oi])))
+        return out
 
     @staticmethod
     def _device_corpus_builder(gather):

@@ -81,3 +81,23 @@ def test_nbytes_counts_tuple_entries(monkeypatch):
         device_cache.get_or_put(("t", i), lambda: (np.zeros(16, np.float32), 16))
     n, total = device_cache.stats()
     assert n <= 2 and total <= 2 * 64
+
+
+def test_int8_tier_env_gated(tmp_path, monkeypatch):
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    s = Store(str(tmp_path / "wsq"), dim=32)
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((40, 32)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    s.upsert_document_lines("/q.txt", rows)
+    q = rows[11]
+    got = s.search_line_embeddings(q, ["/q.txt"], top_k=3)
+    assert got[0].line_number == 11
+    assert got[0].distance < 1e-5  # exact rerank reports f32 distances
+    # entries: one int8-keyed cache entry
+    keys_hit, _ = device_cache.stats()
+    assert keys_hit >= 1
+    # threshold mode bypasses the int8 tier (uses exact path)
+    got_t = s.search_line_embeddings(q, ["/q.txt"], top_k=5, max_distance=0.5)
+    assert any(rl.line_number == 11 for rl in got_t)
+    s.close()
