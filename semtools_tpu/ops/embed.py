@@ -100,7 +100,8 @@ def embed_token_lists(
     max_length: int = 2048,
     normalize: bool = True,
 ) -> np.ndarray:
-    """Embed ragged token-id lists → ``[len(token_lists), D]`` float32.
+    """Embed ragged token-id lists → ``[len(token_lists), D]`` float32
+    (device array; ``np.asarray`` it for host use).
 
     Splits work into device calls bounded by MAX_TOKENS_PER_CALL /
     MAX_TEXTS_PER_CALL so activation memory stays bounded for arbitrarily
@@ -126,7 +127,11 @@ def embed_token_lists(
             num_segments=b_bucket + 1,
             normalize=normalize,
         )
-        out.append(np.asarray(res[: len(chunk)]))
+        # Stay on device: the scan consumes these directly, and a
+        # host round-trip of the whole corpus would dominate on
+        # dispatch-latency-bound hosts. Callers that need host data
+        # (store upserts) np.asarray the result themselves.
+        out.append(res[: len(chunk)])
         chunk = []
         chunk_tokens = 0
 
@@ -138,7 +143,7 @@ def embed_token_lists(
         chunk_tokens += n
     flush()
 
-    return np.concatenate(out, axis=0) if len(out) > 1 else out[0]
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 
 def embed_token_lists_reference(

@@ -116,7 +116,12 @@ def _result_for_line(
 
 
 def _corpus_of(documents: Sequence[Document]) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
-    """Concatenate doc embeddings; map flat row -> (doc index, line index)."""
+    """Concatenate doc embeddings; map flat row -> (doc index, line index).
+
+    Embeddings may be device arrays (they usually are — the embed op keeps
+    its output on device); concatenation then happens on device and the
+    scan consumes it without a host round-trip.
+    """
     mats = [d.embeddings for d in documents if len(d.lines)]
     owners: List[Tuple[int, int]] = []
     for di, d in enumerate(documents):
@@ -124,6 +129,17 @@ def _corpus_of(documents: Sequence[Document]) -> Tuple[np.ndarray, List[Tuple[in
     if not mats:
         dim = documents[0].embeddings.shape[1] if documents else 0
         return np.zeros((0, dim), np.float32), owners
+    if len(mats) == 1:
+        return mats[0], owners
+    try:
+        import jax
+
+        if isinstance(mats[0], jax.Array):
+            import jax.numpy as jnp
+
+            return jnp.concatenate(mats, axis=0), owners
+    except ImportError:
+        pass
     return np.concatenate(mats, axis=0), owners
 
 
