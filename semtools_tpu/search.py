@@ -65,9 +65,15 @@ def create_document_from_content(
 
 
 def create_documents_from_contents(
-    items: Sequence[Tuple[str, str]], model: StaticModel, ignore_case: bool
+    items: Sequence[Tuple[str, str]], model: StaticModel, ignore_case: bool,
+    host: bool = False,
 ) -> List[Document]:
     """Batched variant: embed every line of every document in one encode.
+
+    ``host=True`` transfers the whole embedding matrix device->host ONCE
+    and slices in numpy — for callers that need host data per document
+    (the store upsert path), where per-doc conversion would pay one
+    transfer round-trip per file.
 
     One device dispatch per token-budget bucket instead of one per file —
     on hosts with per-dispatch latency (remote/tunneled accelerators) this
@@ -88,6 +94,8 @@ def create_documents_from_contents(
     to_embed = [ln.lower() for ln in all_lines] if ignore_case else all_lines
     with stage("embed"):
         embeddings = model.encode(to_embed, max_length=2048)
+    if host:
+        embeddings = np.asarray(embeddings)
     docs: List[Document] = []
     offset = 0
     for filename, lines in per_doc_lines:
@@ -218,7 +226,7 @@ def search_with_workspace(
     if dirty:
         docs = create_documents_from_contents(
             [(info.filename, info.content) for info in dirty],
-            model, config.ignore_case,
+            model, config.ignore_case, host=True,
         )
         by_name = {d.filename: d for d in docs}
         for info in dirty:
