@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-from semtools_tpu.ops.int8_scan import _int8_two_phase, quantize_rows  # noqa: E402
+from semtools_tpu.ops.int8_scan import _int8_two_phase, quantize_global  # noqa: E402
 from semtools_tpu.ops.int8_scan import TILE_N as INT8_TILE  # noqa: E402
 from semtools_tpu.ops.pallas_scan import _two_phase_topk, tile_for_dtype  # noqa: E402
 
@@ -62,12 +62,12 @@ def make_two_phase_runner(tile_n):
 
 
 @jax.jit
-def run_int8(q8, e8, qs, es):
+def run_int8(q8, e8):
     def body(i, carry):
         acc, qq = carry
-        d, idx = _int8_two_phase(qq, e8, qs, es, k=K, n_true=N, interpret=False)
-        acc = acc + d[0, 0] + idx.astype(jnp.float32)[0, 0]
-        qq = jnp.clip(qq + (acc > 1e30).astype(jnp.int8), -127, 127)
+        s, idx = _int8_two_phase(qq, e8, k=K, n_true=N, interpret=False)
+        acc = acc + s[0, 0] + idx.astype(jnp.float32)[0, 0]
+        qq = qq + (acc > 1e30).astype(jnp.int8)
         return acc, qq
 
     acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q8))
@@ -91,14 +91,12 @@ def main():
     rng = np.random.Generator(np.random.Philox(0))
     x = rng.standard_normal((N, DIM), dtype=np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    e8_np, es_np = quantize_rows(x)
+    e8_np, _ = quantize_global(x)
     del x
-    q8_np, qs_np = quantize_rows(rng.standard_normal((Q, DIM), dtype=np.float32))
+    q8_np, _ = quantize_global(rng.standard_normal((Q, DIM), dtype=np.float32))
     e8 = jnp.asarray(e8_np)
-    es = jnp.asarray(es_np)
     q8 = jnp.asarray(q8_np)
-    qs = jnp.asarray(qs_np)
-    t = bench(run_int8, q8, e8, qs, es)
+    t = bench(run_int8, q8, e8)
     results["int8"] = round(N / (t * 1e3), 1)
     print(json.dumps({f"int8_tile{INT8_TILE}_vecs_per_ms": results["int8"]}), flush=True)
 

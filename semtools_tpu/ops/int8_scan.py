@@ -43,6 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from semtools_tpu.ops.pallas_scan import (
+    _should_interpret,
+    extract_topk_rounds,
+    merge_candidates_sorted,
+    pad_rows,
+)
+
 # Measured on TPU v5e: larger tiles gain <4% on the sweep but lose more on
 # the phase-2 rescan (Q*k tiles re-read scale with tile size).
 TILE_N = 2048
@@ -93,17 +100,9 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
     valid = (col + tile_id * TILE_N < n_true) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
-    vals = []
-    idxs = []
-    for _ in range(k):
-        m = jnp.max(sims, axis=1, keepdims=True)
-        arg = jnp.min(jnp.where(sims == m, col, TILE_N), axis=1, keepdims=True)
-        vals.append(m)
-        idxs.append(arg)
-        sims = jnp.where(col == arg, _NEG_INF, sims)
-
-    vals_ref[0] = jnp.concatenate(vals, axis=1)
-    idx_ref[0] = jnp.concatenate(idxs, axis=1) + tile_id * TILE_N
+    vals, idxs = extract_topk_rounds(sims, col, k, TILE_N)
+    vals_ref[0] = vals
+    idx_ref[0] = idxs + tile_id * TILE_N
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret"))
@@ -158,15 +157,7 @@ def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool):
         interpret=interpret,
     )(flat_ids, q8, e8)
 
-    t, _, kk = cand_vals.shape
-    flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(qn, t * kk)
-    flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(qn, t * kk)
-    sv, si = jax.lax.sort((-flat_vals, flat_idx), dimension=1, num_keys=2)
-    return -sv[:, :k], si[:, :k]
-
-
-def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return merge_candidates_sorted(cand_vals, cand_idx, k)
 
 
 def int8_topk_scan(
@@ -195,12 +186,7 @@ def int8_topk_scan(
         qn = q8.shape[0]
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
-    e8 = jnp.asarray(e8)
-    n_pad = -(-e8.shape[0] // TILE_N) * TILE_N
-    if n_pad != e8.shape[0]:
-        e8 = jnp.concatenate(
-            [e8, jnp.zeros((n_pad - e8.shape[0], e8.shape[1]), jnp.int8)], axis=0
-        )
+    e8 = pad_rows(jnp.asarray(e8), TILE_N)
     sims, i = _int8_two_phase(
         jnp.asarray(q8), e8, k=k_eff, n_true=n, interpret=interpret
     )

@@ -52,6 +52,42 @@ def tile_for_dtype(dtype) -> int:
 
 _NEG_INF = float("-inf")
 
+
+def extract_topk_rounds(sims, col, k: int, tile_n: int):
+    """K rounds of (max, earliest-argmax, mask-out) over a [Q, tile] sims
+    block. Returns ([Q, k] values desc, [Q, k] local column indices); ties
+    resolve to the earlier column. Shared by the f32/bf16 and int8 kernels.
+    """
+    vals = []
+    idxs = []
+    for _ in range(k):
+        m = jnp.max(sims, axis=1, keepdims=True)
+        arg = jnp.min(jnp.where(sims == m, col, tile_n), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(arg)
+        sims = jnp.where(col == arg, _NEG_INF, sims)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def merge_candidates_sorted(cand_vals, cand_idx, k: int):
+    """[G, Q, kk] candidate tiles -> ([Q, k] values desc, [Q, k] indices),
+    ties toward the lower corpus index (two-key sort — candidate order is
+    arbitrary, e.g. tile-max order in the two-phase rescan)."""
+    g, qn, kk = cand_vals.shape
+    flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(qn, g * kk)
+    flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(qn, g * kk)
+    sv, si = jax.lax.sort((-flat_vals, flat_idx), dimension=1, num_keys=2)
+    return -sv[:, :k], si[:, :k]
+
+
+def pad_rows(e, tile_n: int):
+    """Zero-pad rows up to a multiple of ``tile_n`` (device-side)."""
+    pad = (-e.shape[0]) % tile_n
+    if pad:
+        e = jnp.concatenate([e, jnp.zeros((pad, e.shape[1]), e.dtype)], axis=0)
+    return e
+
+
 # Query counts above this stay on the XLA matmul+top_k path: measured at
 # Q=256 / N=100k on v5e, XLA takes 15 ms where the K-round Pallas
 # extraction takes 90 ms — per-element selection cost scales with Q, while
@@ -81,20 +117,9 @@ def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int,
     global_col = col + i * tile_n
     sims = jnp.where(global_col < n_true, sims, _NEG_INF)
 
-    # K rounds of max / earliest-argmax / mask-out.
-    vals = []
-    idxs = []
-    for _ in range(k):
-        m = jnp.max(sims, axis=1, keepdims=True)  # [Q, 1]
-        arg = jnp.min(
-            jnp.where(sims == m, col, tile_n), axis=1, keepdims=True
-        )  # [Q, 1] earliest max position
-        vals.append(m)
-        idxs.append(arg)
-        sims = jnp.where(col == arg, _NEG_INF, sims)
-
-    vals_ref[0] = jnp.concatenate(vals, axis=1)  # [Q, K]
-    idx_ref[0] = jnp.concatenate(idxs, axis=1) + i * tile_n  # global indices
+    vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
+    vals_ref[0] = vals  # [Q, K]
+    idx_ref[0] = idxs + i * tile_n  # global indices
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
@@ -207,17 +232,9 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
     valid = (col + tile_id * tile_n < n_true) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
-    vals = []
-    idxs = []
-    for _ in range(k):
-        m = jnp.max(sims, axis=1, keepdims=True)
-        arg = jnp.min(jnp.where(sims == m, col, tile_n), axis=1, keepdims=True)
-        vals.append(m)
-        idxs.append(arg)
-        sims = jnp.where(col == arg, _NEG_INF, sims)
-
-    vals_ref[0] = jnp.concatenate(vals, axis=1)
-    idx_ref[0] = jnp.concatenate(idxs, axis=1) + tile_id * tile_n
+    vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
+    vals_ref[0] = vals
+    idx_ref[0] = idxs + tile_id * tile_n
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
@@ -277,12 +294,9 @@ def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool,
     )(flat_ids, q, e_padded)
     # Phase-2 candidates arrive in tile-max order, NOT corpus order, so the
     # prefer-earlier-position trick of _merge would break value ties toward
-    # the wrong corpus index; sort by (value desc, index asc) explicitly.
-    t, _, kk = cand_vals.shape
-    flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(qn, t * kk)
-    flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(qn, t * kk)
-    sv, si = jax.lax.sort((-flat_vals, flat_idx), dimension=1, num_keys=2)
-    return 1.0 + sv[:, :k], si[:, :k]
+    # the wrong corpus index; merge with the two-key sort.
+    best, idx = merge_candidates_sorted(cand_vals, cand_idx, k)
+    return 1.0 - best, idx
 
 
 def _should_interpret() -> bool:
@@ -319,13 +333,8 @@ def pallas_topk_scan(
     tile_n = tile_for_dtype(e.dtype)
     # Pad the ARRAY (which may already carry caller padding past n_true) up
     # to a tile multiple; the kernels mask rows >= n regardless.
-    n_pad = -(-e.shape[0] // tile_n) * tile_n
-    if n_pad != e.shape[0]:
-        e = jnp.concatenate(
-            [e, jnp.zeros((n_pad - e.shape[0], e.shape[1]), e.dtype)], axis=0
-        )
-
-    num_tiles = n_pad // tile_n
+    e = pad_rows(e, tile_n)
+    num_tiles = e.shape[0] // tile_n
     qn = q.shape[0]
     assert qn <= _MAX_TWO_PHASE_Q, (
         "pallas_topk_scan is for CLI-scale query counts; batched workloads "

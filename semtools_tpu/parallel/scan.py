@@ -40,19 +40,14 @@ def _local_then_global_topk(
         # same ~20x that the single-chip path gains. Only taken when the
         # shard has no padding rows (n_true % n_shards == 0), so every
         # local row is valid and the static n_true=n_local mask is exact.
-        from semtools_tpu.ops.pallas_scan import TILE_N, _two_phase_topk
+        from semtools_tpu.ops.pallas_scan import TILE_N, _two_phase_topk, pad_rows
 
         # Pad the local shard to a tile multiple: _two_phase_topk's grid
         # floors at tile boundaries, so an unpadded ragged tail would be
         # silently skipped (n_true masks the pad rows).
-        pad = (-n_local) % TILE_N
-        e_in = e_local
-        if pad:
-            e_in = jnp.concatenate(
-                [e_local, jnp.zeros((pad, e_local.shape[1]), e_local.dtype)], axis=0
-            )
         d_loc, idx_l = _two_phase_topk(
-            q, e_in, k=k_local, n_true=n_local, interpret=interpret
+            q, pad_rows(e_local, TILE_N), k=k_local, n_true=n_local,
+            interpret=interpret
         )
         vals = 1.0 - d_loc  # sims desc
         idx = idx_l + jax.lax.axis_index(axis) * n_local
@@ -179,15 +174,12 @@ def _local_int8_topk(q8, e8_local, *, k: int, n_local: int, n_shards: int,
     is exact over the quantized values.
     """
     from semtools_tpu.ops.int8_scan import TILE_N, _int8_two_phase
+    from semtools_tpu.ops.pallas_scan import pad_rows
 
     k_local = min(k, n_local)
-    pad = (-n_local) % TILE_N
-    if pad:
-        e8_local = jnp.concatenate(
-            [e8_local, jnp.zeros((pad, e8_local.shape[1]), e8_local.dtype)], axis=0
-        )
     sims_desc, idx_l = _int8_two_phase(
-        q8, e8_local, k=k_local, n_true=n_local, interpret=interpret
+        q8, pad_rows(e8_local, TILE_N), k=k_local, n_true=n_local,
+        interpret=interpret
     )
     idx = idx_l + jax.lax.axis_index(axis) * n_local
     vals_all = jax.lax.all_gather(sims_desc, axis, axis=1, tiled=True)

@@ -462,6 +462,24 @@ class Store:
         np.savez(meta_path, generation=self.generation(), slots=slots)
         return index
 
+    @staticmethod
+    def _ranked_from_slots(ranges, cand_slots, distances, order) -> List[RankedLine]:
+        """Map selected candidate slots back to (path, line, distance).
+
+        ``ranges`` must be slot-ordered (path, slot_start, n_lines) rows;
+        a slot's document is found by bisecting the starts.
+        """
+        starts = np.array([s2 for _, s2, _ in ranges], dtype=np.int64)
+        out: List[RankedLine] = []
+        for oi in order:
+            slot = int(cand_slots[oi])
+            ri = int(np.searchsorted(starts, slot, side="right")) - 1
+            path, s2, _ = ranges[ri]
+            out.append(
+                RankedLine(path=path, line_number=slot - s2, distance=float(distances[oi]))
+            )
+        return out
+
     def _search_ann(
         self,
         index,
@@ -485,19 +503,7 @@ class Store:
         order = np.argsort(exact, kind="stable")[:top_k]
         if max_distance is not None:
             order = order[exact[order] < max_distance]
-
-        # slot -> (path, line) via the ranges table
-        ranges = self._valid_ranges()
-        starts = np.array([s for _, s, _ in ranges], dtype=np.int64)
-        out: List[RankedLine] = []
-        for oi in order:
-            slot = int(cand_slots[oi])
-            ri = int(np.searchsorted(starts, slot, side="right")) - 1
-            path, s, ln = ranges[ri]
-            out.append(
-                RankedLine(path=path, line_number=slot - s, distance=float(exact[oi]))
-            )
-        return out
+        return self._ranked_from_slots(self._valid_ranges(), cand_slots, exact, order)
 
     # -- change detection --------------------------------------------------
 
@@ -649,14 +655,10 @@ class Store:
             corpus = gather()
             if corpus is None:
                 return None
-            n = corpus.shape[0]
+            from semtools_tpu.ops.pallas_scan import pad_rows
+
             e8, scale = quantize_global(corpus)
-            pad = (-n) % INT8_TILE
-            if pad:
-                e8 = np.concatenate(
-                    [e8, np.zeros((pad, e8.shape[1]), np.int8)], axis=0
-                )
-            return jnp.asarray(e8), float(scale), n
+            return pad_rows(jnp.asarray(e8), INT8_TILE), float(scale), corpus.shape[0]
 
         entry = device_cache.get_or_put(
             (str(self.dir), self.generation(), "int8"), build
@@ -681,15 +683,7 @@ class Store:
         del mm
         exact = 1.0 - rows @ q[0]
         order = np.argsort(exact, kind="stable")[:top_k]
-
-        starts = np.array([s2 for _, s2, _ in ranges], dtype=np.int64)
-        out = []
-        for oi in order:
-            slot = int(cand_slots[oi])
-            ri = int(np.searchsorted(starts, slot, side="right")) - 1
-            path, s2, _ = ranges[ri]
-            out.append(RankedLine(path=path, line_number=slot - s2, distance=float(exact[oi])))
-        return out
+        return self._ranked_from_slots(ranges, cand_slots, exact, order)
 
     @staticmethod
     def _device_corpus_builder(gather):
@@ -702,15 +696,9 @@ class Store:
                 return None
             import jax.numpy as jnp
 
-            from semtools_tpu.ops.pallas_scan import TILE_N
+            from semtools_tpu.ops.pallas_scan import TILE_N, pad_rows
 
-            n = corpus.shape[0]
-            pad = (-n) % TILE_N
-            if pad:
-                corpus = np.concatenate(
-                    [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)], axis=0
-                )
-            return jnp.asarray(corpus), n
+            return pad_rows(jnp.asarray(corpus), TILE_N), corpus.shape[0]
 
         return build
 
