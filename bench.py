@@ -33,10 +33,13 @@ import jax
 import jax.numpy as jnp
 
 DIM = 256
-N = 1 << 21  # 2M vectors
+N = 1 << 21  # 2M vectors (bf16 ride-along config)
+# Headline corpus: ~10M chunk vectors (tile-aligned), 2.5 GB as int8 —
+# the BASELINE "sharded 10M-chunk corpus" scale served from ONE chip.
+N_INT8 = 2048 * 4883
 Q = 8
 K = 10
-REPEATS = 64
+REPEATS = 32
 
 EMBED_TOKENS = 1 << 19
 EMBED_LINES = 1 << 15
@@ -58,18 +61,44 @@ def _bench(fn, *args) -> float:
     return (time.perf_counter() - t0) / REPEATS
 
 
-def _int8_bench(base: jax.Array) -> float:
+def _int8_corpus() -> jax.Array:
+    """~10M unit rows quantized to int8, generated on device in chunks
+    (a single f32 [10M, 256] intermediate would not fit HBM)."""
+    import functools
+
+    from semtools_tpu.ops.int8_scan import TILE_N
+
+    scale = 0.35 / 127.0  # conservative amax bound for unit 256-d rows
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen_chunk(key, n):
+        x = jax.random.normal(key, (n, DIM), dtype=jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return jnp.clip(jnp.rint(x / scale), -127, 127).astype(jnp.int8)
+
+    chunk = TILE_N * 512
+    parts = []
+    made = 0
+    i = 0
+    while made < N_INT8:
+        n = int(min(chunk, N_INT8 - made))
+        parts.append(gen_chunk(jax.random.PRNGKey(i), n=n))
+        made += n
+        i += 1
+    return jnp.concatenate(parts, axis=0)
+
+
+def _int8_bench() -> float:
     from semtools_tpu.ops.int8_scan import _int8_two_phase
 
-    amax = jnp.max(jnp.abs(base))
-    e8 = jnp.clip(jnp.rint(base * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    e8 = _int8_corpus()
     q8 = e8[:Q]
 
     @jax.jit
     def run(q0, e):
         def body(i, carry):
             acc, qq = carry
-            s, idx = _int8_two_phase(qq, e, k=K, n_true=N, interpret=False)
+            s, idx = _int8_two_phase(qq, e, k=K, n_true=N_INT8, interpret=False)
             acc = acc + s[0, 0] + idx.astype(jnp.float32)[0, 0]
             qq = qq + (acc > 1e30).astype(jnp.int8)  # unprovable, keeps deps
             return acc, qq
@@ -143,11 +172,10 @@ def _embed_bench() -> float:
 
 
 def main() -> None:
+    t_int8 = _int8_bench()
+    int8_vecs_per_ms = N_INT8 / (t_int8 * 1e3)
+
     base = _unit_corpus(N)
-
-    t_int8 = _int8_bench(base)
-    int8_vecs_per_ms = N / (t_int8 * 1e3)
-
     t_bf16 = _bf16_bench(base)
     bf16_vecs_per_ms = N / (t_bf16 * 1e3)
     del base
@@ -158,7 +186,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "scan_chunk_vectors_per_ms_per_chip",
         "value": round(int8_vecs_per_ms, 1),
-        "unit": "chunk-vectors/ms/chip (int8 tier, q=8, exact top-10)",
+        "unit": "chunk-vectors/ms/chip (int8 tier, 10M-chunk corpus, q=8, exact top-10)",
         "vs_baseline": round(int8_vecs_per_ms / BASELINE_VECS_PER_MS, 3),
         "bf16_two_phase_vecs_per_ms": round(bf16_vecs_per_ms, 1),
         "embed_lines_per_s": round(embed_lines_per_s, 1),
