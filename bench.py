@@ -36,7 +36,7 @@ DIM = 256
 N = 1 << 21  # 2M vectors (bf16 ride-along config)
 # Headline corpus: ~10M chunk vectors (tile-aligned), 2.5 GB as int8 —
 # the BASELINE "sharded 10M-chunk corpus" scale served from ONE chip.
-N_INT8 = 2048 * 4883
+N_INT8 = 8192 * 1221
 Q = 8
 K = 10
 REPEATS = 32
@@ -89,16 +89,18 @@ def _int8_corpus() -> jax.Array:
 
 
 def _int8_bench() -> float:
-    from semtools_tpu.ops.int8_scan import _int8_two_phase
+    from semtools_tpu.ops.int8_scan import _int8_two_phase, tile_for_rows
 
     e8 = _int8_corpus()
     q8 = e8[:Q]
+    tile = tile_for_rows(N_INT8)
 
     @jax.jit
     def run(q0, e):
         def body(i, carry):
             acc, qq = carry
-            s, idx = _int8_two_phase(qq, e, k=K, n_true=N_INT8, interpret=False)
+            s, idx = _int8_two_phase(qq, e, k=K, n_true=N_INT8, interpret=False,
+                                     tile_n=tile)
             acc = acc + s[0, 0] + idx.astype(jnp.float32)[0, 0]
             qq = qq + (acc > 1e30).astype(jnp.int8)  # unprovable, keeps deps
             return acc, qq

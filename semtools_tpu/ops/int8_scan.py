@@ -50,9 +50,17 @@ from semtools_tpu.ops.pallas_scan import (
     pad_rows,
 )
 
-# Measured on TPU v5e: larger tiles gain <4% on the sweep but lose more on
-# the phase-2 rescan (Q*k tiles re-read scale with tile size).
+# Measured on TPU v5e: at CLI-scale corpora (~2M rows) tile 2048 wins
+# end-to-end (the phase-2 rescan re-reads Q*k tiles, which scales with
+# tile size); at 10M rows the rescan fraction shrinks and tile 8192 wins
+# (2.15M vs 1.93M vecs/ms).
 TILE_N = 2048
+TILE_N_LARGE = 8192
+LARGE_CORPUS_ROWS = 4_000_000
+
+
+def tile_for_rows(n: int) -> int:
+    return TILE_N_LARGE if n >= LARGE_CORPUS_ROWS else TILE_N
 
 _NEG_INF = float("-inf")
 
@@ -78,47 +86,48 @@ def _int_sims(q_ref, e_ref):
     )
 
 
-def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int):
+def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int, tile_n: int):
     i = pl.program_id(0)
     qn = q_ref.shape[0]
     sims = _int_sims(q_ref, e_ref)
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
-    sims = jnp.where(col + i * TILE_N < n_true, sims, _NEG_INF)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    sims = jnp.where(col + i * tile_n < n_true, sims, _NEG_INF)
     out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
 
 
 def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
-                   k_tiles: int, n_true: int):
+                   k_tiles: int, n_true: int, tile_n: int):
     i = pl.program_id(0)
     tile_id = ids_ref[i]
     owner = i // k_tiles
     qn = q_ref.shape[0]
 
     sims = _int_sims(q_ref, e_ref)
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (qn, TILE_N), 0)
-    valid = (col + tile_id * TILE_N < n_true) & (row == owner)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)
+    valid = (col + tile_id * tile_n < n_true) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
-    vals, idxs = extract_topk_rounds(sims, col, k, TILE_N)
+    vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
     vals_ref[0] = vals
-    idx_ref[0] = idxs + tile_id * TILE_N
+    idx_ref[0] = idxs + tile_id * tile_n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret"))
-def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
+def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool,
+                    tile_n: int = TILE_N):
     """Exact top-k over integer similarities; returns (int_sims desc, idx)."""
     qn, d = q8.shape
     n_pad = e8.shape[0]
-    num_tiles = n_pad // TILE_N
+    num_tiles = n_pad // tile_n
 
     tile_max = pl.pallas_call(
-        functools.partial(_tilemax_kernel, n_true=n_true),
+        functools.partial(_tilemax_kernel, n_true=n_true, tile_n=tile_n),
         grid_spec=pl.GridSpec(
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 8, qn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
@@ -140,7 +149,7 @@ def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool):
         grid=(qn * k_tiles,),
         in_specs=[
             pl.BlockSpec((qn, d), lambda i, ids: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -148,7 +157,8 @@ def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool):
         ],
     )
     cand_vals, cand_idx = pl.pallas_call(
-        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true),
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true,
+                          tile_n=tile_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
@@ -186,8 +196,9 @@ def int8_topk_scan(
         qn = q8.shape[0]
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
-    e8 = pad_rows(jnp.asarray(e8), TILE_N)
+    tile_n = tile_for_rows(n)
+    e8 = pad_rows(jnp.asarray(e8), tile_n)
     sims, i = _int8_two_phase(
-        jnp.asarray(q8), e8, k=k_eff, n_true=n, interpret=interpret
+        jnp.asarray(q8), e8, k=k_eff, n_true=n, interpret=interpret, tile_n=tile_n
     )
     return np.asarray(1.0 - np.asarray(sims) * (q_scale * e_scale)), np.asarray(i)

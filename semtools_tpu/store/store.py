@@ -645,9 +645,9 @@ class Store:
         import jax.numpy as jnp
 
         from semtools_tpu.ops.int8_scan import (
-            TILE_N as INT8_TILE,
             int8_topk_scan,
             quantize_global,
+            tile_for_rows,
         )
         from semtools_tpu.store import device_cache
 
@@ -658,7 +658,8 @@ class Store:
             from semtools_tpu.ops.pallas_scan import pad_rows
 
             e8, scale = quantize_global(corpus)
-            return pad_rows(jnp.asarray(e8), INT8_TILE), float(scale), corpus.shape[0]
+            tile = tile_for_rows(corpus.shape[0])
+            return pad_rows(jnp.asarray(e8), tile), float(scale), corpus.shape[0]
 
         entry = device_cache.get_or_put(
             (str(self.dir), self.generation(), "int8"), build
