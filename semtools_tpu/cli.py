@@ -367,6 +367,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="semtools", description="TPU-native semantic document toolkit"
     )
+    from semtools_tpu import __version__
+
+    parser.add_argument(
+        "-V", "--version", action="version", version=f"semtools {__version__}"
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("parse", help="Parse documents using various backends")

@@ -141,15 +141,32 @@ def serve(warm: bool = True) -> None:
 
 
 def _warm() -> None:
-    """Load the model and compile the common executables up front."""
+    """Load the model and compile the common executables up front; if a
+    workspace is active, pull its corpus into the device cache too."""
     try:
         from semtools_tpu.models.static_model import load_model
 
         model = load_model()
         model.encode(["warmup line"], max_length=2048)
-        model.encode_single("warmup")
+        q = model.encode_single("warmup")
     except Exception as e:
         print(f"daemon: warmup skipped ({e})", file=sys.stderr)
+        return
+    try:
+        from semtools_tpu.store import Store, Workspace
+
+        ws = Workspace.open()  # raises when no workspace is active
+        with Store(ws.config.root_dir, dim=model.dim, model_name=model.name) as store:
+            paths = store.get_all_document_paths()
+            if paths:
+                store.search_line_embeddings(q, paths, top_k=1)
+                print(
+                    f"daemon: workspace '{ws.config.name}' corpus warmed "
+                    f"({len(paths)} documents)",
+                    file=sys.stderr,
+                )
+    except Exception:
+        pass  # no active workspace, or an empty one — nothing to warm
 
 
 # -- client -----------------------------------------------------------------
