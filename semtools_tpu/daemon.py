@@ -144,19 +144,37 @@ def _warm() -> None:
     """Load the model and compile the common executables up front; if a
     workspace is active, pull its corpus into the device cache too."""
     try:
-        from semtools_tpu.models.static_model import load_model
+        from semtools_tpu.models.static_model import MODEL_NAME, load_model
 
-        model = load_model()
+        # Same model resolution as the CLI (SEMTOOLS_TPU_MODEL env) — the
+        # default name would be wrong for custom-model setups.
+        model = load_model(os.environ.get("SEMTOOLS_TPU_MODEL", MODEL_NAME))
         model.encode(["warmup line"], max_length=2048)
         q = model.encode_single("warmup")
     except Exception as e:
         print(f"daemon: warmup skipped ({e})", file=sys.stderr)
         return
     try:
-        from semtools_tpu.store import Store, Workspace
+        from semtools_tpu.store import NoActiveWorkspace, Store, Workspace
 
         ws = Workspace.open()  # raises when no workspace is active
-        with Store(ws.config.root_dir, dim=model.dim, model_name=model.name) as store:
+    except NoActiveWorkspace:
+        return
+    except Exception as e:
+        print(f"daemon: workspace warm skipped ({e})", file=sys.stderr)
+        return
+    try:
+        # Open WITHOUT a model name: passing one would invalidate stored
+        # rows when the workspace was built with a different model — a
+        # warm-up must never mutate the store.
+        with Store(ws.config.root_dir) as store:
+            if store.dim != model.dim:
+                print(
+                    f"daemon: workspace '{ws.config.name}' uses dim "
+                    f"{store.dim} != model dim {model.dim}; not warmed",
+                    file=sys.stderr,
+                )
+                return
             paths = store.get_all_document_paths()
             if paths:
                 store.search_line_embeddings(q, paths, top_k=1)
@@ -165,8 +183,8 @@ def _warm() -> None:
                     f"({len(paths)} documents)",
                     file=sys.stderr,
                 )
-    except Exception:
-        pass  # no active workspace, or an empty one — nothing to warm
+    except Exception as e:
+        print(f"daemon: workspace warm failed ({e})", file=sys.stderr)
 
 
 # -- client -----------------------------------------------------------------

@@ -210,11 +210,18 @@ class StaticModel:
         texts: Sequence[str],
         max_length: Optional[int] = 2048,
         batch_size: int = 16384,
-    ) -> np.ndarray:
-        """Embed a batch of texts → [N, dim] float32."""
+    ):
+        """Embed a batch of texts → [N, dim] float32 device array.
+
+        Use ``np.asarray`` on the result for host-side consumers; keeping
+        the default device residency lets the scan run without a host
+        round-trip.
+        """
         del batch_size  # device-call chunking is handled in ops.embed
         if len(texts) == 0:
-            return np.zeros((0, self.dim), dtype=np.float32)
+            import jax.numpy as jnp
+
+            return jnp.zeros((0, self.dim), dtype=jnp.float32)
         token_lists = self.tokenizer.encode_batch(texts)
         return embed_token_lists(
             self.table,

@@ -99,16 +99,17 @@ def embed_token_lists(
     *,
     max_length: int = 2048,
     normalize: bool = True,
-) -> np.ndarray:
+) -> "jnp.ndarray":
     """Embed ragged token-id lists → ``[len(token_lists), D]`` float32
-    (device array; ``np.asarray`` it for host use).
+    DEVICE array (``np.asarray`` it for host use — the store's upsert
+    path does, batched).
 
     Splits work into device calls bounded by MAX_TOKENS_PER_CALL /
     MAX_TEXTS_PER_CALL so activation memory stays bounded for arbitrarily
     large files.
     """
     if len(token_lists) == 0:
-        return np.zeros((0, table.shape[1]), dtype=np.float32)
+        return jnp.zeros((0, table.shape[1]), dtype=jnp.float32)
 
     out: List[np.ndarray] = []
     chunk: List[Sequence[int]] = []

@@ -35,7 +35,9 @@ from semtools_tpu.utils.tracing import stage
 class Document:
     filename: str
     lines: List[str]
-    embeddings: np.ndarray  # [num_lines, dim] float32, unit-or-zero rows
+    # [num_lines, dim] float32 unit-or-zero rows; usually a jax device
+    # array (host numpy when built via create_documents..(host=True))
+    embeddings: "np.ndarray"
 
 
 @dataclass

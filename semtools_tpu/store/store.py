@@ -569,18 +569,26 @@ class Store:
         if not ranges:
             return []
 
+        valid = self._valid_ranges()
+        full_store = len(ranges) == len(valid)
+        if full_store:
+            # Canonicalize full-store scans to SLOT order: the device cache
+            # key is (dir, generation), so the gathered row order must not
+            # depend on the caller's path order, and the slot-bisection
+            # mapping requires sorted starts.
+            ranges = valid
+
         # ANN tier: when a fresh IVF-PQ index exists and the query is over
         # the whole store (the common workspace search), probe it instead
         # of streaming every vector. Subset queries keep the exact scan —
         # filtered ANN would re-introduce the recall gap the reference's
         # per-chunk limit had (store.rs:517).
-        if len(ranges) == len(self._valid_ranges()):
+        if full_store:
             fresh = self._ann_fresh()
             if fresh is not None:
                 return self._search_ann(
                     fresh[0], fresh[1], query_vec, top_k, max_distance
                 )
-        full_store = len(ranges) == len(self._valid_ranges())
 
         def _gather():
             mm = self._mmap("r")
@@ -594,6 +602,7 @@ class Store:
 
         n_true = None
         if full_store and _int8_tier_enabled() and max_distance is None:
+            # ranges is slot-ordered here (full_store canonicalization).
             hits = self._search_int8_cached(_gather, ranges, query_vec, top_k)
             if hits is not None:
                 return hits
@@ -672,14 +681,21 @@ class Store:
         _, idx = int8_topk_scan(q, e8_dev, scale, oversample, n_true=n)
         idx = idx[0]
 
+        # Candidate scan-row -> (range, slot) via cumulative line counts —
+        # O(candidates), never materializing the O(total_lines) slot array.
+        # ``ranges`` is slot-ordered and the gather concatenated it in
+        # order, so scan row r belongs to the range whose cumulative count
+        # first exceeds r.
+        cum = np.cumsum([ln for _, _, ln in ranges])
+        ris = np.searchsorted(cum, idx, side="right")
+        starts = np.array([s2 for _, s2, _ in ranges], dtype=np.int64)
+        line_in_doc = idx - np.where(ris > 0, cum[ris - 1], 0)
+        cand_slots = starts[ris] + line_in_doc
+
         # Exact f32 re-rank of the oversampled candidates from the mmap.
         mm = self._mmap("r")
         if mm is None:
             return None
-        # candidate scan-row -> slot: ranges are in slot order
-        slot_blocks = [np.arange(s2, s2 + ln, dtype=np.int64) for _, s2, ln in ranges]
-        slots = np.concatenate(slot_blocks)
-        cand_slots = slots[idx]
         rows = np.asarray(mm[cand_slots])
         del mm
         exact = 1.0 - rows @ q[0]

@@ -101,3 +101,47 @@ def test_int8_tier_env_gated(tmp_path, monkeypatch):
     got_t = s.search_line_embeddings(q, ["/q.txt"], top_k=5, max_distance=0.5)
     assert any(rl.line_number == 11 for rl in got_t)
     s.close()
+
+
+def test_int8_tier_multi_doc_slot_mapping(tmp_path, monkeypatch):
+    # Regression: docs upserted in non-alphabetical path order produce
+    # slot-ordered != path-ordered ranges; the int8 tier must map scan
+    # rows back through SLOT order or it returns wrong paths/lines.
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    s = Store(str(tmp_path / "wsm"), dim=32)
+    rng = np.random.default_rng(8)
+    rows_b = rng.standard_normal((40, 32)).astype(np.float32)
+    rows_b /= np.linalg.norm(rows_b, axis=1, keepdims=True)
+    rows_a = rng.standard_normal((40, 32)).astype(np.float32)
+    rows_a /= np.linalg.norm(rows_a, axis=1, keepdims=True)
+    s.upsert_document_lines("/b.txt", rows_b)  # slots 0-39
+    s.upsert_document_lines("/a.txt", rows_a)  # slots 40-79
+
+    q = rows_a[11]
+    got = s.search_line_embeddings(q, ["/a.txt", "/b.txt"], top_k=1)
+    assert (got[0].path, got[0].line_number) == ("/a.txt", 11)
+    assert got[0].distance < 1e-5
+
+    # result also matches the exact tier
+    monkeypatch.delenv("SEMTOOLS_TPU_STORE_INT8")
+    device_cache.invalidate()
+    exact = s.search_line_embeddings(q, ["/a.txt", "/b.txt"], top_k=1)
+    assert (exact[0].path, exact[0].line_number) == ("/a.txt", 11)
+    s.close()
+
+
+def test_full_store_cache_order_independent(tmp_path):
+    # The (dir, generation) cache key assumes a canonical gather order;
+    # two full-store queries with different caller path orders must agree.
+    s = Store(str(tmp_path / "wso"), dim=16)
+    rng = np.random.default_rng(9)
+    for name in ("/z.txt", "/m.txt", "/a.txt"):
+        rows = rng.standard_normal((10, 16)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        s.upsert_document_lines(name, rows)
+    q = np.asarray(s._mmap("r")[13])  # some stored row
+    r1 = s.search_line_embeddings(q, ["/z.txt", "/m.txt", "/a.txt"], top_k=1)
+    r2 = s.search_line_embeddings(q, ["/a.txt", "/z.txt", "/m.txt"], top_k=1)
+    assert (r1[0].path, r1[0].line_number) == (r2[0].path, r2[0].line_number)
+    assert r1[0].distance < 1e-5
+    s.close()
