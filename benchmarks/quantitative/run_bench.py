@@ -132,7 +132,8 @@ def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
     index = IvfPqIndex.build(e, nlist=nlist, m=32, train_iters=8)
     build_s = _now() - t0
 
-    d_exact, i_exact = topk_scan(qq, e, k)
+    d_exact, i_exact = topk_scan(qq, e, k)  # also warms the exact path
+    index.search(qq[:2], k=k, nprobe=nprobe)  # warm ADC compile
     t0 = _now()
     _, i_ann = index.search(qq, k=k, nprobe=nprobe)
     ann_s = _now() - t0

@@ -27,4 +27,33 @@ __version__ = "0.1.0"
 
 from semtools_tpu.models.static_model import StaticModel, load_model
 
-__all__ = ["StaticModel", "load_model", "__version__"]
+
+def __getattr__(name):
+    """Lazy re-exports of the library surface (keeps ``import semtools_tpu``
+    light — jax-heavy modules load on first use)."""
+    surface = {
+        "SearchConfig": ("semtools_tpu.search", "SearchConfig"),
+        "SearchResult": ("semtools_tpu.search", "SearchResult"),
+        "search_files": ("semtools_tpu.search", "search_files"),
+        "search_documents": ("semtools_tpu.search", "search_documents"),
+        "search_with_workspace": ("semtools_tpu.search", "search_with_workspace"),
+        "Store": ("semtools_tpu.store", "Store"),
+        "Workspace": ("semtools_tpu.store", "Workspace"),
+        "WorkspaceConfig": ("semtools_tpu.store", "WorkspaceConfig"),
+        "LlamaParseBackend": ("semtools_tpu.parse", "LlamaParseBackend"),
+        "IvfPqIndex": ("semtools_tpu.index.ivf_pq", "IvfPqIndex"),
+    }
+    if name in surface:
+        import importlib
+
+        module, attr = surface[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'semtools_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "StaticModel", "load_model", "__version__",
+    "SearchConfig", "SearchResult", "search_files", "search_documents",
+    "search_with_workspace", "Store", "Workspace", "WorkspaceConfig",
+    "LlamaParseBackend", "IvfPqIndex",
+]

@@ -60,7 +60,28 @@ class IvfPqIndex:
     ) -> "IvfPqIndex":
         n = x.shape[0]
         nlist = max(1, min(nlist, n))
-        centroids, assign = kmeans_fit(x, nlist, iters=train_iters, seed=seed, mesh=mesh)
+        # Train quantizers on a sample (the FAISS convention): k-means and
+        # PQ codebooks converge on ~64 points/centroid; training on all
+        # rows made a 500k-row build take minutes for no recall gain. The
+        # full corpus still gets one exact assignment + encode pass below.
+        train_rows = min(n, max(64 * nlist, 65_536))
+        if train_rows < n:
+            rng = np.random.default_rng(seed)
+            sample = x[rng.choice(n, train_rows, replace=False)]
+        else:
+            sample = x
+        centroids, _ = kmeans_fit(sample, nlist, iters=train_iters, seed=seed, mesh=mesh)
+        # Exact nearest-centroid assignment of every row (argmax of
+        # x.c - |c|^2/2), chunked to bound the [chunk, nlist] sims matrix.
+        import jax.numpy as _jnp
+
+        from semtools_tpu.index.kmeans import _assign
+
+        assign_parts = []
+        for start in range(0, n, 1 << 20):
+            chunk = _jnp.asarray(x[start:start + (1 << 20)])
+            assign_parts.append(np.asarray(_assign(chunk, _jnp.asarray(centroids))))
+        assign = np.concatenate(assign_parts)
         # RESIDUAL PQ (classic IVFADC): quantize x - centroid[assign], not
         # x. On clustered data the raw vectors' variance is dominated by
         # the cluster centers, so raw-vector PQ wastes its dynamic range
@@ -73,7 +94,14 @@ class IvfPqIndex:
         # — the first term is the coarse similarity, the second the
         # residual table sum; no per-list tables needed.
         residuals = x - centroids[assign]
-        pq = pq_fit(residuals, m=m, iters=max(4, train_iters // 2), seed=seed + 1)
+        # PQ codebooks also train on a sample; every row is still encoded.
+        pq_train_rows = min(n, 65_536)
+        if pq_train_rows < n:
+            rng_pq = np.random.default_rng(seed + 7)
+            pq_train = residuals[rng_pq.choice(n, pq_train_rows, replace=False)]
+        else:
+            pq_train = residuals
+        pq = pq_fit(pq_train, m=m, iters=max(4, train_iters // 2), seed=seed + 1)
 
         perm = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=nlist)

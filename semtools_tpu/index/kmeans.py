@@ -103,10 +103,23 @@ def kmeans_fit(
             # overkill for quantizer training.
             xj = jnp.concatenate([xj, jnp.tile(xj[:1], (pad, 1))], axis=0)
         step = make_sharded_kmeans_step(mesh, k)
-    else:
-        step = functools.partial(kmeans_step, k=k)
+        assign = None
+        for _ in range(iters):
+            centroids, assign = step(xj, centroids)
+        return np.asarray(centroids), np.asarray(assign)[:n]
 
-    assign = None
-    for _ in range(iters):
-        centroids, assign = step(xj, centroids)
+    # Single-device path: the whole Lloyd loop runs as ONE jitted
+    # dispatch — eager per-op execution of the [N, k] similarity
+    # intermediates was the entire build cost on dispatch-latency hosts.
+    centroids, assign = _fit_loop(xj, centroids, k=k, iters=iters)
     return np.asarray(centroids), np.asarray(assign)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _fit_loop(xj, centroids, *, k: int, iters: int):
+    def body(_, c):
+        new, _assignments = kmeans_step(xj, c, k=k)
+        return new
+
+    centroids = jax.lax.fori_loop(0, iters, body, centroids)
+    return centroids, _assign(xj, centroids)
