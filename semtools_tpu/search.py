@@ -231,12 +231,15 @@ def search_with_workspace(
             model, config.ignore_case, host=True,
         )
         by_name = {d.filename: d for d in docs}
+        bulk = []
         for info in dirty:
             doc = by_name.get(info.filename)
             if doc is not None:
-                store.upsert_document_lines(info.filename, doc.embeddings)
+                bulk.append((info.filename, doc.embeddings))
                 lines_upserted += len(doc.lines)
                 metas.append(info.meta)
+        with stage("store_upsert"):
+            store.upsert_documents_bulk(bulk)
 
     if lines_upserted:
         print(

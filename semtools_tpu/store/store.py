@@ -259,23 +259,45 @@ class Store:
 
     def upsert_document_lines(self, path: str, embeddings: np.ndarray) -> None:
         """Replace a document's line vectors with a new contiguous block."""
-        embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
-        n = embeddings.shape[0]
-        row = self.db.execute(
-            "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
-        ).fetchone()
-        if row is not None and row[0] is not None:
-            self._free_range(row[0], row[1])
-        start = self._alloc_range(n)
-        if n:
+        self.upsert_documents_bulk([(path, embeddings)])
+
+    def upsert_documents_bulk(
+        self, items: Sequence[Tuple[str, np.ndarray]]
+    ) -> None:
+        """Replace many documents' vectors in one transaction.
+
+        One mmap open + one flush + one sqlite commit + one generation bump
+        for the whole batch — per-document commits and msyncs made a
+        500-document workspace build pay 500 fsync round-trips.
+        """
+        if not items:
+            return
+        staged = []  # (path, start, n, embeddings)
+        for path, embeddings in items:
+            embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+            n = embeddings.shape[0]
+            row = self.db.execute(
+                "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+            ).fetchone()
+            if row is not None and row[0] is not None:
+                self._free_range(row[0], row[1])
+            start = self._alloc_range(n)
+            staged.append((path, start, n, embeddings))
+
+        if any(n for _, _, n, _ in staged):
             mm = self._mmap("r+")
-            mm[start : start + n] = embeddings
+            for _, start, n, embeddings in staged:
+                if n:
+                    mm[start : start + n] = embeddings
             mm.flush()
             del mm
-        self.db.execute(
+        self.db.executemany(
             """INSERT INTO docs (id, path, slot_start, n_lines) VALUES (?, ?, ?, ?)
                ON CONFLICT(path) DO UPDATE SET slot_start = ?, n_lines = ?""",
-            (_to_i64(doc_id(path)), path, start, n, start, n),
+            [
+                (_to_i64(doc_id(path)), path, start, n, start, n)
+                for path, start, n, _ in staged
+            ],
         )
         self._bump_generation()
         self.db.commit()
