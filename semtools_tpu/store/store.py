@@ -272,6 +272,11 @@ class Store:
         """
         if not items:
             return
+        # Last write wins for duplicate paths within one batch — staging
+        # the same path twice would free its old range twice (the docs row
+        # only updates at commit).
+        deduped = {path: emb for path, emb in items}
+        items = list(deduped.items())
         staged = []  # (path, start, n, embeddings)
         for path, embeddings in items:
             embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)

@@ -193,3 +193,21 @@ def test_stats(store):
     assert stats.total_documents == 1
     assert stats.total_lines == 2
     assert stats.has_index
+
+
+def test_bulk_upsert_duplicate_paths_last_wins(tmp_path):
+    import numpy as np
+
+    from semtools_tpu.store.store import Store
+
+    s = Store(str(tmp_path / "dup"), dim=8)
+    a = np.eye(8, dtype=np.float32)[:3]
+    b = np.eye(8, dtype=np.float32)[3:6]
+    s.upsert_documents_bulk([("/x.txt", a), ("/x.txt", b)])
+    got = s.search_line_embeddings(np.eye(8, dtype=np.float32)[4], ["/x.txt"], top_k=1)
+    assert got[0].line_number == 1  # row 4 of eye == b[1]
+    assert s.count_line_embeddings() == 3
+    # free list consistent: another upsert reuses space without corruption
+    s.upsert_documents_bulk([("/x.txt", a)])
+    assert s.count_line_embeddings() == 3
+    s.close()
