@@ -126,7 +126,7 @@ def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
 
     # nlist ~ 4*sqrt(N) and nprobe ~ nlist/16 keep per-list occupancy and
     # probe coverage balanced as the corpus grows.
-    nlist = int(min(4096, max(64, 4 * np.sqrt(n))))
+    nlist = int(min(4096, max(64, 1 << int(np.log2(max(4 * np.sqrt(n), 64))))))
     nprobe = max(16, nlist // 16)
     t0 = _now()
     index = IvfPqIndex.build(e, nlist=nlist, m=32, train_iters=8)

@@ -64,7 +64,10 @@ class IvfPqIndex:
         # PQ codebooks converge on ~64 points/centroid; training on all
         # rows made a 500k-row build take minutes for no recall gain. The
         # full corpus still gets one exact assignment + encode pass below.
-        train_rows = min(n, max(64 * nlist, 65_536))
+        # Fixed cap keeps the Lloyd-loop executable shape identical across
+        # corpora (compile reuse via the persistent cache); ~46 points per
+        # centroid at nlist=2828 is still above FAISS's warning floor.
+        train_rows = min(n, 1 << 17)
         if train_rows < n:
             rng = np.random.default_rng(seed)
             sample = x[rng.choice(n, train_rows, replace=False)]

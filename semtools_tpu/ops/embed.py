@@ -30,11 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # Upper bound on tokens processed per device call: bounds the [T, D] gather
-# activation (2^19 tokens * 256 dims * 4 B = 512 MB) well under HBM.
-MAX_TOKENS_PER_CALL = 1 << 19
-# Upper bound on texts per device call (the reference's encode batch size,
-# src/search/mod.rs:69).
-MAX_TEXTS_PER_CALL = 16384
+# activation (2^21 tokens * 256 dims * 4 B = 2 GB) comfortably under HBM.
+# Bigger calls matter on dispatch-latency hosts: 500k lines embed in ~8
+# dispatches instead of ~31.
+MAX_TOKENS_PER_CALL = 1 << 21
+# Upper bound on texts per device call (4x the reference's encode batch
+# size, src/search/mod.rs:69 — the token budget binds first for prose).
+MAX_TEXTS_PER_CALL = 65536
 
 _MIN_T_BUCKET = 256
 _MIN_B_BUCKET = 8

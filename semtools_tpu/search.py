@@ -97,7 +97,8 @@ def create_documents_from_contents(
     with stage("embed"):
         embeddings = model.encode(to_embed, max_length=2048)
     if host:
-        embeddings = np.asarray(embeddings)
+        with stage("host_transfer"):
+            embeddings = np.asarray(embeddings)
     docs: List[Document] = []
     offset = 0
     for filename, lines in per_doc_lines:

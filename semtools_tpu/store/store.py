@@ -482,7 +482,10 @@ class Store:
             import sys
 
             print(f"Building IVF-PQ index over {n} lines...", file=sys.stderr)
-        nlist = int(min(4096, max(16, 4 * np.sqrt(n))))
+        # Power-of-two nlist quantizes the kmeans/probe shapes so the
+        # jitted executables (and their persistent-cache entries) are
+        # shared across similarly-sized corpora.
+        nlist = int(min(4096, max(16, 1 << int(np.log2(max(4 * np.sqrt(n), 16))))))
         index = IvfPqIndex.build(x, nlist=nlist, m=32, keep_vectors=False)
         ann_path, meta_path = self._ann_paths()
         index.save(str(ann_path))
