@@ -39,7 +39,7 @@ N = 1 << 21  # 2M vectors (bf16 ride-along config)
 N_INT8 = 8192 * 1221
 Q = 8
 K = 10
-REPEATS = 32
+REPEATS = 64
 
 EMBED_TOKENS = 1 << 19
 EMBED_LINES = 1 << 15
@@ -175,14 +175,7 @@ def _embed_bench() -> float:
 
 def main() -> None:
     unit = "chunk-vectors/ms/chip (int8 tier, 10M-chunk corpus, q=8, exact top-10)"
-    try:
-        t_int8 = _int8_bench()
-        int8_vecs_per_ms = N_INT8 / (t_int8 * 1e3)
-    except Exception:
-        # Degraded-host fallback: the 2M bf16 configuration alone still
-        # yields a valid headline rather than no output at all.
-        int8_vecs_per_ms = None
-
+    # bf16 runs first (before the 10M int8 corpus is allocated).
     bf16_vecs_per_ms = None
     embed_lines_per_s = None
     try:
@@ -193,6 +186,14 @@ def main() -> None:
         embed_lines_per_s = _embed_bench()
     except Exception:
         pass
+
+    try:
+        t_int8 = _int8_bench()
+        int8_vecs_per_ms = N_INT8 / (t_int8 * 1e3)
+    except Exception:
+        # Degraded-host fallback: the 2M bf16 configuration alone still
+        # yields a valid headline rather than no output at all.
+        int8_vecs_per_ms = None
 
     headline = int8_vecs_per_ms
     if headline is None:
