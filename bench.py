@@ -176,16 +176,21 @@ def _embed_bench() -> float:
 def main() -> None:
     unit = "chunk-vectors/ms/chip (int8 tier, 10M-chunk corpus, q=8, exact top-10)"
     # bf16 runs first (before the 10M int8 corpus is allocated).
+    import sys
+    import traceback
+
     bf16_vecs_per_ms = None
     embed_lines_per_s = None
+    base = None
     try:
         base = _unit_corpus(N)
         t_bf16 = _bf16_bench(base)
         bf16_vecs_per_ms = N / (t_bf16 * 1e3)
-        del base
         embed_lines_per_s = _embed_bench()
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        del base  # release the 2 GB corpus even when the bench raised
 
     try:
         t_int8 = _int8_bench()
@@ -193,12 +198,14 @@ def main() -> None:
     except Exception:
         # Degraded-host fallback: the 2M bf16 configuration alone still
         # yields a valid headline rather than no output at all.
+        traceback.print_exc(file=sys.stderr)
         int8_vecs_per_ms = None
 
     headline = int8_vecs_per_ms
     if headline is None:
         headline = bf16_vecs_per_ms or 0.0
-        unit = "chunk-vectors/ms/chip (bf16 two-phase fallback, q=8, exact top-10)"
+        unit = ("chunk-vectors/ms/chip (bf16 two-phase fallback, q=8, exact top-10)"
+                if bf16_vecs_per_ms else "NO BENCHMARK RAN — see stderr")
 
     device = jax.devices()[0].device_kind
     print(json.dumps({

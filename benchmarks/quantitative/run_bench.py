@@ -133,7 +133,7 @@ def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
     build_s = _now() - t0
 
     d_exact, i_exact = topk_scan(qq, e, k)  # also warms the exact path
-    index.search(qq[:2], k=k, nprobe=nprobe)  # warm ADC compile
+    index.search(qq, k=k, nprobe=nprobe)  # warm (adc_tables jit keys on full q shape)
     t0 = _now()
     _, i_ann = index.search(qq, k=k, nprobe=nprobe)
     ann_s = _now() - t0

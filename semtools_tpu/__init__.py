@@ -25,13 +25,13 @@ The compute core is redesigned TPU-first rather than translated:
 
 __version__ = "0.1.0"
 
-from semtools_tpu.models.static_model import StaticModel, load_model
-
 
 def __getattr__(name):
     """Lazy re-exports of the library surface (keeps ``import semtools_tpu``
     light — jax-heavy modules load on first use)."""
     surface = {
+        "StaticModel": ("semtools_tpu.models.static_model", "StaticModel"),
+        "load_model": ("semtools_tpu.models.static_model", "load_model"),
         "SearchConfig": ("semtools_tpu.search", "SearchConfig"),
         "SearchResult": ("semtools_tpu.search", "SearchResult"),
         "search_files": ("semtools_tpu.search", "search_files"),

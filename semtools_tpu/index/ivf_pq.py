@@ -75,15 +75,21 @@ class IvfPqIndex:
             sample = x
         centroids, _ = kmeans_fit(sample, nlist, iters=train_iters, seed=seed, mesh=mesh)
         # Exact nearest-centroid assignment of every row (argmax of
-        # x.c - |c|^2/2), chunked to bound the [chunk, nlist] sims matrix.
+        # x.c - |c|^2/2), chunked so the [chunk, nlist] sims intermediate
+        # stays ~128 MB regardless of nlist (a fixed 1M-row chunk at
+        # nlist=4096 would materialize 16 GB and OOM the chip).
+        import jax as _jax
         import jax.numpy as _jnp
 
         from semtools_tpu.index.kmeans import _assign
 
+        assign_jit = _jax.jit(_assign)
+        cj = _jnp.asarray(centroids)  # upload once, not per chunk
+        chunk_rows = max(8192, (1 << 25) // max(nlist, 1))
         assign_parts = []
-        for start in range(0, n, 1 << 20):
-            chunk = _jnp.asarray(x[start:start + (1 << 20)])
-            assign_parts.append(np.asarray(_assign(chunk, _jnp.asarray(centroids))))
+        for start in range(0, n, chunk_rows):
+            chunk = _jnp.asarray(x[start:start + chunk_rows])
+            assign_parts.append(np.asarray(assign_jit(chunk, cj)))
         assign = np.concatenate(assign_parts)
         # RESIDUAL PQ (classic IVFADC): quantize x - centroid[assign], not
         # x. On clustered data the raw vectors' variance is dominated by

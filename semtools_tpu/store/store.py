@@ -276,10 +276,26 @@ class Store:
         # the same path twice would free its old range twice (the docs row
         # only updates at commit).
         deduped = {path: emb for path, emb in items}
-        items = list(deduped.items())
-        staged = []  # (path, start, n, embeddings)
-        for path, embeddings in items:
+        # Validate and coerce EVERYTHING before mutating anything: once a
+        # freed range is reallocated and overwritten in the mmap, a
+        # mid-batch exception would leave other documents' docs rows
+        # pointing at clobbered slots (sqlite rolls back; mmap bytes
+        # don't). With shapes checked up front the write loop cannot fail
+        # on caller input.
+        checked = []
+        for path, embeddings in deduped.items():
             embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+            if embeddings.ndim != 2 or (
+                embeddings.shape[0] and embeddings.shape[1] != self.dim
+            ):
+                raise ValueError(
+                    f"embeddings for {path!r} have shape {embeddings.shape}; "
+                    f"expected [n, {self.dim}]"
+                )
+            checked.append((path, embeddings))
+
+        staged = []  # (path, start, n, embeddings)
+        for path, embeddings in checked:
             n = embeddings.shape[0]
             row = self.db.execute(
                 "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
@@ -308,7 +324,8 @@ class Store:
         self.db.commit()
 
     def upsert_line_embeddings(self, line_embeddings: Sequence[LineEmbedding]) -> None:
-        """Group by path and replace each document's block.
+        """Group by path and replace each document's block (one bulk
+        transaction for the whole batch).
 
         The public write path always supplies complete documents (lines
         0..n-1, src/search/mod.rs:170-182), which this enforces.
@@ -318,6 +335,7 @@ class Store:
         by_path: Dict[str, List[LineEmbedding]] = {}
         for le in line_embeddings:
             by_path.setdefault(le.path, []).append(le)
+        bulk = []
         for path, les in by_path.items():
             les.sort(key=lambda le: le.line_number)
             nums = [le.line_number for le in les]
@@ -325,8 +343,8 @@ class Store:
                 raise ValueError(
                     f"upsert for {path!r} must cover lines 0..n-1, got {nums[:5]}..."
                 )
-            mat = np.stack([np.asarray(le.embedding, np.float32) for le in les])
-            self.upsert_document_lines(path, mat)
+            bulk.append((path, np.stack([np.asarray(le.embedding, np.float32) for le in les])))
+        self.upsert_documents_bulk(bulk)
 
     def upsert_document_metadata(self, metas: Sequence[DocMeta]) -> None:
         for meta in metas:
