@@ -163,3 +163,38 @@ def test_ask_requires_api_key(corpus, tmp_path):
     )
     assert r.returncode == 1
     assert "API key not found" in r.stderr
+
+
+def test_version_flag():
+    r = run_cli(["--version"])
+    assert r.returncode == 0
+    assert r.stdout.strip().startswith("semtools ")
+
+
+def test_workspace_global_json_flag_position(corpus, tmp_path):
+    # reference clap marks -j global on workspace: accepted before the action
+    r = run_cli(["workspace", "use", "gjson"], home=tmp_path)
+    assert r.returncode == 0
+    r = run_cli(["workspace", "-j", "status"], home=tmp_path,
+                env_extra={"SEMTOOLS_WORKSPACE": "gjson"})
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert set(data) == {"name", "root_dir", "total_documents"}
+
+
+def test_parse_json_schema(corpus, tmp_path):
+    r = run_cli(["parse", "--json", str(corpus / "a.txt")], home=tmp_path)
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert set(data) == {"results"}
+    assert set(data["results"][0]) == {"input_path", "output_path", "was_cached"}
+
+
+def test_workspace_prune_json_schema(corpus, tmp_path):
+    env = {"SEMTOOLS_WORKSPACE": "prunejs"}
+    run_cli(["workspace", "use", "prunejs"], home=tmp_path)
+    run_cli(["search", "fox", str(corpus / "a.txt")], stdin="", home=tmp_path, env_extra=env)
+    r = run_cli(["workspace", "prune", "-j"], home=tmp_path, env_extra=env)
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert set(data) == {"files_removed", "files_remaining"}
