@@ -144,6 +144,34 @@ def topk_scan(q, e, k: int, n_true: Optional[int] = None) -> Tuple[np.ndarray, n
     return np.asarray(d), np.asarray(i)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _threshold_count(q, e, t, n_true):
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    d = 1.0 - sims[0]
+    col = jnp.arange(d.shape[0])
+    return jnp.sum((d < t) & (col < n_true))
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _threshold_extract(q, e, t, n_true, *, size: int):
+    """Compact the hits on device: only [size] (dists, idx) leave the chip,
+    sorted ascending by (distance, index); misses fill with (inf, N)."""
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    d = 1.0 - sims[0]
+    col = jnp.arange(d.shape[0])
+    hit = (d < t) & (col < n_true)
+    idx = jnp.where(hit, size=size, fill_value=d.shape[0])[0]
+    vals = jnp.where(idx < d.shape[0], d[jnp.minimum(idx, d.shape[0] - 1)], jnp.inf)
+    sv, si = jax.lax.sort((vals, idx.astype(jnp.int32)), dimension=0, num_keys=2)
+    return sv, si
+
+
+# Above this corpus size the full [N] distance vector is worth keeping on
+# device and compacting there (the host download of N f32 dominates on
+# transfer-limited hosts).
+_THRESHOLD_DEVICE_MIN_ROWS = 1 << 16
+
+
 def threshold_scan(q, e, max_distance: float, n_true: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """All (query, line) pairs with distance strictly below ``max_distance``.
 
@@ -153,9 +181,25 @@ def threshold_scan(q, e, max_distance: float, n_true: Optional[int] = None) -> T
     Rows at index >= ``n_true`` are padding and excluded.
     """
     assert q.shape[0] == 1, "threshold_scan expects a single query row"
+    n = e.shape[0] if n_true is None else min(n_true, e.shape[0])
+
+    if e.shape[0] >= _THRESHOLD_DEVICE_MIN_ROWS:
+        # Device-side compaction: transfer one scalar + the hits, not the
+        # whole [N] distance vector.
+        qd = jnp.asarray(q, jnp.float32)
+        ed = jnp.asarray(e)
+        count = int(_threshold_count(qd, ed, float(max_distance), n))
+        if count == 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+        size = 1 << (count - 1).bit_length()  # pow2 buckets bound recompiles
+        size = min(size, e.shape[0])
+        sv, si = _threshold_extract(qd, ed, float(max_distance), n, size=size)
+        sv = np.asarray(sv)[:count]
+        si = np.asarray(si)[:count]
+        return sv, si
+
     dists = np.asarray(cosine_distances(q, e))[0]
-    if n_true is not None:
-        dists = dists[:n_true]
+    dists = dists[:n]
     keep = np.nonzero(dists < max_distance)[0]
     order = np.argsort(dists[keep], kind="stable")
     keep = keep[order]

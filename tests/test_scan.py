@@ -85,3 +85,47 @@ def test_zero_vector_line_gets_distance_one(rng):
     e[0] = q[0]
     d = np.asarray(cosine_distances(q, e))[0]
     np.testing.assert_allclose(d, [0.0, 1.0], atol=1e-6)
+
+
+def test_threshold_device_compaction_matches_host():
+    # Corpus above _THRESHOLD_DEVICE_MIN_ROWS exercises the device-side
+    # compaction path; results must match the host path exactly.
+    import numpy as np
+
+    from semtools_tpu.ops import scan as scan_mod
+
+    rng = np.random.default_rng(17)
+    n = scan_mod._THRESHOLD_DEVICE_MIN_ROWS + 123
+    e = rng.standard_normal((n, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = e[42:43].copy()
+    # plant some exact/near hits incl. in the padded tail region
+    e[n - 3] = q[0]
+    d_dev, i_dev = scan_mod.threshold_scan(q, e, 0.4)
+
+    dists = (1.0 - e @ q[0])
+    keep = np.nonzero(dists < 0.4)[0]
+    order = np.argsort(dists[keep], kind="stable")
+    keep = keep[order]
+    np.testing.assert_array_equal(i_dev, keep)
+    np.testing.assert_allclose(d_dev, dists[keep], atol=1e-5)
+    assert 42 in set(map(int, i_dev)) and (n - 3) in set(map(int, i_dev))
+
+
+def test_threshold_device_compaction_no_hits_and_n_true():
+    import numpy as np
+
+    from semtools_tpu.ops import scan as scan_mod
+
+    rng = np.random.default_rng(18)
+    n = scan_mod._THRESHOLD_DEVICE_MIN_ROWS
+    e = rng.standard_normal((n, 16)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    d, i = scan_mod.threshold_scan(q, e, 1e-9)
+    assert d.shape == (0,) and i.shape == (0,)
+    # n_true excludes a planted hit in the padding region
+    e[n - 1] = q[0]
+    d2, i2 = scan_mod.threshold_scan(q, e, 0.1, n_true=n - 1)
+    assert (n - 1) not in set(map(int, i2))
