@@ -248,3 +248,95 @@ def sharded_int8_topk_scan(
     sims = np.asarray(sims)[:, :k_eff]
     idx = np.asarray(idx)[:, :k_eff]
     return 1.0 - sims * (q_scale * e_scale), idx
+
+
+# -- sharded threshold scan ---------------------------------------------------
+#
+# Threshold mode returns ALL hits under a distance bound (reference
+# src/search/mod.rs:113-119), so the fixed-k candidate merge does not
+# apply (SURVEY.md §7 "hard parts"). Distributed collection runs in two
+# phases with static shapes throughout:
+#
+#   1. per-device hit COUNT, psum'd over the mesh — one scalar to host;
+#   2. per-device compaction into a [cap] buffer (cap = pow2(max hits per
+#      device) chosen from phase 1), all-gathered and merged on host.
+
+
+def _local_threshold_count(q, e_local, *, t: float, n_local: int, n_true: int,
+                           axis: str):
+    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+    d = 1.0 - sims[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)[0]
+    gcol = col + jax.lax.axis_index(axis) * n_local
+    local = jnp.sum((d < t) & (gcol < n_true))
+    return jnp.max(jax.lax.all_gather(local, axis))  # max per-device count
+
+
+def _local_threshold_extract(q, e_local, *, t: float, n_local: int,
+                             n_true: int, cap: int, axis: str):
+    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+    d = 1.0 - sims[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)[0]
+    gcol = col + jax.lax.axis_index(axis) * n_local
+    hit = (d < t) & (gcol < n_true)
+    idx = jnp.where(hit, size=cap, fill_value=n_local)[0]
+    vals = jnp.where(idx < n_local, d[jnp.minimum(idx, n_local - 1)], jnp.inf)
+    gidx = jnp.where(idx < n_local,
+                     idx + jax.lax.axis_index(axis) * n_local,
+                     n_true)  # sentinel for fills
+    vals_all = jax.lax.all_gather(vals, axis, axis=0, tiled=True)  # [d*cap]
+    idx_all = jax.lax.all_gather(gidx, axis, axis=0, tiled=True)
+    return vals_all, idx_all
+
+
+def sharded_threshold_scan(
+    q: np.ndarray,
+    corpus: np.ndarray,
+    max_distance: float,
+    mesh: Optional[Mesh] = None,
+    axis: str = SHARD_AXIS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All hits with distance < max_distance over a mesh-sharded corpus.
+
+    Same contract as :func:`semtools_tpu.ops.scan.threshold_scan`
+    (Q == 1; distances ascending, ties by index). Collective cost is
+    O(devices * max_per_device_hits), independent of corpus size when the
+    threshold is selective.
+    """
+    if mesh is None:
+        mesh = corpus_mesh()
+    n = corpus.shape[0]
+    if n == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int64)
+    e_sharded, _ = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
+    n_dev = int(mesh.devices.size)
+    n_local = e_sharded.shape[0] // n_dev
+    qd = jnp.asarray(q, jnp.float32)
+
+    count_fn = jax.jit(jax.shard_map(
+        functools.partial(_local_threshold_count, t=float(max_distance),
+                          n_local=n_local, n_true=n, axis=axis),
+        mesh=mesh, in_specs=(P(None, None), P(axis, None)), out_specs=P(),
+        check_vma=False,
+    ))
+    max_local = int(count_fn(qd, e_sharded))
+    if max_local == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int64)
+    cap = min(1 << (max_local - 1).bit_length(), n_local)
+
+    extract_fn = jax.jit(jax.shard_map(
+        functools.partial(_local_threshold_extract, t=float(max_distance),
+                          n_local=n_local, n_true=n, cap=cap, axis=axis),
+        mesh=mesh, in_specs=(P(None, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    vals, idx = extract_fn(qd, e_sharded)
+    vals = np.asarray(vals)
+    idx = np.asarray(idx)
+    keep = np.isfinite(vals)
+    vals, idx = vals[keep], idx[keep]
+    order = np.lexsort((idx, vals))  # distance asc, index asc on ties
+    return vals[order], idx[order].astype(np.int64)

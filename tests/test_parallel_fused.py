@@ -81,3 +81,34 @@ def test_fused_local_non_tile_aligned_shard_keeps_tail():
     fn = sharded_topk_fn(mesh, 3, n_local, n, fused=True, interpret=True)
     d, i = fn(jnp.asarray(q), e_sharded)
     assert int(np.asarray(i)[0, 0]) == target
+
+
+def test_sharded_threshold_matches_single_device():
+    from semtools_tpu.ops.scan import threshold_scan
+    from semtools_tpu.parallel.scan import sharded_threshold_scan
+
+    mesh = corpus_mesh(4)
+    rng = np.random.default_rng(31)
+    n = 4 * 1000 + 37  # ragged: shards get zero padding
+    e = rng.standard_normal((n, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = e[5:6].copy()
+    e[n - 2] = q[0]  # hit near the padded tail
+    d_s, i_s = sharded_threshold_scan(q, e, 0.4, mesh)
+    d_1, i_1 = threshold_scan(q, e, 0.4)
+    np.testing.assert_array_equal(i_s, i_1)
+    np.testing.assert_allclose(d_s, d_1, atol=1e-5)
+    assert {5, n - 2} <= set(map(int, i_s))
+
+
+def test_sharded_threshold_no_hits():
+    from semtools_tpu.parallel.scan import sharded_threshold_scan
+
+    mesh = corpus_mesh(4)
+    rng = np.random.default_rng(32)
+    e = rng.standard_normal((4096, 16)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    d, i = sharded_threshold_scan(q, e, 1e-9, mesh)
+    assert d.shape == (0,) and i.shape == (0,)
