@@ -80,11 +80,13 @@ def merge_candidates_sorted(cand_vals, cand_idx, k: int):
     return -sv[:, :k], si[:, :k]
 
 
-def _mxu_precision(dtype):
-    """HIGHEST keeps f32 distances at reference parity (~1e-6); bf16
-    operands must use the default — Mosaic rejects an fp32 contract
+def _mxu_precision(lhs_dtype, rhs_dtype):
+    """HIGHEST keeps f32 distances at reference parity (~1e-6); any bf16
+    operand must use the default — Mosaic rejects an fp32 contract
     precision on bf16 inputs ("Bad lhs type")."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    if lhs_dtype == jnp.float32 and rhs_dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return None
 
 
 def pad_rows(e, tile_n: int):
@@ -116,7 +118,7 @@ def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int,
         tile_e,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_mxu_precision(tile_e.dtype),
+        precision=_mxu_precision(tile_q.dtype, tile_e.dtype),
     )  # [Q, TILE_N]
 
     # Mask padding rows (global index >= n_true): their sim of 0.0 would
@@ -211,7 +213,7 @@ def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int, tile_n: int):
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_mxu_precision(e_ref.dtype),
+        precision=_mxu_precision(q_ref.dtype, e_ref.dtype),
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     sims = jnp.where(col + i * tile_n < n_true, sims, _NEG_INF)
@@ -235,7 +237,7 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_mxu_precision(e_ref.dtype),
+        precision=_mxu_precision(q_ref.dtype, e_ref.dtype),
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)

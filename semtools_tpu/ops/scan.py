@@ -144,22 +144,27 @@ def topk_scan(q, e, k: int, n_true: Optional[int] = None) -> Tuple[np.ndarray, n
     return np.asarray(d), np.asarray(i)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _threshold_count(q, e, t, n_true):
+@jax.jit
+def _threshold_dists(q, e, n_true):
+    """[N] distances with rows >= n_true masked to inf (kept ON DEVICE so
+    count and compaction read the SAME values — separately compiled
+    matmuls could disagree by an ulp around the threshold)."""
     sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
     d = 1.0 - sims[0]
     col = jnp.arange(d.shape[0])
-    return jnp.sum((d < t) & (col < n_true))
+    return jnp.where(col < n_true, d, jnp.inf)
+
+
+@jax.jit
+def _threshold_count(d, t):
+    return jnp.sum(d < t)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
-def _threshold_extract(q, e, t, n_true, *, size: int):
+def _threshold_extract(d, t, *, size: int):
     """Compact the hits on device: only [size] (dists, idx) leave the chip,
     sorted ascending by (distance, index); misses fill with (inf, N)."""
-    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
-    d = 1.0 - sims[0]
-    col = jnp.arange(d.shape[0])
-    hit = (d < t) & (col < n_true)
+    hit = d < t
     idx = jnp.where(hit, size=size, fill_value=d.shape[0])[0]
     vals = jnp.where(idx < d.shape[0], d[jnp.minimum(idx, d.shape[0] - 1)], jnp.inf)
     sv, si = jax.lax.sort((vals, idx.astype(jnp.int32)), dimension=0, num_keys=2)
@@ -184,18 +189,17 @@ def threshold_scan(q, e, max_distance: float, n_true: Optional[int] = None) -> T
     n = e.shape[0] if n_true is None else min(n_true, e.shape[0])
 
     if e.shape[0] >= _THRESHOLD_DEVICE_MIN_ROWS:
-        # Device-side compaction: transfer one scalar + the hits, not the
-        # whole [N] distance vector.
-        qd = jnp.asarray(q, jnp.float32)
-        ed = jnp.asarray(e)
-        count = int(_threshold_count(qd, ed, float(max_distance), n))
+        # Device-side compaction: one corpus matmul, then transfer one
+        # scalar + the hits instead of the whole [N] distance vector.
+        dd = _threshold_dists(jnp.asarray(q, jnp.float32), jnp.asarray(e), n)
+        count = int(_threshold_count(dd, float(max_distance)))
         if count == 0:
             return np.zeros(0, np.float32), np.zeros(0, np.int64)
         size = 1 << (count - 1).bit_length()  # pow2 buckets bound recompiles
         size = min(size, e.shape[0])
-        sv, si = _threshold_extract(qd, ed, float(max_distance), n, size=size)
+        sv, si = _threshold_extract(dd, float(max_distance), size=size)
         sv = np.asarray(sv)[:count]
-        si = np.asarray(si)[:count]
+        si = np.asarray(si)[:count].astype(np.int64)
         return sv, si
 
     dists = np.asarray(cosine_distances(q, e))[0]

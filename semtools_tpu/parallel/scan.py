@@ -255,32 +255,33 @@ def sharded_int8_topk_scan(
 # Threshold mode returns ALL hits under a distance bound (reference
 # src/search/mod.rs:113-119), so the fixed-k candidate merge does not
 # apply (SURVEY.md §7 "hard parts"). Distributed collection runs in two
-# phases with static shapes throughout:
+# phases with static shapes throughout; both phases read the SAME
+# per-device distance vector (computed once, kept sharded on device —
+# separately compiled matmuls could disagree by an ulp at the boundary):
 #
-#   1. per-device hit COUNT, psum'd over the mesh — one scalar to host;
-#   2. per-device compaction into a [cap] buffer (cap = pow2(max hits per
-#      device) chosen from phase 1), all-gathered and merged on host.
+#   1. per-device distances + hit count, MAX-reduced over the mesh (the
+#      cap must bound the largest per-device hit count, not the total) —
+#      one scalar to host picks the pow2 buffer size;
+#   2. per-device compaction into a [cap] buffer, all-gathered and merged
+#      on host.
 
 
-def _local_threshold_count(q, e_local, *, t: float, n_local: int, n_true: int,
+def _local_threshold_dists(q, e_local, t, *, n_local: int, n_true: int,
                            axis: str):
     sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
                    precision=_PRECISION)
     d = 1.0 - sims[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)[0]
     gcol = col + jax.lax.axis_index(axis) * n_local
-    local = jnp.sum((d < t) & (gcol < n_true))
-    return jnp.max(jax.lax.all_gather(local, axis))  # max per-device count
+    d = jnp.where(gcol < n_true, d, jnp.inf)
+    local = jnp.sum(d < t)
+    return d[None], jnp.max(jax.lax.all_gather(local, axis))
 
 
-def _local_threshold_extract(q, e_local, *, t: float, n_local: int,
-                             n_true: int, cap: int, axis: str):
-    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
-                   precision=_PRECISION)
-    d = 1.0 - sims[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)[0]
-    gcol = col + jax.lax.axis_index(axis) * n_local
-    hit = (d < t) & (gcol < n_true)
+def _local_threshold_extract(d, t, *, n_local: int, n_true: int, cap: int,
+                             axis: str):
+    d = d[0]
+    hit = d < t
     idx = jnp.where(hit, size=cap, fill_value=n_local)[0]
     vals = jnp.where(idx < n_local, d[jnp.minimum(idx, n_local - 1)], jnp.inf)
     gidx = jnp.where(idx < n_local,
@@ -289,6 +290,36 @@ def _local_threshold_extract(q, e_local, *, t: float, n_local: int,
     vals_all = jax.lax.all_gather(vals, axis, axis=0, tiled=True)  # [d*cap]
     idx_all = jax.lax.all_gather(gidx, axis, axis=0, tiled=True)
     return vals_all, idx_all
+
+
+_threshold_fn_cache: dict = {}
+
+
+def _threshold_fns(mesh: Mesh, axis: str, n_local: int, n_true: int, cap: int):
+    """Jitted shard_map wrappers, cached so repeated queries against the
+    same sharded corpus reuse compiled executables. The threshold is a
+    traced operand; only shapes (n_local, cap) and n_true are static."""
+    key = (tuple(mesh.devices.flat), axis, n_local, n_true, cap)
+    if key in _threshold_fn_cache:
+        return _threshold_fn_cache[key]
+    dist_fn = jax.jit(jax.shard_map(
+        functools.partial(_local_threshold_dists, n_local=n_local,
+                          n_true=n_true, axis=axis),
+        mesh=mesh, in_specs=(P(None, None), P(axis, None), P()),
+        out_specs=(P(None, axis), P()),
+        check_vma=False,
+    ))
+    extract_fn = None
+    if cap:
+        extract_fn = jax.jit(jax.shard_map(
+            functools.partial(_local_threshold_extract, n_local=n_local,
+                              n_true=n_true, cap=cap, axis=axis),
+            mesh=mesh, in_specs=(P(None, axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+    _threshold_fn_cache[key] = (dist_fn, extract_fn)
+    return dist_fn, extract_fn
 
 
 def sharded_threshold_scan(
@@ -305,6 +336,7 @@ def sharded_threshold_scan(
     O(devices * max_per_device_hits), independent of corpus size when the
     threshold is selective.
     """
+    assert q.shape[0] == 1, "sharded_threshold_scan expects a single query row"
     if mesh is None:
         mesh = corpus_mesh()
     n = corpus.shape[0]
@@ -314,26 +346,17 @@ def sharded_threshold_scan(
     n_dev = int(mesh.devices.size)
     n_local = e_sharded.shape[0] // n_dev
     qd = jnp.asarray(q, jnp.float32)
+    t = jnp.float32(max_distance)
 
-    count_fn = jax.jit(jax.shard_map(
-        functools.partial(_local_threshold_count, t=float(max_distance),
-                          n_local=n_local, n_true=n, axis=axis),
-        mesh=mesh, in_specs=(P(None, None), P(axis, None)), out_specs=P(),
-        check_vma=False,
-    ))
-    max_local = int(count_fn(qd, e_sharded))
+    dist_fn, _ = _threshold_fns(mesh, axis, n_local, n, cap=0)
+    d_sharded, max_local = dist_fn(qd, e_sharded, t)
+    max_local = int(max_local)
     if max_local == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int64)
     cap = min(1 << (max_local - 1).bit_length(), n_local)
 
-    extract_fn = jax.jit(jax.shard_map(
-        functools.partial(_local_threshold_extract, t=float(max_distance),
-                          n_local=n_local, n_true=n, cap=cap, axis=axis),
-        mesh=mesh, in_specs=(P(None, None), P(axis, None)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    ))
-    vals, idx = extract_fn(qd, e_sharded)
+    _, extract_fn = _threshold_fns(mesh, axis, n_local, n, cap=cap)
+    vals, idx = extract_fn(d_sharded, t)
     vals = np.asarray(vals)
     idx = np.asarray(idx)
     keep = np.isfinite(vals)
