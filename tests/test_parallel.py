@@ -58,3 +58,12 @@ def test_sharded_subset_mesh(rng):
     d_want, i_want = topk_scan(q, e, 3)
     np.testing.assert_allclose(d_got, d_want, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(i_got, i_want)
+
+
+def test_multihost_initialize_noop_on_single_host(monkeypatch):
+    from semtools_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert multihost.initialize() is False
+    assert multihost.is_multihost_env() is False
