@@ -109,3 +109,33 @@ def test_workspace_index_cli(tmp_path, monkeypatch):
     assert main(["search", "topic", str(f)]) == 0
     assert main(["workspace", "index", "--force"]) == 0
     assert main(["workspace", "status"]) == 0
+
+
+def test_ann_index_survives_reopen(tmp_path):
+    # Persistence: a fresh Store instance on the same directory must see
+    # the saved index as fresh and serve ANN results without a rebuild.
+    rng = np.random.default_rng(21)
+    d1 = str(tmp_path / "persist")
+    s1 = Store(d1, dim=32)
+    centers = _unit(rng, 4)
+    paths = []
+    for i in range(4):
+        rows = centers[i] + 0.05 * rng.standard_normal((30, 32)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        p = f"/p{i}.txt"
+        s1.upsert_document_lines(p, rows)
+        paths.append(p)
+    s1.build_ann_index(force=True)
+    gen1 = s1.generation()
+    s1.close()
+
+    s2 = Store(d1, dim=32)
+    assert s2.generation() == gen1
+    assert s2._ann_fresh() is not None
+    assert s2.get_stats().index_type == "ivf-pq"
+    got = s2.search_line_embeddings(centers[1], paths, top_k=3)
+    assert all(rl.path == "/p1.txt" for rl in got)
+    # a mutation in the new instance stales the persisted index
+    s2.upsert_document_lines("/new.txt", _unit(rng, 5))
+    assert s2._ann_fresh() is None
+    s2.close()
