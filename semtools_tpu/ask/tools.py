@@ -291,13 +291,39 @@ def grep_tool(
     return "".join(out)
 
 
+# Pattern escapes whose match set depends on Unicode tables (\d matches
+# U+0660, \w matches é, \b derives from \w) — the native scanner's
+# std::regex applies them bytewise to UTF-8, so they are only equivalent
+# to Python re over pure-ASCII content.
+_UNICODE_SENSITIVE = re.compile(r"\\[dwsbDWSB]")
+
+
+def _native_grep_safe(pattern: str, ignore_case: bool, lines: List[str]) -> bool:
+    """True when the native scanner provably matches Python re semantics.
+
+    Non-ASCII patterns (std::regex is byte-oriented, its icase never folds
+    past ASCII), and Unicode-class or case-insensitive matching over
+    non-ASCII content (e.g. Kelvin sign folding to 'k'), silently diverge
+    rather than erroring — so they are routed to the authoritative Python
+    path up front.
+    """
+    if not pattern.isascii():
+        return False
+    if ignore_case or _UNICODE_SENSITIVE.search(pattern):
+        return all(line.isascii() for line in lines)
+    return True
+
+
 def _grep_lines(path: str, compiled: "re.Pattern[str]", lines: List[str]) -> List[int]:
     """Match line indices; native scanner when available, else Python re."""
+    ignore_case = bool(compiled.flags & re.IGNORECASE)
     try:
         from semtools_tpu.utils import grepscan
 
-        if grepscan.available():
-            return grepscan.match_lines(path, compiled.pattern, bool(compiled.flags & re.IGNORECASE))
+        if grepscan.available() and _native_grep_safe(
+            compiled.pattern, ignore_case, lines
+        ):
+            return grepscan.match_lines(path, compiled.pattern, ignore_case)
     except (ImportError, ValueError, OSError):
         # ValueError: the native scanner rejected the pattern (std::regex
         # lacks some Python re constructs, e.g. named groups/lookbehind)

@@ -73,13 +73,41 @@ class _Handler(socketserver.StreamRequestHandler):
         self.wfile.write(json.dumps(obj).encode() + b"\n")
 
 
+def _env_key_forwardable(key: str) -> bool:
+    """Server-side allowlist for client env overrides.
+
+    The whole SEMTOOLS_* namespace is forwardable EXCEPT the daemon's own
+    control knobs (a client override of SEMTOOLS_TPU_DAEMON could make
+    in-daemon commands forward to the daemon recursively), plus the API
+    credentials and HOME the commands resolve configs/keys from.
+    """
+    if key in ("SEMTOOLS_TPU_DAEMON", "SEMTOOLS_TPU_DAEMON_DIR"):
+        return False
+    if key.startswith("SEMTOOLS_"):
+        return True
+    return key in ("OPENAI_API_KEY", "OPENAI_BASE_URL", "LLAMA_CLOUD_API_KEY", "HOME")
+
+
 def _run_command(req) -> dict:
     from semtools_tpu.cli import main as cli_main
 
     argv = req.get("argv") or []
     stdin_text = req.get("stdin")
     cwd = req.get("cwd")
-    env_overrides = req.get("env") or {}
+    env_overrides = {
+        k: v for k, v in (req.get("env") or {}).items() if _env_key_forwardable(k)
+    }
+    # The request env is authoritative for the SEMTOOLS_ namespace: any
+    # SEMTOOLS_* var set in the daemon's (possibly stale) environment but
+    # absent from the request is unset for the duration of the command,
+    # so daemon-start-time state never leaks into clients that unset it.
+    for k in list(os.environ):
+        if (
+            k.startswith("SEMTOOLS_")
+            and k not in env_overrides
+            and _env_key_forwardable(k)
+        ):
+            env_overrides[k] = None
 
     with _run_lock:
         old_cwd = os.getcwd()
@@ -126,12 +154,17 @@ def serve(warm: bool = True) -> None:
     # Commands executed inside the daemon must never forward to the daemon.
     os.environ["SEMTOOLS_TPU_DAEMON"] = "off"
     path = socket_path()
-    path.parent.mkdir(parents=True, exist_ok=True)
+    # The socket executes arbitrary commands as this user with
+    # client-supplied cwd/env — it must never be reachable by other local
+    # users, whatever the umask. Owner-only dir + socket.
+    path.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+    os.chmod(path.parent, 0o700)
     if path.exists():
         path.unlink()
     if warm:
         _warm()
     with _Server(str(path), _Handler) as server:
+        os.chmod(path, 0o600)
         print(f"semtools daemon listening on {path}", file=sys.stderr)
         try:
             server.serve_forever()
@@ -222,18 +255,19 @@ def stop() -> bool:
 
 def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
     """Run ``argv`` on the daemon; None if no daemon is reachable."""
+    # Forward the client's whole SEMTOOLS_* namespace plus credentials and
+    # HOME; keys the client has UNSET are implicitly unset server-side (the
+    # daemon treats the request env as authoritative for SEMTOOLS_*), so
+    # daemon-start-time state like SEMTOOLS_TPU_STORE_INT8 or
+    # SEMTOOLS_WORKSPACE never leaks into a client that cleared it.
+    env = {k: v for k, v in os.environ.items() if _env_key_forwardable(k)}
+    for k in ("OPENAI_API_KEY", "OPENAI_BASE_URL", "LLAMA_CLOUD_API_KEY", "HOME"):
+        env[k] = os.environ.get(k)
     resp = _request({
         "argv": list(argv),
         "stdin": stdin_text,
         "cwd": os.getcwd(),
-        # Every relevant key is sent, with null for unset — the daemon must
-        # UNSET those for the request, or its own stale environment (e.g. a
-        # SEMTOOLS_WORKSPACE it was started under) would leak into clients
-        # that have unset them.
-        "env": {
-            k: os.environ.get(k)
-            for k in ("SEMTOOLS_WORKSPACE", "OPENAI_API_KEY", "LLAMA_CLOUD_API_KEY", "HOME")
-        },
+        "env": env,
     })
     if resp is None or "exit" not in resp:
         return None

@@ -276,12 +276,8 @@ class Store:
         # the same path twice would free its old range twice (the docs row
         # only updates at commit).
         deduped = {path: emb for path, emb in items}
-        # Validate and coerce EVERYTHING before mutating anything: once a
-        # freed range is reallocated and overwritten in the mmap, a
-        # mid-batch exception would leave other documents' docs rows
-        # pointing at clobbered slots (sqlite rolls back; mmap bytes
-        # don't). With shapes checked up front the write loop cannot fail
-        # on caller input.
+        # Validate and coerce EVERYTHING before mutating anything so the
+        # write loop below cannot fail on caller input.
         checked = []
         for path, embeddings in deduped.items():
             embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
@@ -294,14 +290,24 @@ class Store:
                 )
             checked.append((path, embeddings))
 
+        # Copy-on-write ordering: allocate fresh ranges WITHOUT freeing the
+        # live ones, write+flush the mmap, commit the docs rows, and only
+        # then release the replaced ranges. A crash anywhere in between
+        # leaves either the old consistent state (docs rows roll back;
+        # orphaned bytes sit in space sqlite still considers free) or the
+        # new consistent state (old ranges simply leak until the post-
+        # commit free, which the next upsert batch re-merges). Freeing
+        # before the commit could let one batch member's fresh allocation
+        # overwrite another member's still-committed vectors.
         staged = []  # (path, start, n, embeddings)
+        replaced = []  # (old_start, old_len) released only after commit
         for path, embeddings in checked:
             n = embeddings.shape[0]
             row = self.db.execute(
                 "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
             ).fetchone()
             if row is not None and row[0] is not None:
-                self._free_range(row[0], row[1])
+                replaced.append((int(row[0]), int(row[1])))
             start = self._alloc_range(n)
             staged.append((path, start, n, embeddings))
 
@@ -322,6 +328,10 @@ class Store:
         )
         self._bump_generation()
         self.db.commit()
+        for old_start, old_len in replaced:
+            self._free_range(old_start, old_len)
+        if replaced:
+            self.db.commit()
 
     def upsert_line_embeddings(self, line_embeddings: Sequence[LineEmbedding]) -> None:
         """Group by path and replace each document's block (one bulk
@@ -435,6 +445,18 @@ class Store:
                ORDER BY slot_start"""
         ).fetchall()
         return [(r[0], int(r[1]), int(r[2])) for r in rows]
+
+    def _valid_ranges_cached(self) -> List[Tuple[str, int, int]]:
+        """Generation-keyed cache of :meth:`_valid_ranges` — repeated
+        searches (daemon / agent batches) pay one meta-row read instead of
+        a full docs table scan per query."""
+        gen = self.generation()
+        cached = getattr(self, "_ranges_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        ranges = self._valid_ranges()
+        self._ranges_cache = (gen, ranges)
+        return ranges
 
     def _ann_paths(self) -> Tuple[Path, Path]:
         return self.dir / _ANN_FILE, self.dir / _ANN_META_FILE
@@ -551,7 +573,7 @@ class Store:
         order = np.argsort(exact, kind="stable")[:top_k]
         if max_distance is not None:
             order = order[exact[order] < max_distance]
-        return self._ranked_from_slots(self._valid_ranges(), cand_slots, exact, order)
+        return self._ranked_from_slots(self._valid_ranges_cached(), cand_slots, exact, order)
 
     # -- change detection --------------------------------------------------
 
@@ -589,7 +611,13 @@ class Store:
     # -- search ------------------------------------------------------------
 
     def _subset_slots(self, subset_paths: Sequence[str]) -> List[Tuple[str, int, int]]:
-        """(path, slot_start, n_lines) for stored docs in the subset."""
+        """(path, slot_start, n_lines) for stored docs in the subset.
+
+        Paths are deduped first: the same path in different IN chunks would
+        return duplicate ranges (duplicated results, and a subset query
+        misclassified as full-store by the count heuristic).
+        """
+        subset_paths = list(dict.fromkeys(subset_paths))
         out: List[Tuple[str, int, int]] = []
         for i in range(0, len(subset_paths), 1000):
             chunk = list(subset_paths[i : i + 1000])
@@ -617,8 +645,8 @@ class Store:
         if not ranges:
             return []
 
-        valid = self._valid_ranges()
-        full_store = len(ranges) == len(valid)
+        valid = self._valid_ranges_cached()
+        full_store = {r[0] for r in ranges} == {r[0] for r in valid}
         if full_store:
             # Canonicalize full-store scans to SLOT order: the device cache
             # key is (dir, generation), so the gathered row order must not
@@ -718,6 +746,12 @@ class Store:
             tile = tile_for_rows(corpus.shape[0])
             return pad_rows(jnp.asarray(e8), tile), float(scale), corpus.shape[0]
 
+        # The int8 Pallas selection unrolls k extraction rounds and its
+        # rescan output block is (1, Q, k) — past k=64 that means compile
+        # blowup, not graceful degradation (same limit as _use_pallas).
+        # Large top_k falls through to the f32 path, which routes to XLA.
+        if max(4 * top_k, 16) > 64:
+            return None
         entry = device_cache.get_or_put(
             (str(self.dir), self.generation(), "int8"), build
         )
@@ -772,7 +806,7 @@ class Store:
     ) -> Tuple[np.ndarray, List[str], np.ndarray]:
         """Materialize (corpus, owner paths, owner line numbers) for a subset.
 
-        Used by the distributed scan path and benchmarks.
+        Used by benchmarks and tests that need the raw matrix.
         """
         ranges = self._subset_slots(subset_paths)
         mm = self._mmap("r")

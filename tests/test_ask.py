@@ -209,3 +209,40 @@ def test_tool_definitions_sent(corpus, fallback_model):
     names = {t["name"] for t in body["tools"]}
     assert names == {"grep", "search", "read"}
     assert body["instructions"]  # system prompt via instructions param
+
+
+def test_grep_unicode_routes_to_python_semantics(tmp_path):
+    # The native std::regex scanner is byte-oriented; patterns/content
+    # needing Unicode tables must produce Python re results regardless of
+    # whether the native library is loaded.
+    f = tmp_path / "u.txt"
+    f.write_text(
+        "plain ascii line\n"
+        "digit ٣ arabic-indic\n"      # \d matches U+0663 in Python re
+        "café lower\n"
+        "CAFÉ UPPER\n",
+        encoding="utf-8",
+    )
+    files = [str(f)]
+    # Unicode digit class over non-ASCII content
+    out = grep_tool(files, r"\d", is_regex=True, context_lines=0)
+    assert "arabic-indic" in out
+    # non-ASCII pattern, case-insensitive: must fold É -> é
+    out = grep_tool(files, "café", case_sensitive=False, context_lines=0)
+    assert "lower" in out and "UPPER" in out
+    # ASCII-only literal on the same file still matches (any route)
+    out = grep_tool(files, "plain ascii", context_lines=0)
+    assert "plain ascii line" in out
+
+
+def test_native_grep_safe_predicate():
+    from semtools_tpu.ask.tools import _native_grep_safe
+
+    ascii_lines = ["abc", "123"]
+    uni_lines = ["abc", "café"]
+    assert _native_grep_safe("foo", False, uni_lines)          # plain literal: byte-safe
+    assert _native_grep_safe(r"\d+", False, ascii_lines)       # classes ok on ascii
+    assert not _native_grep_safe(r"\d+", False, uni_lines)     # classes + unicode content
+    assert not _native_grep_safe("foo", True, uni_lines)       # icase + unicode content
+    assert _native_grep_safe("foo", True, ascii_lines)
+    assert not _native_grep_safe("café", False, ascii_lines)  # non-ascii pattern

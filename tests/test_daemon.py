@@ -77,3 +77,57 @@ def test_stale_env_not_leaked(running_daemon, capsys):
     code = daemon.forward(["workspace", "status"], None)
     # no active workspace in the daemon's env -> error exit path
     assert code in (0, 1)
+
+
+def test_socket_permissions(running_daemon):
+    import os
+    import stat
+
+    path = daemon.socket_path()
+    st_dir = os.stat(path.parent)
+    st_sock = os.stat(path)
+    assert stat.S_IMODE(st_dir.st_mode) == 0o700
+    assert stat.S_IMODE(st_sock.st_mode) == 0o600
+
+
+def test_env_forwarding_allowlist():
+    assert daemon._env_key_forwardable("SEMTOOLS_WORKSPACE")
+    assert daemon._env_key_forwardable("SEMTOOLS_TPU_STORE_INT8")
+    assert daemon._env_key_forwardable("SEMTOOLS_TPU_MODEL_DIR")
+    assert daemon._env_key_forwardable("OPENAI_API_KEY")
+    assert daemon._env_key_forwardable("HOME")
+    # daemon control knobs must never be client-overridable (recursion)
+    assert not daemon._env_key_forwardable("SEMTOOLS_TPU_DAEMON")
+    assert not daemon._env_key_forwardable("SEMTOOLS_TPU_DAEMON_DIR")
+    # arbitrary env is rejected server-side
+    assert not daemon._env_key_forwardable("LD_PRELOAD")
+    assert not daemon._env_key_forwardable("PATH")
+
+
+def test_semtools_env_scoped_per_request(monkeypatch):
+    # A SEMTOOLS_* var present in the daemon's stale environment but absent
+    # from the request must be unset while the command runs; one the client
+    # sends must be visible. Both restored afterwards.
+    import os
+
+    import semtools_tpu.cli as cli
+
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")  # stale daemon state
+    seen = {}
+
+    def fake_main(argv):
+        seen["int8"] = os.environ.get("SEMTOOLS_TPU_STORE_INT8")
+        seen["model"] = os.environ.get("SEMTOOLS_TPU_MODEL")
+        return 0
+
+    monkeypatch.setattr(cli, "main", fake_main)
+    resp = daemon._run_command(
+        {"argv": ["workspace", "status"], "env": {"SEMTOOLS_TPU_MODEL": "m1",
+                                                  "LD_PRELOAD": "/evil.so"}}
+    )
+    assert resp["exit"] == 0
+    assert seen["int8"] is None          # stale var scoped out
+    assert seen["model"] == "m1"         # client var forwarded
+    assert os.environ["SEMTOOLS_TPU_STORE_INT8"] == "1"  # restored
+    assert "SEMTOOLS_TPU_MODEL" not in os.environ
+    assert "LD_PRELOAD" not in os.environ  # rejected by allowlist

@@ -211,3 +211,73 @@ def test_bulk_upsert_duplicate_paths_last_wins(tmp_path):
     s.upsert_documents_bulk([("/x.txt", a)])
     assert s.count_line_embeddings() == 3
     s.close()
+
+
+def test_bulk_upsert_crash_before_commit_preserves_old_vectors(tmp_path):
+    # Copy-on-write ordering: replaced ranges are freed only AFTER the docs
+    # rows commit. A failure at commit time (simulating a crash in the
+    # write->commit window) must leave the previously committed vectors
+    # untouched — the batch's fresh allocations may not clobber them.
+    s = Store(str(tmp_path / "cow"), dim=8)
+    a_old = np.stack([basis(0), basis(1), basis(2)])
+    b_old = np.stack([basis(3), basis(4)])
+    s.upsert_documents_bulk([("/a.txt", a_old), ("/b.txt", b_old)])
+
+    real_db = s.db
+
+    class FailingCommit:
+        def __init__(self, conn):
+            self._conn = conn
+
+        def commit(self):
+            raise RuntimeError("simulated crash at commit")
+
+        def __getattr__(self, name):
+            return getattr(self._conn, name)
+
+    s.db = FailingCommit(real_db)
+    a_new = np.stack([basis(5)])          # shrinks: old range partly freed
+    b_new = np.stack([basis(6)] * 4)      # grows: would love a's old slots
+    with pytest.raises(RuntimeError):
+        s.upsert_documents_bulk([("/a.txt", a_new), ("/b.txt", b_new)])
+    s.db = real_db
+    s.db.rollback()  # sqlite side of the crash: pending tx is lost
+
+    # Old state must be fully intact (bytes AND metadata).
+    for i, q in enumerate([basis(0), basis(1), basis(2)]):
+        hit = s.search_line_embeddings(q, ["/a.txt", "/b.txt"], top_k=1)[0]
+        assert (hit.path, hit.line_number) == ("/a.txt", i)
+        assert hit.distance < 1e-6
+    for i, q in enumerate([basis(3), basis(4)]):
+        hit = s.search_line_embeddings(q, ["/a.txt", "/b.txt"], top_k=1)[0]
+        assert (hit.path, hit.line_number) == ("/b.txt", i)
+        assert hit.distance < 1e-6
+    s.close()
+
+
+def test_subset_duplicate_paths_deduped(store):
+    store.upsert_document_lines("a.txt", np.stack([basis(0), basis(1)]))
+    store.upsert_document_lines("b.txt", np.stack([basis(2)]))
+    # Duplicated subset path: must not duplicate corpus rows/results, and
+    # must NOT be misclassified as a full-store query (2 ranges == 2 valid
+    # docs by count, but the subset is only a.txt).
+    hits = store.search_line_embeddings(basis(2), ["a.txt", "a.txt"], top_k=10)
+    assert all(h.path == "a.txt" for h in hits)
+    hits0 = store.search_line_embeddings(basis(0), ["a.txt", "a.txt"], top_k=10)
+    assert [h.line_number for h in hits0 if h.distance < 1e-6] == [0]
+
+
+def test_int8_tier_large_topk_falls_through(tmp_path, monkeypatch):
+    # 4*top_k above the Pallas k=64 selection limit must skip the int8
+    # tier gracefully (f32 path routes to XLA), not blow up compilation.
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    s = Store(str(tmp_path / "bigk"), dim=32)
+    rng = np.random.default_rng(11)
+    rows = rng.standard_normal((300, 32)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    s.upsert_document_lines("/big.txt", rows)
+    got = s.search_line_embeddings(rows[7], ["/big.txt"], top_k=200)
+    assert len(got) == 200
+    assert (got[0].path, got[0].line_number) == ("/big.txt", 7)
+    assert got[0].distance < 1e-5
+    s.close()
