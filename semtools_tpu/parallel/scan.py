@@ -93,9 +93,21 @@ def sharded_topk_fn(
     mesh: Mesh, k: int, n_local: int, n_true: int, axis: str = SHARD_AXIS,
     fused: Optional[bool] = None, interpret: bool = False
 ):
-    """Build the jitted sharded scan for a given mesh/k/shard size."""
+    """Build the jitted sharded scan for a given mesh/k/shard size.
+
+    Cached per (mesh, shapes) — a fresh jit wrapper per query would
+    re-trace every call, which matters for daemon-resident serving.
+    """
     if fused is None:
         fused = _use_fused_local(n_local, n_true, int(mesh.devices.size), k)
+    return _topk_fn_cached(mesh, k, n_local, n_true, axis, fused, interpret)
+
+
+@functools.lru_cache(maxsize=128)
+def _topk_fn_cached(
+    mesh: Mesh, k: int, n_local: int, n_true: int, axis: str, fused: bool,
+    interpret: bool
+):
     fn = jax.shard_map(
         functools.partial(
             _local_then_global_topk,
@@ -130,24 +142,36 @@ def sharded_topk_scan(
     """
     if mesh is None:
         mesh = corpus_mesh()
-    n = corpus.shape[0]
-    k_eff = min(k, n)
+    e_sharded, n = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
+    return sharded_topk_scan_device(q, e_sharded, n, k, mesh, axis)
+
+
+def sharded_topk_scan_device(
+    q: np.ndarray,
+    e_sharded,
+    n_true: int,
+    k: int,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`sharded_topk_scan` but over an already mesh-sharded
+    device array (e.g. the store's device cache); rows at global index
+    >= ``n_true`` are zero padding and never selected."""
+    k_eff = min(k, n_true)
     if k_eff == 0:
         return (
             np.zeros((q.shape[0], 0), np.float32),
             np.zeros((q.shape[0], 0), np.int64),
         )
-
-    e_sharded, _ = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
     n_local = e_sharded.shape[0] // mesh.devices.size
-    fn = sharded_topk_fn(mesh, k_eff, n_local, n, axis)
+    fn = sharded_topk_fn(mesh, k_eff, n_local, n_true, axis)
     d, i = fn(jnp.asarray(q, jnp.float32), e_sharded)
     d = np.asarray(d)
     i = np.asarray(i)
 
-    # Padding rows (index >= n) can only surface when k > true local rows;
-    # mask them out.
-    valid = i < n
+    # Padding rows (index >= n_true) can only surface when k > true local
+    # rows; mask them out.
+    valid = i < n_true
     if not valid.all():
         out_d = []
         out_i = []
@@ -165,13 +189,15 @@ def sharded_topk_scan(
 
 
 def _local_int8_topk(q8, e8_local, *, k: int, n_local: int, n_shards: int,
-                     axis: str, interpret: bool):
+                     n_true: int, axis: str, interpret: bool):
     """Per-device fused int8 scan under shard_map + all-gather merge.
 
-    Shards must be unpadded (caller guarantees n % n_shards == 0); integer
-    similarities are comparable across shards because the quantization
-    scale is global (semtools_tpu.ops.int8_scan), so the candidate merge
-    is exact over the quantized values.
+    Shard row counts are equal (caller pads the corpus to a multiple of
+    the mesh size with zero rows); integer similarities are comparable
+    across shards because the quantization scale is global
+    (semtools_tpu.ops.int8_scan), so the candidate merge is exact over the
+    quantized values. Global pad rows (index >= ``n_true``) are demoted
+    below any real similarity before the merge.
     """
     from semtools_tpu.ops.int8_scan import TILE_N, _int8_two_phase
     from semtools_tpu.ops.pallas_scan import pad_rows
@@ -182,12 +208,38 @@ def _local_int8_topk(q8, e8_local, *, k: int, n_local: int, n_shards: int,
         interpret=interpret
     )
     idx = idx_l + jax.lax.axis_index(axis) * n_local
+    if n_true < n_local * n_shards:
+        pad = idx >= n_true
+        sims_desc = jnp.where(pad, jnp.int32(-(1 << 30)), sims_desc)
+        idx = jnp.where(pad, n_local * n_shards, idx)
     vals_all = jax.lax.all_gather(sims_desc, axis, axis=1, tiled=True)
     idx_all = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
     # ties -> lower corpus index: sort by (sim desc, index asc)
     sv, si = jax.lax.sort((-vals_all, idx_all), dimension=1, num_keys=2)
     kk = min(k, n_shards * k_local)
     return -sv[:, :kk], si[:, :kk]
+
+
+@functools.lru_cache(maxsize=128)
+def _int8_fn_cached(
+    mesh: Mesh, k: int, n_local: int, n_true: int, axis: str, interpret: bool
+):
+    fn = jax.shard_map(
+        functools.partial(
+            _local_int8_topk,
+            k=k,
+            n_local=n_local,
+            n_shards=int(mesh.devices.size),
+            n_true=n_true,
+            axis=axis,
+            interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def sharded_int8_topk_scan(
@@ -206,48 +258,67 @@ def sharded_int8_topk_scan(
     Returns (distances [Q, k'], global indices [Q, k']) ascending;
     distance = 1 - int_sim * scale_q * scale_e.
     """
-    from semtools_tpu.ops.int8_scan import _should_interpret, quantize_global
-
     if mesh is None:
         mesh = corpus_mesh()
-    if interpret is None:
-        interpret = _should_interpret()
     n = e8.shape[0]
     n_dev = int(mesh.devices.size)
-    k_eff = min(k, n)
+    e8 = np.ascontiguousarray(e8)
+    pad = (-n) % n_dev
+    if pad:
+        e8 = np.concatenate([e8, np.zeros((pad, e8.shape[1]), e8.dtype)], axis=0)
+    sharding = NamedSharding(mesh, P(axis, None))
+    e_dev = jax.device_put(e8, sharding)
+    return sharded_int8_topk_scan_device(
+        q, e_dev, e_scale, k, n, mesh, axis, interpret=interpret
+    )
+
+
+def sharded_int8_topk_scan_device(
+    q: np.ndarray,
+    e8_sharded,
+    e_scale: float,
+    k: int,
+    n_true: int,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+    interpret: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`sharded_int8_topk_scan` but over an already mesh-sharded
+    int8 device array; rows at global index >= ``n_true`` are zero padding
+    and never selected."""
+    from semtools_tpu.ops.int8_scan import _should_interpret, quantize_global
+
+    if interpret is None:
+        interpret = _should_interpret()
+    k_eff = min(k, n_true)
     if k_eff == 0:
         return (
             np.zeros((q.shape[0], 0), np.float32),
             np.zeros((q.shape[0], 0), np.int64),
         )
-    assert n % n_dev == 0, (
-        f"int8 sharded scan needs n ({n}) divisible by mesh size ({n_dev}); "
-        "pad the corpus with zero rows before quantization"
-    )
+    n_dev = int(mesh.devices.size)
+    n_local = e8_sharded.shape[0] // n_dev
     q8, q_scale = quantize_global(np.asarray(q))
-    n_local = n // n_dev
 
-    sharding = NamedSharding(mesh, P(axis, None))
-    e_dev = jax.device_put(np.ascontiguousarray(e8), sharding)
-
-    fn = jax.shard_map(
-        functools.partial(
-            _local_int8_topk,
-            k=k_eff,
-            n_local=n_local,
-            n_shards=n_dev,
-            axis=axis,
-            interpret=interpret,
-        ),
-        mesh=mesh,
-        in_specs=(P(None, None), P(axis, None)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
-    sims, idx = jax.jit(fn)(jnp.asarray(q8), e_dev)
+    fn = _int8_fn_cached(mesh, k_eff, n_local, n_true, axis, interpret)
+    sims, idx = fn(jnp.asarray(q8), e8_sharded)
     sims = np.asarray(sims)[:, :k_eff]
     idx = np.asarray(idx)[:, :k_eff]
-    return 1.0 - sims * (q_scale * e_scale), idx
+    dists = 1.0 - sims * (q_scale * e_scale)
+
+    # Pad sentinels (index == padded N) surface only when k exceeds the
+    # real row count on some shard; drop them, keeping rows rectangular.
+    valid = idx < n_true
+    if not valid.all():
+        out_d, out_i = [], []
+        for row in range(dists.shape[0]):
+            keep = valid[row]
+            out_d.append(dists[row][keep][:k_eff])
+            out_i.append(idx[row][keep][:k_eff])
+        width = min(min(len(r) for r in out_i), k_eff)
+        dists = np.stack([r[:width] for r in out_d])
+        idx = np.stack([r[:width] for r in out_i])
+    return dists, idx.astype(np.int64)
 
 
 # -- sharded threshold scan ---------------------------------------------------
@@ -343,6 +414,23 @@ def sharded_threshold_scan(
     if n == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int64)
     e_sharded, _ = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
+    return sharded_threshold_scan_device(q, e_sharded, n, max_distance, mesh, axis)
+
+
+def sharded_threshold_scan_device(
+    q: np.ndarray,
+    e_sharded,
+    n_true: int,
+    max_distance: float,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`sharded_threshold_scan` but over an already mesh-sharded
+    device array; rows at global index >= ``n_true`` never match."""
+    assert q.shape[0] == 1, "sharded_threshold_scan expects a single query row"
+    n = n_true
+    if n == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int64)
     n_dev = int(mesh.devices.size)
     n_local = e_sharded.shape[0] // n_dev
     qd = jnp.asarray(q, jnp.float32)

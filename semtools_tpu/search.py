@@ -254,8 +254,8 @@ def search_with_workspace(
         )
         store.upsert_document_metadata(metas)
 
-    # Refresh the IVF-PQ tier when the corpus is large enough to warrant
-    # it (no-op below the threshold or when already fresh).
+    # Refresh the IVF-PQ capacity tier when the corpus is too big for the
+    # exact device tiers (no-op otherwise or when already fresh).
     with stage("ann_build"):
         store.build_ann_index(verbose=True)
 

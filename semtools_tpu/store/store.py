@@ -48,28 +48,75 @@ _ANN_FILE = "ann.npz"
 _ANN_META_FILE = "ann_meta.npz"
 
 
-def _int8_tier_enabled() -> bool:
-    """Opt-in compressed serving tier (SEMTOOLS_TPU_STORE_INT8=1).
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+def _int8_tier_enabled(n_rows: int) -> bool:
+    """Compressed serving tier policy (automatic; SEMTOOLS_TPU_STORE_INT8
+    overrides: 1=always, 0=never).
 
     Whole-store scans then run on a device-cached int8 copy of the corpus
     (4x less device memory + HBM traffic; ~1.4x faster than bf16 on v5e)
     with an exact f32 re-rank of the oversampled top candidates, so
     reported distances stay exact; the approximation only affects which
-    candidates reach the re-rank (int8 sim error ~1e-2).
+    candidates reach the re-rank (int8 sim error ~1e-2). Below the
+    threshold the f32 exact scan is already interactive and skipping the
+    quantize keeps reported = computed distances bit-identical.
     """
-    return os.environ.get("SEMTOOLS_TPU_STORE_INT8") == "1"
+    v = os.environ.get("SEMTOOLS_TPU_STORE_INT8")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return n_rows >= _env_int("SEMTOOLS_TPU_INT8_MIN_ROWS", 262_144)
+
+
+def _n_devices() -> int:
+    """Visible accelerator count WITHOUT forcing backend init: commands
+    that never touch the device (workspace status on a cold process)
+    must not pay TPU client bring-up just to report a tier name."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return 1
+    try:
+        import jax
+
+        return jax.device_count()
+    except Exception:
+        return 1
+
+
+def _sharded_enabled(n_rows: int) -> bool:
+    """Mesh-sharded serving policy (automatic on multi-device hosts;
+    SEMTOOLS_TPU_SHARDED overrides: 1=any size, 0=never).
+
+    Whole-store scans then shard the corpus rows across every visible
+    device (the reference's chunk-then-merge query, store.rs:495-543,
+    generalized to a device mesh) — per-device partial top-k candidates
+    merged over ICI. Tiny corpora stay single-device: the collective adds
+    fixed latency a one-tile scan doesn't earn back.
+    """
+    v = os.environ.get("SEMTOOLS_TPU_SHARDED")
+    if v in ("0", "off"):
+        return False
+    if _n_devices() < 2:
+        return False
+    if v in ("1", "on"):
+        return True
+    return n_rows >= _env_int("SEMTOOLS_TPU_SHARDED_MIN_ROWS", 8_192)
 
 
 def _ann_min_rows() -> int:
-    """Corpus size at which the IVF-PQ tier starts paying for its build.
+    """Floor below which the IVF-PQ tier is never auto-built or served.
 
-    Below this the exact MXU scan is already interactive; above it, ADC
-    probing bounds per-query work. Override with SEMTOOLS_TPU_ANN_MIN_ROWS.
+    Override with SEMTOOLS_TPU_ANN_MIN_ROWS.
     """
-    try:
-        return int(os.environ.get("SEMTOOLS_TPU_ANN_MIN_ROWS", 200_000))
-    except ValueError:
-        return 200_000
+    return _env_int("SEMTOOLS_TPU_ANN_MIN_ROWS", 200_000)
 
 
 def _to_i64(u: int) -> int:
@@ -409,13 +456,44 @@ class Store:
         ).fetchone()[0]
 
     def get_stats(self) -> WorkspaceStats:
-        index_type = "ivf-pq" if self._ann_generation_matches() else "exact-mxu-scan"
         return WorkspaceStats(
             total_documents=self.count_documents(),
             has_index=True,
-            index_type=index_type,
+            index_type=self.serving_tier(),
             total_lines=self.count_line_embeddings(),
         )
+
+    def _use_ann_tier(self, n_rows: int) -> bool:
+        """IVF-PQ is a CAPACITY tier: it serves only when the corpus
+        cannot live on-device (its int8 copy exceeds the device-cache
+        budget, scaled by mesh size when sharding applies) or when forced
+        with SEMTOOLS_TPU_FORCE_ANN=1. Everything smaller gets an exact
+        device scan — no recall tradeoff on corpora the hardware can hold.
+        """
+        if os.environ.get("SEMTOOLS_TPU_FORCE_ANN") == "1":
+            return True
+        if n_rows < _ann_min_rows():
+            return False
+        from semtools_tpu.store import device_cache
+
+        budget = device_cache._max_bytes()
+        if _sharded_enabled(n_rows):
+            budget *= max(1, _n_devices())
+        return n_rows * self.dim > budget  # int8 corpus bytes
+
+    def serving_tier(self, n_rows: Optional[int] = None) -> str:
+        """Name of the tier a whole-store top-k query would use right now
+        (``workspace status`` reports this)."""
+        if n_rows is None:
+            n_rows = self.count_line_embeddings()
+        if self._use_ann_tier(n_rows) and self._ann_generation_matches():
+            return "ivf-pq"
+        if _sharded_enabled(n_rows):
+            kind = "int8" if _int8_tier_enabled(n_rows) else "exact"
+            return f"sharded-{kind}-scan[{_n_devices()}]"
+        if _int8_tier_enabled(n_rows):
+            return "int8-mxu-scan"
+        return "exact-mxu-scan"
 
     # -- ANN tier (IVF-PQ) -------------------------------------------------
     #
@@ -497,17 +575,19 @@ class Store:
         return index, slots
 
     def build_ann_index(self, force: bool = False, verbose: bool = False):
-        """Build (or refresh) the IVF-PQ tier over all stored vectors.
+        """Build (or refresh) the IVF-PQ capacity tier over all stored
+        vectors.
 
-        Returns the index, or None when the corpus is below the ANN
-        threshold and ``force`` is unset. Safe to call repeatedly — a
-        fresh index is a no-op.
+        Returns the index, or None when the corpus would not be served by
+        the ANN tier (it fits on-device — see :meth:`_use_ann_tier`) and
+        ``force`` is unset. Safe to call repeatedly — a fresh index is a
+        no-op.
         """
         fresh = self._ann_fresh()
         if fresh is not None:
             return fresh[0]
         n = self.count_line_embeddings()
-        if n == 0 or (not force and n < _ann_min_rows()):
+        if n == 0 or (not force and not self._use_ann_tier(n)):
             return None
         from semtools_tpu.index.ivf_pq import IvfPqIndex
 
@@ -654,17 +734,7 @@ class Store:
             # mapping requires sorted starts.
             ranges = valid
 
-        # ANN tier: when a fresh IVF-PQ index exists and the query is over
-        # the whole store (the common workspace search), probe it instead
-        # of streaming every vector. Subset queries keep the exact scan —
-        # filtered ANN would re-introduce the recall gap the reference's
-        # per-chunk limit had (store.rs:517).
-        if full_store:
-            fresh = self._ann_fresh()
-            if fresh is not None:
-                return self._search_ann(
-                    fresh[0], fresh[1], query_vec, top_k, max_distance
-                )
+        n_rows = sum(n for _, _, n in ranges)
 
         def _gather():
             mm = self._mmap("r")
@@ -676,9 +746,35 @@ class Store:
             del mm
             return corpus
 
+        # ANN capacity tier: only when the corpus cannot live on-device
+        # (or forced) AND a fresh IVF-PQ index exists, and only for
+        # whole-store queries. Subset queries keep the exact scan —
+        # filtered ANN would re-introduce the recall gap the reference's
+        # per-chunk limit had (store.rs:517).
+        if full_store and self._use_ann_tier(n_rows):
+            fresh = self._ann_fresh()
+            if fresh is not None:
+                return self._search_ann(
+                    fresh[0], fresh[1], query_vec, top_k, max_distance
+                )
+
+        # Mesh-sharded serving tier: whole-store scans on multi-device
+        # hosts split the corpus rows across the mesh and merge per-device
+        # candidates over ICI (exact; see parallel/scan.py). ranges is
+        # slot-ordered here (full_store canonicalization).
+        if full_store and _sharded_enabled(n_rows):
+            hits = self._search_sharded(
+                _gather, ranges, query_vec, top_k, max_distance
+            )
+            if hits is not None:
+                return hits
+
         n_true = None
-        if full_store and _int8_tier_enabled() and max_distance is None:
-            # ranges is slot-ordered here (full_store canonicalization).
+        if (
+            full_store
+            and _int8_tier_enabled(n_rows)
+            and max_distance is None
+        ):
             hits = self._search_int8_cached(_gather, ranges, query_vec, top_k)
             if hits is not None:
                 return hits
@@ -700,14 +796,6 @@ class Store:
         if corpus is None:
             return []
 
-        # Map scan row -> (path, line_number)
-        owners_path: List[str] = []
-        owners_line = np.concatenate(
-            [np.arange(n, dtype=np.int64) for _, _, n in ranges]
-        )
-        for path, _, n in ranges:
-            owners_path.extend([path] * n)
-
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
         if max_distance is not None:
             dists, idxs = threshold_scan(q, corpus, float(max_distance), n_true=n_true)
@@ -715,15 +803,142 @@ class Store:
         else:
             d, i = topk_scan(q, corpus, top_k, n_true=n_true)
             dists, idxs = d[0], i[0]
+        return self._ranked_from_scan_rows(
+            ranges, np.asarray(idxs, np.int64), np.asarray(dists)
+        )
 
+    @staticmethod
+    def _scan_rows_to_slots(ranges, rows: np.ndarray):
+        """Map scan rows (positions in the range-concatenated corpus) to
+        (range index, line-in-doc, slot) via cumulative line counts —
+        O(candidates), never materializing an O(total_lines) owner array.
+        ``ranges`` must be concatenated in the same order the corpus was
+        gathered."""
+        cum = np.cumsum([ln for _, _, ln in ranges])
+        ris = np.searchsorted(cum, rows, side="right")
+        starts = np.array([s for _, s, _ in ranges], dtype=np.int64)
+        line_in_doc = rows - np.where(ris > 0, cum[ris - 1], 0)
+        return ris, line_in_doc, starts[ris] + line_in_doc
+
+    def _ranked_from_scan_rows(self, ranges, rows, dists) -> List[RankedLine]:
+        ris, line_in_doc, _ = self._scan_rows_to_slots(ranges, rows)
         return [
             RankedLine(
-                path=owners_path[int(j)],
-                line_number=int(owners_line[int(j)]),
+                path=ranges[int(ri)][0],
+                line_number=int(line),
                 distance=float(dist),
             )
-            for dist, j in zip(dists, idxs)
+            for ri, line, dist in zip(ris, line_in_doc, dists)
         ]
+
+    def _rerank_scan_rows(
+        self, ranges, rows: np.ndarray, q: np.ndarray, top_k: int,
+        max_distance: Optional[float] = None,
+    ) -> Optional[List[RankedLine]]:
+        """Exact f32 re-rank of candidate scan rows against the mmap'd
+        originals; reported distances are exact even when the candidates
+        came from a quantized tier."""
+        _, _, cand_slots = self._scan_rows_to_slots(ranges, rows)
+        mm = self._mmap("r")
+        if mm is None:
+            return None
+        rows_mat = np.asarray(mm[cand_slots])
+        del mm
+        exact = 1.0 - rows_mat @ q[0]
+        order = np.argsort(exact, kind="stable")[:top_k]
+        if max_distance is not None:
+            order = order[exact[order] < max_distance]
+        return self._ranked_from_slots(ranges, cand_slots, exact, order)
+
+    def _search_sharded(
+        self, gather, ranges, query_vec, top_k, max_distance
+    ) -> Optional[List[RankedLine]]:
+        """Whole-store scan sharded across the device mesh.
+
+        The device cache holds the SHARDED corpus (one row-shard per
+        device, generation-keyed); per-device top-k/threshold candidates
+        merge over ICI. int8 when the compressed-tier policy applies and
+        the k fits the fused kernel; f32 otherwise. Exact in all modes.
+        """
+        import jax
+
+        from semtools_tpu.parallel.mesh import SHARD_AXIS, corpus_mesh
+        from semtools_tpu.store import device_cache
+
+        mesh = corpus_mesh()
+        n_dev = int(mesh.devices.size)
+        q = np.asarray(query_vec, np.float32).reshape(1, -1)
+        n_rows = sum(n for _, _, n in ranges)
+
+        use_int8 = (
+            _int8_tier_enabled(n_rows)
+            and max_distance is None
+            and max(4 * top_k, 16) <= 64
+        )
+        if use_int8:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from semtools_tpu.ops.int8_scan import quantize_global
+            from semtools_tpu.parallel.scan import sharded_int8_topk_scan_device
+
+            def build():
+                corpus = gather()
+                if corpus is None:
+                    return None
+                e8, scale = quantize_global(corpus)
+                pad = (-e8.shape[0]) % n_dev
+                if pad:
+                    e8 = np.concatenate(
+                        [e8, np.zeros((pad, e8.shape[1]), e8.dtype)], axis=0
+                    )
+                sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
+                return (
+                    jax.device_put(np.ascontiguousarray(e8), sharding),
+                    float(scale),
+                    corpus.shape[0],
+                )
+
+            entry = device_cache.get_or_put(
+                (str(self.dir), self.generation(), "sh-int8", n_dev), build
+            )
+            if entry is None:
+                return None
+            e8_dev, scale, n = entry
+            oversample = min(max(4 * top_k, 16), n)
+            _, idx = sharded_int8_topk_scan_device(
+                q, e8_dev, scale, oversample, n, mesh
+            )
+            return self._rerank_scan_rows(ranges, idx[0], q, top_k)
+
+        from semtools_tpu.parallel.mesh import shard_corpus
+        from semtools_tpu.parallel.scan import (
+            sharded_threshold_scan_device,
+            sharded_topk_scan_device,
+        )
+
+        def build():
+            corpus = gather()
+            if corpus is None:
+                return None
+            return shard_corpus(corpus, mesh)  # (sharded array, n_true)
+
+        entry = device_cache.get_or_put(
+            (str(self.dir), self.generation(), "sharded", n_dev), build
+        )
+        if entry is None:
+            return None
+        e_sharded, n = entry
+        if max_distance is not None:
+            dists, idxs = sharded_threshold_scan_device(
+                q, e_sharded, n, float(max_distance), mesh
+            )
+            dists, idxs = dists[:top_k], idxs[:top_k]
+        else:
+            d, i = sharded_topk_scan_device(q, e_sharded, n, top_k, mesh)
+            dists, idxs = d[0], i[0]
+        return self._ranked_from_scan_rows(
+            ranges, np.asarray(idxs, np.int64), np.asarray(dists)
+        )
 
     def _search_int8_cached(self, gather, ranges, query_vec, top_k):
         """Whole-store scan on the device-cached int8 corpus + exact rerank."""
@@ -761,28 +976,7 @@ class Store:
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
         oversample = min(max(4 * top_k, 16), n)
         _, idx = int8_topk_scan(q, e8_dev, scale, oversample, n_true=n)
-        idx = idx[0]
-
-        # Candidate scan-row -> (range, slot) via cumulative line counts —
-        # O(candidates), never materializing the O(total_lines) slot array.
-        # ``ranges`` is slot-ordered and the gather concatenated it in
-        # order, so scan row r belongs to the range whose cumulative count
-        # first exceeds r.
-        cum = np.cumsum([ln for _, _, ln in ranges])
-        ris = np.searchsorted(cum, idx, side="right")
-        starts = np.array([s2 for _, s2, _ in ranges], dtype=np.int64)
-        line_in_doc = idx - np.where(ris > 0, cum[ris - 1], 0)
-        cand_slots = starts[ris] + line_in_doc
-
-        # Exact f32 re-rank of the oversampled candidates from the mmap.
-        mm = self._mmap("r")
-        if mm is None:
-            return None
-        rows = np.asarray(mm[cand_slots])
-        del mm
-        exact = 1.0 - rows @ q[0]
-        order = np.argsort(exact, kind="stable")[:top_k]
-        return self._ranked_from_slots(ranges, cand_slots, exact, order)
+        return self._rerank_scan_rows(ranges, np.asarray(idx[0], np.int64), q, top_k)
 
     @staticmethod
     def _device_corpus_builder(gather):

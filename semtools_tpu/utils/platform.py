@@ -20,6 +20,14 @@ def configure_jax() -> None:
         platform = os.environ.get("SEMTOOLS_TPU_PLATFORM")
         if platform:
             jax.config.update("jax_platforms", platform)
+
+        # Multi-host bootstrap: when coordination env vars are present
+        # (JAX_COORDINATOR_ADDRESS et al.), join the jax.distributed
+        # cluster so the serving mesh spans every host's devices; no-op on
+        # single-host CLI use. Must run before the first backend query.
+        from semtools_tpu.parallel import multihost
+
+        multihost.initialize()
         if platform == "cpu":
             # CPU compiles are cheap, and XLA:CPU AOT cache reloads emit
             # noisy machine-feature warnings; cache only accelerator builds.

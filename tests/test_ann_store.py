@@ -34,12 +34,16 @@ class TestAnnTier:
         assert store.build_ann_index() is None  # 240 lines << threshold
         assert store.get_stats().index_type == "exact-mxu-scan"
 
-    def test_force_build_and_fresh(self, store):
+    def test_force_build_and_fresh(self, store, monkeypatch):
         rng = np.random.default_rng(1)
         _fill(store, rng)
         index = store.build_ann_index(force=True)
         assert index is not None
         assert store._ann_fresh() is not None
+        # IVF-PQ is a capacity tier: fresh but NOT serving for a corpus
+        # that fits on-device — status reports the tier actually serving.
+        assert store.get_stats().index_type == "exact-mxu-scan"
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
         assert store.get_stats().index_type == "ivf-pq"
         # idempotent: second call reuses the fresh index
         assert store.build_ann_index(force=True) is not None
@@ -56,7 +60,8 @@ class TestAnnTier:
         store.delete_line_embeddings([paths[0]])
         assert store._ann_fresh() is None
 
-    def test_ann_search_matches_exact_on_clustered_data(self, store):
+    def test_ann_search_matches_exact_on_clustered_data(self, store, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
         rng = np.random.default_rng(3)
         centers = _unit(rng, 8)
         paths = []
@@ -76,7 +81,8 @@ class TestAnnTier:
         dists = [rl.distance for rl in got]
         assert dists == sorted(dists)
 
-    def test_subset_query_uses_exact_scan(self, store):
+    def test_subset_query_uses_exact_scan(self, store, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
         rng = np.random.default_rng(4)
         paths = _fill(store, rng)
         store.build_ann_index(force=True)
@@ -85,7 +91,8 @@ class TestAnnTier:
         got = store.search_line_embeddings(q, paths[:2], top_k=3)
         assert all(rl.path in paths[:2] for rl in got)
 
-    def test_ann_respects_max_distance(self, store):
+    def test_ann_respects_max_distance(self, store, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
         rng = np.random.default_rng(5)
         paths = _fill(store, rng)
         store.build_ann_index(force=True)
@@ -111,9 +118,10 @@ def test_workspace_index_cli(tmp_path, monkeypatch):
     assert main(["workspace", "status"]) == 0
 
 
-def test_ann_index_survives_reopen(tmp_path):
+def test_ann_index_survives_reopen(tmp_path, monkeypatch):
     # Persistence: a fresh Store instance on the same directory must see
     # the saved index as fresh and serve ANN results without a rebuild.
+    monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
     rng = np.random.default_rng(21)
     d1 = str(tmp_path / "persist")
     s1 = Store(d1, dim=32)

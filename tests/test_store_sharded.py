@@ -1,0 +1,153 @@
+"""Mesh-sharded serving tier of the workspace store.
+
+The conftest forces 8 virtual CPU devices, so these tests drive the real
+product path — Store.search_line_embeddings routing whole-store scans
+through the sharded kernels (parallel/scan.py) with the device cache
+holding the sharded corpus — and check results are identical to the
+single-device exact scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from semtools_tpu.store import device_cache
+from semtools_tpu.store.store import Store
+
+
+def _unit(rng, n, d=32):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache():
+    device_cache.invalidate()
+    yield
+    device_cache.invalidate()
+
+
+@pytest.fixture()
+def filled(tmp_path):
+    """Store with 3 docs in non-alphabetical slot order and a ragged total
+    (123 rows, not divisible by the 8-device mesh)."""
+    s = Store(str(tmp_path / "ws"), dim=32)
+    rng = np.random.default_rng(42)
+    docs = {}
+    for name, n in [("/z.txt", 41), ("/a.txt", 41), ("/m.txt", 41)]:
+        rows = _unit(rng, n)
+        s.upsert_document_lines(name, rows)
+        docs[name] = rows
+    yield s, docs
+    s.close()
+
+
+def _exact_hits(s, docs, q, top_k, max_distance=None, monkeypatch=None):
+    """Single-device exact reference results."""
+    return s.search_line_embeddings(q, list(docs), top_k, max_distance)
+
+
+def _assert_same(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert (x.path, x.line_number) == (y.path, y.line_number)
+        assert abs(x.distance - y.distance) < 1e-5
+
+
+def test_sharded_topk_matches_single_device(filled, monkeypatch):
+    s, docs = filled
+    rng = np.random.default_rng(1)
+    queries = [docs["/m.txt"][5], docs["/a.txt"][0], _unit(rng, 1)[0]]
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    exact = [s.search_line_embeddings(q, list(docs), top_k=5) for q in queries]
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    device_cache.invalidate()
+    assert s.serving_tier().startswith("sharded-exact-scan[")
+    sharded = [s.search_line_embeddings(q, list(docs), top_k=5) for q in queries]
+    for e, sh in zip(exact, sharded):
+        _assert_same(e, sh)
+    # the sharded corpus entry is device-cached (one entry, reused)
+    n_entries, _ = device_cache.stats()
+    assert n_entries == 1
+
+
+def test_sharded_threshold_matches_single_device(filled, monkeypatch):
+    s, docs = filled
+    q = docs["/z.txt"][10]
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    exact = s.search_line_embeddings(q, list(docs), top_k=50, max_distance=0.9)
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    device_cache.invalidate()
+    sharded = s.search_line_embeddings(q, list(docs), top_k=50, max_distance=0.9)
+    _assert_same(exact, sharded)
+    assert all(h.distance < 0.9 for h in sharded)
+
+
+def test_sharded_int8_matches_single_device(filled, monkeypatch):
+    s, docs = filled
+    q = docs["/a.txt"][17]
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "0")
+    exact = s.search_line_embeddings(q, list(docs), top_k=5)
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    device_cache.invalidate()
+    assert s.serving_tier().startswith("sharded-int8-scan[")
+    sharded = s.search_line_embeddings(q, list(docs), top_k=5)
+    # exact f32 rerank: identical hits and distances
+    _assert_same(exact, sharded)
+    assert sharded[0].line_number == 17
+    assert sharded[0].path == "/a.txt"
+    assert sharded[0].distance < 1e-5
+
+
+def test_sharded_cache_invalidated_on_mutation(filled, monkeypatch):
+    s, docs = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    q = docs["/m.txt"][3]
+    first = s.search_line_embeddings(q, list(docs), top_k=3)
+    assert first[0].path == "/m.txt"
+
+    # mutate: the generation-keyed cache must not serve stale shards
+    rng = np.random.default_rng(9)
+    new_rows = _unit(rng, 7)
+    s.upsert_document_lines("/new.txt", new_rows)
+    paths = list(docs) + ["/new.txt"]
+    hit = s.search_line_embeddings(new_rows[2], paths, top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/new.txt", 2)
+    assert hit.distance < 1e-5
+
+
+def test_sharded_subset_stays_exact(filled, monkeypatch):
+    s, docs = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    q = docs["/z.txt"][0]
+    got = s.search_line_embeddings(q, ["/z.txt"], top_k=3)
+    assert all(h.path == "/z.txt" for h in got)
+    assert got[0].line_number == 0
+
+
+def test_sharded_auto_threshold(filled, monkeypatch):
+    s, _ = filled
+    monkeypatch.delenv("SEMTOOLS_TPU_SHARDED", raising=False)
+    # 123 rows << auto threshold: single-device tier despite 8 devices
+    assert s.serving_tier() == "exact-mxu-scan"
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED_MIN_ROWS", "100")
+    assert s.serving_tier().startswith("sharded-")
+
+
+def test_sharded_topk_exceeds_corpus(filled, monkeypatch):
+    s, docs = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    q = docs["/a.txt"][1]
+    got = s.search_line_embeddings(q, list(docs), top_k=500)
+    assert len(got) == 123  # clamped to corpus size, no pad rows served
+    assert got[0].distance < 1e-5
+    assert all(h.line_number < 41 for h in got)
