@@ -176,13 +176,125 @@ def bench_sharded(results, n=1 << 18, d=256, q=8, k=10):
     t0 = _now()
     jax.block_until_ready(fn(q_dev, e_sharded))
     dt = _now() - t0
+    if nd < 2:
+        # A 1-device "sharded" number measures nothing distributed; don't
+        # record it (run under XLA_FLAGS=--xla_force_host_platform_device_count=8
+        # or on a multi-chip host for a real datapoint).
+        print(json.dumps({
+            "config": "sharded_scan", "skipped": "single device",
+        }))
+        return
     results.append({
         "config": "sharded_scan", "metric": "chunk_vectors_per_ms",
         "value": n / (dt * 1e3), "devices": nd, "queries": q,
     })
 
 
-ALL = ["search_e2e", "batched_scan", "workspace_warm", "ivfpq_recall", "sharded_scan"]
+def _clustered_corpus(n, d, n_queries, seed=1):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_clusters = 512
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    e = centers[assign] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    qq = e[rng.integers(0, n, n_queries)] + 0.05 * rng.standard_normal(
+        (n_queries, d)
+    ).astype(np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+    return e, qq
+
+
+def bench_tier_recall(results, n=200_000, d=256, n_queries=50, k=10):
+    """Head-to-head serving-tier comparison at store scale: recall@10 vs
+    the exact scan and single-query latency for each candidate tier —
+    full-dim int8 + exact rerank, PCA-reduced int8 (the capacity tier) at
+    64/32 dims + exact rerank, and the host IVF-PQ probe. The data behind
+    the tier policy in store.py."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semtools_tpu.index.ivf_pq import IvfPqIndex
+    from semtools_tpu.ops.int8_scan import int8_topk_scan, quantize_global
+    from semtools_tpu.ops.reduce import fit_rotation, project
+    from semtools_tpu.ops.scan import topk_scan
+
+    e, qq = _clustered_corpus(n, d, n_queries)
+    _, i_exact = topk_scan(qq, e, k)
+
+    def _recall(i_got):
+        return float(
+            sum(len(set(map(int, a)) & set(map(int, b)))
+                for a, b in zip(i_got, i_exact))
+        ) / (n_queries * k)
+
+    def _run_int8_tier(corpus_scan, rotation, label, oversample):
+        """Mirrors Store._search_int8_cached: fused Pallas selection for
+        the full-dim int8 tier, deep chunked-XLA candidates for the
+        reduced tier; exact f32 rerank from the originals in both."""
+        e8, scale = quantize_global(corpus_scan)
+        e8_dev = jnp.asarray(e8)
+        got = np.zeros((n_queries, k), np.int64)
+        lat = []
+        for qi in range(n_queries):
+            q1 = qq[qi : qi + 1]
+            t0 = _now()
+            if rotation is not None:
+                _, idx = topk_scan(q1 @ rotation, e8_dev, oversample, n_true=n)
+            else:
+                _, idx = int8_topk_scan(q1, e8_dev, scale, oversample, n_true=n)
+            cand = np.asarray(idx[0])
+            exact_d = 1.0 - e[cand] @ q1[0]  # exact rerank from f32 originals
+            order = np.argsort(exact_d, kind="stable")[:k]
+            lat.append(_now() - t0)
+            got[qi] = cand[order]
+        results.append({
+            "config": "tier_recall", "tier": label, "metric": "recall_at_10",
+            "value": _recall(got), "n": n, "oversample": oversample,
+            "seconds_per_query": float(np.median(lat)),
+            "bytes_per_row": corpus_scan.shape[1],
+        })
+
+    # warm the int8 executable shapes once (oversample=64 path)
+    e8_w, s_w = quantize_global(e[:4096])
+    int8_topk_scan(qq[:1], jnp.asarray(e8_w), s_w, 64, n_true=4096)
+
+    from semtools_tpu.ops.reduce import reduced_oversample
+
+    _run_int8_tier(e, None, "int8-full", oversample=max(4 * k, 16))
+    for rd in (64, 32):
+        rot = fit_rotation(e, rd)
+        _run_int8_tier(
+            project(e, rot), rot, f"reduced-int8-{rd}d",
+            oversample=reduced_oversample(n, k),
+        )
+
+    nlist = int(min(4096, max(64, 1 << int(np.log2(max(4 * np.sqrt(n), 64))))))
+    nprobe = max(16, nlist // 16)
+    # keep_vectors=False mirrors the store's ANN build (store.py) — the
+    # capacity tier cannot afford a second full f32 copy of the corpus.
+    index = IvfPqIndex.build(e, nlist=nlist, m=32, train_iters=8, keep_vectors=False)
+    index.search(qq[:1], k=k, nprobe=nprobe)  # warm
+    got = np.zeros((n_queries, k), np.int64)
+    lat = []
+    for qi in range(n_queries):
+        t0 = _now()
+        _, idx = index.search(qq[qi : qi + 1], k=k, nprobe=nprobe)
+        lat.append(_now() - t0)
+        got[qi] = idx[0]
+    results.append({
+        "config": "tier_recall", "tier": "ivf-pq-host", "metric": "recall_at_10",
+        "value": _recall(got), "n": n,
+        "seconds_per_query": float(np.median(lat)),
+        "bytes_per_row": 32,
+    })
+
+
+ALL = [
+    "search_e2e", "batched_scan", "workspace_warm", "ivfpq_recall",
+    "sharded_scan", "tier_recall",
+]
 
 
 def main():
@@ -193,6 +305,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--small", action="store_true",
                     help="CPU-smoke sizes (seconds, not minutes)")
+    ap.add_argument("--tier-n", type=int, default=200_000,
+                    help="corpus rows for the tier_recall config")
     args = ap.parse_args()
     configs = args.configs.split(",")
     if args.small:
@@ -229,6 +343,11 @@ def main():
                 bench_ivfpq(results)
         if "sharded_scan" in configs:
             bench_sharded(results, n=1 << 14 if args.small else 1 << 18)
+        if "tier_recall" in configs:
+            if args.small:
+                bench_tier_recall(results, n=20_000, n_queries=10)
+            else:
+                bench_tier_recall(results, n=args.tier_n)
 
     for r in results:
         print(json.dumps(r))

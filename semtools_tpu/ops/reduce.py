@@ -1,0 +1,82 @@
+"""Dimensionality reduction for the capacity serving tier.
+
+TPU rationale: the classic PQ/ADC capacity tier is a table-gather
+workload — 256-entry lookups per byte code — which the TPU VPU has no
+fast primitive for (a one-hot-matmul reformulation burns 256 compare-ops
+per code byte and loses to the exact int8 scan it is supposed to beat).
+The TPU-native capacity play is the opposite shape: keep the scan a
+dense MXU matmul, shrink the BYTES per row instead of the arithmetic —
+project the corpus onto its top principal directions and quantize to
+int8 (default 64 dims = 64 B/row, 4x the int8 tier's capacity, 16x
+f32), then re-rank an oversampled candidate set exactly against the f32
+originals on the host mmap. Candidate recall comes from oversampling;
+reported distances stay exact.
+
+The rotation is an UNCENTERED PCA (eigenvectors of the second-moment
+matrix): cosine scoring needs q.x ~ (W^T q).(W^T x), which holds for an
+orthonormal W spanning the data — centering would break the dot-product
+equivalence.
+
+Replaces the role qdrant-edge's ANN index played in the reference
+(src/workspace/store.rs:443); the IVF-PQ module remains for host-side
+serving of corpora beyond even the reduced tier's budget.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def fit_rotation(
+    x: np.ndarray, out_dim: int, sample_rows: int = 1 << 17, seed: int = 0
+) -> np.ndarray:
+    """Top-``out_dim`` principal directions of ``x`` (uncentered).
+
+    Returns an orthonormal [D, out_dim] float32 rotation, deterministic
+    for a given (x, seed). Fitting uses a row sample: the 256x256 second
+    moment converges long before 128k rows.
+    """
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    out_dim = min(out_dim, d)
+    if n > sample_rows:
+        rng = np.random.default_rng(seed)
+        x = x[rng.choice(n, sample_rows, replace=False)]
+    # Second moment in float64 for a stable eigh on near-degenerate data.
+    cov = (x.astype(np.float64).T @ x.astype(np.float64)) / max(len(x), 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    w = eigvecs[:, ::-1][:, :out_dim]
+    # Deterministic sign: make the largest-|.| component of each
+    # direction positive (eigh's sign is arbitrary).
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    return np.ascontiguousarray((w * flip), np.float32)
+
+
+def project(x: np.ndarray, rotation: np.ndarray) -> np.ndarray:
+    """[N, D] @ [D, d'] -> [N, d'] float32."""
+    return np.asarray(np.asarray(x, np.float32) @ rotation, np.float32)
+
+
+def reduced_oversample(n_rows: int, top_k: int = 10) -> int:
+    """Candidate depth for the reduced tier's exact re-rank.
+
+    Measured on clustered 256-d corpora (benchmarks/quantitative
+    tier_recall): recall@10 reaches 1.0 at depth 1024 for 200k rows and
+    2048 for 1M rows — the needed depth scales with within-cluster
+    density, i.e. roughly with N on a fixed-cluster corpus. n/512
+    (rounded up to a power of two for executable reuse) tracks that,
+    floored at 1024 and capped at 16384; SEMTOOLS_TPU_REDUCED_OVERSAMPLE
+    overrides.
+    """
+    import os
+
+    try:
+        env = int(os.environ.get("SEMTOOLS_TPU_REDUCED_OVERSAMPLE", 0))
+    except ValueError:
+        env = 0
+    if env > 0:
+        return min(max(env, 4 * top_k), n_rows)
+    target = max(1024, n_rows >> 9, 4 * top_k)
+    pow2 = 1 << (target - 1).bit_length()
+    return min(pow2, 16384, n_rows)

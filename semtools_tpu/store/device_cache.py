@@ -34,10 +34,43 @@ def _nbytes(value) -> int:
     """Bytes held by an array or a (possibly nested) tuple/list of arrays."""
     if isinstance(value, (tuple, list)):
         return sum(_nbytes(v) for v in value)
+    if hasattr(value, "device_nbytes"):  # e.g. patch_cache.SlotCorpus
+        return int(value.device_nbytes)
     try:
         return int(value.size) * value.dtype.itemsize
     except Exception:
         return 0
+
+
+def peek(key: Hashable):
+    """Cached value for ``key`` (refreshing LRU order), or None."""
+    with _lock:
+        if key in _entries:
+            _entries.move_to_end(key)
+            return _entries[key][0]
+    return None
+
+
+def replace(key: Hashable, value) -> None:
+    """Insert or overwrite ``key`` (re-accounting its byte size)."""
+    global _total_bytes
+    size = _nbytes(value)
+    with _lock:
+        if key in _entries:
+            _total_bytes -= _entries.pop(key)[1]
+        _entries[key] = (value, size)
+        _total_bytes += size
+        while _total_bytes > _max_bytes() and len(_entries) > 1:
+            _, (old, old_size) = _entries.popitem(last=False)
+            _total_bytes -= old_size
+            del old
+
+
+def remove(key: Hashable) -> None:
+    global _total_bytes
+    with _lock:
+        if key in _entries:
+            _total_bytes -= _entries.pop(key)[1]
 
 
 def get_or_put(key: Hashable, builder: Callable[[], object]):

@@ -1,0 +1,293 @@
+"""Slot-space device corpus with O(changed-bytes) in-place patching.
+
+The plain device cache keys whole-corpus entries by (dir, generation), so
+ANY mutation — a one-line edit in a 10M-line workspace — re-gathers and
+re-uploads the full corpus. This module keeps the corpus on device in
+SLOT space (device row == mmap slot; freed slots are zero rows) and
+patches it in place when the store's generation moves:
+
+- the copy-on-write upsert (store.py) gives every changed document a
+  fresh slot range, so the layout diff identifies exactly the moved
+  ranges;
+- freed ranges are zeroed on device (no host transfer), new ranges are
+  uploaded and written with ``lax.dynamic_update_slice`` in power-of-two
+  row chunks (bounded executable count, donated operands — no device-side
+  corpus copy);
+- growth reallocates on device and block-copies the old corpus
+  device-to-device.
+
+Zero rows score similarity 0 (cosine distance 1.0), so they can only
+outrank real rows whose similarity is negative. Callers oversample by a
+small slack, drop invalid slots host-side (the layout is known), and fall
+back to the compact gather path in the rare case the slack was not
+enough — results stay exact in all cases.
+
+Serving kinds: "f32" (exact scan), "int8" (global-scale quantized +
+exact rerank), and reduced-int8 (PCA-projected capacity tier). Patched
+rows reuse the entry's quantization scale and rotation; values are
+clipped, and the exact f32 rerank keeps reported distances exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from semtools_tpu.store import device_cache
+
+_SLACK = 16  # extra candidates to absorb zero-slot wins
+
+# Test instrumentation: bytes shipped host->device by patch/build ops.
+_uploaded = [0]
+
+def _donate_args():
+    """Donate the corpus operand on accelerators (in-place update, no
+    device-side copy); CPU does not support donation and warns."""
+    try:
+        import jax
+
+        return (0,) if jax.default_backend() != "cpu" else ()
+    except Exception:
+        return ()
+
+
+
+def uploaded_bytes() -> int:
+    return _uploaded[0]
+
+
+@dataclass
+class SlotCorpus:
+    kind: str  # "f32" | "int8"
+    generation: int
+    capacity: int  # true slot count (scan n_true); corpus rows >= this
+    corpus: object  # device array [cap_padded, D']
+    scale: Optional[float]
+    rotation: Optional[np.ndarray]
+    layout: Dict[str, Tuple[int, int]]
+    starts: np.ndarray = field(default=None)  # slot-ordered range starts
+    ends: np.ndarray = field(default=None)
+    paths: List[str] = field(default=None)
+
+    @property
+    def device_nbytes(self) -> int:
+        try:
+            return int(self.corpus.size) * self.corpus.dtype.itemsize
+        except Exception:
+            return 0
+
+    def refresh_lookup(self) -> None:
+        items = sorted(self.layout.items(), key=lambda kv: kv[1][0])
+        self.paths = [p for p, _ in items]
+        self.starts = np.array([s for _, (s, _) in items], np.int64)
+        self.ends = np.array([s + n for _, (s, n) in items], np.int64)
+
+    def slot_owners(self, slots: np.ndarray):
+        """(valid mask, range index, line number) for scan-result slots."""
+        ris = np.searchsorted(self.starts, slots, side="right") - 1
+        ris_c = np.clip(ris, 0, len(self.starts) - 1)
+        valid = (ris >= 0) & (slots < self.ends[ris_c]) & (slots >= self.starts[ris_c])
+        return valid, ris_c, slots - self.starts[ris_c]
+
+
+@functools.lru_cache(maxsize=64)
+def _dus_jit(rows: int, cols: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    # rows/cols/dtype are cache keys; the shapes specialize the trace
+    def f(arr, block, start):
+        return jax.lax.dynamic_update_slice(arr, block, (start, 0))
+
+    return jax.jit(f, donate_argnums=_donate_args())
+
+
+@functools.lru_cache(maxsize=64)
+def _zero_jit(rows: int, cols: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    def f(arr, start):
+        block = jnp.zeros((rows, cols), arr.dtype)
+        return jax.lax.dynamic_update_slice(arr, block, (start, 0))
+
+    return jax.jit(f, donate_argnums=_donate_args())
+
+
+@functools.lru_cache(maxsize=16)
+def _grow_jit(new_rows: int, cols: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    def f(arr):
+        out = jnp.zeros((new_rows, arr.shape[1]), arr.dtype)
+        return jax.lax.dynamic_update_slice(out, arr, (0, 0))
+
+    return jax.jit(f, donate_argnums=_donate_args())
+
+
+def _pow2_chunks(n: int):
+    """Descending power-of-two chunk sizes summing to n."""
+    while n > 0:
+        c = 1 << (n.bit_length() - 1)
+        yield c
+        n -= c
+
+
+def _write_rows(arr, rows_np: np.ndarray, start: int):
+    """Upload rows and write them at [start:start+n] in pow2 chunks."""
+    import jax.numpy as jnp
+
+    off = 0
+    for c in _pow2_chunks(rows_np.shape[0]):
+        block = np.ascontiguousarray(rows_np[off : off + c])
+        _uploaded[0] += block.nbytes
+        arr = _dus_jit(c, arr.shape[1], str(arr.dtype))(
+            arr, jnp.asarray(block), start + off
+        )
+        off += c
+    return arr
+
+
+def _zero_rows(arr, start: int, length: int):
+    off = 0
+    for c in _pow2_chunks(length):
+        arr = _zero_jit(c, arr.shape[1], str(arr.dtype))(arr, start + off)
+        off += c
+    return arr
+
+
+def _tile(cap: int) -> int:
+    from semtools_tpu.ops.int8_scan import tile_for_rows
+
+    return tile_for_rows(max(cap, 1))
+
+
+def _padded_rows(cap: int) -> int:
+    t = _tile(cap)
+    return ((cap + t - 1) // t) * t if cap else 0
+
+
+def _transform(rows: np.ndarray, kind: str, rotation, scale) -> np.ndarray:
+    rows = np.asarray(rows, np.float32)
+    if rotation is not None:
+        rows = rows @ rotation
+    if kind == "int8":
+        if not scale:
+            return np.zeros(rows.shape, np.int8)
+        return np.clip(np.rint(rows / scale), -127, 127).astype(np.int8)
+    return rows
+
+
+def _build(store, kind: str, reduced_dim: Optional[int]) -> Optional[SlotCorpus]:
+    import jax.numpy as jnp
+
+    ranges = store._valid_ranges_cached()
+    cap = store._capacity()
+    if cap == 0 or not ranges:
+        return None
+    mm = store._mmap("r")
+    if mm is None:
+        return None
+    buf = np.zeros((cap, store.dim), np.float32)
+    for _, s, n in ranges:
+        buf[s : s + n] = mm[s : s + n]
+    del mm
+
+    rotation = None
+    if reduced_dim:
+        from semtools_tpu.ops.reduce import fit_rotation, project
+
+        rotation = fit_rotation(buf, reduced_dim)
+        buf = project(buf, rotation)
+    scale = None
+    if kind == "int8":
+        from semtools_tpu.ops.int8_scan import quantize_global
+
+        buf, scale = quantize_global(buf)
+
+    padded = _padded_rows(cap)
+    if padded > cap:
+        buf = np.concatenate([buf, np.zeros((padded - cap, buf.shape[1]), buf.dtype)])
+    _uploaded[0] += buf.nbytes
+    sc = SlotCorpus(
+        kind=kind,
+        generation=store.generation(),
+        capacity=cap,
+        corpus=jnp.asarray(buf),
+        scale=scale,
+        rotation=rotation,
+        layout={p: (s, n) for p, s, n in ranges},
+    )
+    sc.refresh_lookup()
+    return sc
+
+
+def _patch(store, sc: SlotCorpus) -> bool:
+    """Bring ``sc`` up to the store's current generation in place.
+
+    Returns False when a patch is not worthwhile (over half the corpus
+    changed) — the caller rebuilds instead.
+    """
+    new_ranges = store._valid_ranges_cached()
+    new_layout = {p: (s, n) for p, s, n in new_ranges}
+    changed = [
+        (p, s, n) for p, (s, n) in new_layout.items() if sc.layout.get(p) != (s, n)
+    ]
+    removed = [
+        (s, n) for p, (s, n) in sc.layout.items() if new_layout.get(p) != (s, n)
+    ]
+    total = sum(n for _, n in new_layout.values())
+    delta = sum(n for _, _, n in changed) + sum(n for _, n in removed)
+    if total == 0 or delta > total // 2:
+        return False
+
+    cap = store._capacity()
+    padded = _padded_rows(cap)
+    arr = sc.corpus
+    if padded > arr.shape[0]:
+        arr = _grow_jit(padded, arr.shape[1], str(arr.dtype))(arr)
+
+    # Zero freed ranges FIRST: the allocator may have handed part of a
+    # freed range to a changed document, whose write below must win.
+    for s, n in removed:
+        arr = _zero_rows(arr, s, n)
+
+    if changed:
+        mm = store._mmap("r")
+        if mm is None:
+            return False
+        for _, s, n in changed:
+            rows = _transform(mm[s : s + n], sc.kind, sc.rotation, sc.scale)
+            arr = _write_rows(arr, rows, s)
+        del mm
+
+    sc.corpus = arr
+    sc.capacity = cap
+    sc.generation = store.generation()
+    sc.layout = new_layout
+    sc.refresh_lookup()
+    return True
+
+
+def get(store, kind: str, reduced_dim: Optional[int] = None) -> Optional[SlotCorpus]:
+    """Current-generation slot corpus for ``store`` — cache hit, in-place
+    patch, or full rebuild, in that order of preference."""
+    key = (str(store.dir), "slot", kind, reduced_dim or 0)
+    gen = store.generation()
+    cached = device_cache.peek(key)
+    if isinstance(cached, SlotCorpus):
+        if cached.generation == gen:
+            return cached
+        if _patch(store, cached):
+            device_cache.replace(key, cached)  # re-account bytes
+            return cached
+    fresh = _build(store, kind, reduced_dim)
+    if fresh is None:
+        device_cache.remove(key)
+        return None
+    device_cache.replace(key, fresh)
+    return fresh

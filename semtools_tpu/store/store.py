@@ -463,23 +463,47 @@ class Store:
             total_lines=self.count_line_embeddings(),
         )
 
-    def _use_ann_tier(self, n_rows: int) -> bool:
-        """IVF-PQ is a CAPACITY tier: it serves only when the corpus
-        cannot live on-device (its int8 copy exceeds the device-cache
-        budget, scaled by mesh size when sharding applies) or when forced
-        with SEMTOOLS_TPU_FORCE_ANN=1. Everything smaller gets an exact
-        device scan — no recall tradeoff on corpora the hardware can hold.
-        """
-        if os.environ.get("SEMTOOLS_TPU_FORCE_ANN") == "1":
-            return True
-        if n_rows < _ann_min_rows():
-            return False
+    def _device_budget_bytes(self, n_rows: int) -> int:
         from semtools_tpu.store import device_cache
 
         budget = device_cache._max_bytes()
         if _sharded_enabled(n_rows):
             budget *= max(1, _n_devices())
-        return n_rows * self.dim > budget  # int8 corpus bytes
+        return budget
+
+    def _capacity_reduced_dim(self, n_rows: int) -> Optional[int]:
+        """Projection dim for the reduced-int8 capacity tier, or None.
+
+        None when the plain int8 corpus already fits the device budget
+        (no reduction needed), when the tier is disabled
+        (SEMTOOLS_TPU_REDUCED_DIM=0), or when even the reduced corpus
+        would not fit (the ANN tier takes over).
+        """
+        rd = _env_int("SEMTOOLS_TPU_REDUCED_DIM", 64)
+        if rd <= 0 or rd >= self.dim:
+            return None
+        budget = self._device_budget_bytes(n_rows)
+        if n_rows * self.dim <= budget:
+            return None
+        if n_rows * rd <= budget:
+            return rd
+        return None
+
+    def _use_ann_tier(self, n_rows: int) -> bool:
+        """IVF-PQ is the LAST capacity tier: it serves only when the
+        corpus cannot live on-device even in reduced-int8 form, or when
+        forced with SEMTOOLS_TPU_FORCE_ANN=1. Everything smaller gets a
+        device scan with exact re-ranking — no recall tradeoff on corpora
+        the hardware can hold.
+        """
+        if os.environ.get("SEMTOOLS_TPU_FORCE_ANN") == "1":
+            return True
+        if n_rows < _ann_min_rows():
+            return False
+        budget = self._device_budget_bytes(n_rows)
+        if n_rows * self.dim <= budget:
+            return False
+        return self._capacity_reduced_dim(n_rows) is None
 
     def serving_tier(self, n_rows: Optional[int] = None) -> str:
         """Name of the tier a whole-store top-k query would use right now
@@ -488,11 +512,13 @@ class Store:
             n_rows = self.count_line_embeddings()
         if self._use_ann_tier(n_rows) and self._ann_generation_matches():
             return "ivf-pq"
+        rd = self._capacity_reduced_dim(n_rows)
+        suffix = f"-reduced{rd}d" if rd else ""
         if _sharded_enabled(n_rows):
-            kind = "int8" if _int8_tier_enabled(n_rows) else "exact"
-            return f"sharded-{kind}-scan[{_n_devices()}]"
-        if _int8_tier_enabled(n_rows):
-            return "int8-mxu-scan"
+            kind = "int8" if (rd or _int8_tier_enabled(n_rows)) else "exact"
+            return f"sharded-{kind}-scan[{_n_devices()}]{suffix}"
+        if rd or _int8_tier_enabled(n_rows):
+            return f"int8-mxu-scan{suffix}"
         return "exact-mxu-scan"
 
     # -- ANN tier (IVF-PQ) -------------------------------------------------
@@ -769,39 +795,26 @@ class Store:
             if hits is not None:
                 return hits
 
-        n_true = None
-        if (
-            full_store
-            and _int8_tier_enabled(n_rows)
-            and max_distance is None
-        ):
-            hits = self._search_int8_cached(_gather, ranges, query_vec, top_k)
+        if full_store:
+            # Single-device serving: the patchable slot-space device
+            # corpus (store/patch_cache.py) — generation moves apply an
+            # O(changed-bytes) in-place patch instead of a full re-upload.
+            # Tier (f32 / int8 / reduced-int8) chosen by the size policy;
+            # None falls through to the exact compact path below.
+            hits = self._search_slot_cached(query_vec, top_k, max_distance, n_rows)
             if hits is not None:
                 return hits
-        if full_store:
-            # Long-lived processes (daemon) keep the whole corpus resident
-            # on device; the generation key guarantees freshness. The entry
-            # is pre-padded to the scan kernels' tile multiple so queries
-            # never re-pad (and re-copy) the corpus.
-            from semtools_tpu.store import device_cache
 
-            entry = device_cache.get_or_put(
-                (str(self.dir), self.generation()), self._device_corpus_builder(_gather)
-            )
-            if entry is None:
-                return []
-            corpus, n_true = entry
-        else:
-            corpus = _gather()
+        corpus = _gather()
         if corpus is None:
             return []
 
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
         if max_distance is not None:
-            dists, idxs = threshold_scan(q, corpus, float(max_distance), n_true=n_true)
+            dists, idxs = threshold_scan(q, corpus, float(max_distance))
             dists, idxs = dists[:top_k], idxs[:top_k]
         else:
-            d, i = topk_scan(q, corpus, top_k, n_true=n_true)
+            d, i = topk_scan(q, corpus, top_k)
             dists, idxs = d[0], i[0]
         return self._ranked_from_scan_rows(
             ranges, np.asarray(idxs, np.int64), np.asarray(dists)
@@ -870,10 +883,9 @@ class Store:
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
         n_rows = sum(n for _, _, n in ranges)
 
-        use_int8 = (
-            _int8_tier_enabled(n_rows)
-            and max_distance is None
-            and max(4 * top_k, 16) <= 64
+        reduced_dim = self._capacity_reduced_dim(n_rows)
+        use_int8 = bool(reduced_dim) or (
+            _int8_tier_enabled(n_rows) and max(4 * top_k, 16) <= 64
         )
         if use_int8:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -885,6 +897,12 @@ class Store:
                 corpus = gather()
                 if corpus is None:
                     return None
+                rotation = None
+                if reduced_dim:
+                    from semtools_tpu.ops.reduce import project
+
+                    rotation = self._rotation_for(corpus, reduced_dim)
+                    corpus = project(corpus, rotation)
                 e8, scale = quantize_global(corpus)
                 pad = (-e8.shape[0]) % n_dev
                 if pad:
@@ -896,19 +914,31 @@ class Store:
                     jax.device_put(np.ascontiguousarray(e8), sharding),
                     float(scale),
                     corpus.shape[0],
+                    rotation,
                 )
 
             entry = device_cache.get_or_put(
-                (str(self.dir), self.generation(), "sh-int8", n_dev), build
+                (str(self.dir), self.generation(), "sh-int8", n_dev, reduced_dim or 0),
+                build,
             )
             if entry is None:
                 return None
-            e8_dev, scale, n = entry
-            oversample = min(max(4 * top_k, 16), n)
-            _, idx = sharded_int8_topk_scan_device(
-                q, e8_dev, scale, oversample, n, mesh
-            )
-            return self._rerank_scan_rows(ranges, idx[0], q, top_k)
+            e8_dev, scale, n, rotation = entry
+            oversample = self._int8_oversample(top_k, rotation is not None, n)
+            if rotation is not None:
+                # Reduced capacity tier: deep candidate selection via the
+                # sharded f32-query x int8-rows matmul path (per-device
+                # XLA top_k, candidates merged over ICI).
+                from semtools_tpu.parallel.scan import sharded_topk_scan_device
+
+                _, idx = sharded_topk_scan_device(
+                    q @ rotation, e8_dev, n, oversample, mesh
+                )
+            else:
+                _, idx = sharded_int8_topk_scan_device(
+                    q, e8_dev, scale, oversample, n, mesh
+                )
+            return self._rerank_scan_rows(ranges, idx[0], q, top_k, max_distance)
 
         from semtools_tpu.parallel.mesh import shard_corpus
         from semtools_tpu.parallel.scan import (
@@ -940,60 +970,112 @@ class Store:
             ranges, np.asarray(idxs, np.int64), np.asarray(dists)
         )
 
-    def _search_int8_cached(self, gather, ranges, query_vec, top_k):
-        """Whole-store scan on the device-cached int8 corpus + exact rerank."""
-        import jax.numpy as jnp
+    def _rotation_for(self, corpus: np.ndarray, reduced_dim: int) -> np.ndarray:
+        from semtools_tpu.ops.reduce import fit_rotation
 
-        from semtools_tpu.ops.int8_scan import (
-            int8_topk_scan,
-            quantize_global,
-            tile_for_rows,
-        )
-        from semtools_tpu.store import device_cache
-
-        def build():
-            corpus = gather()
-            if corpus is None:
-                return None
-            from semtools_tpu.ops.pallas_scan import pad_rows
-
-            e8, scale = quantize_global(corpus)
-            tile = tile_for_rows(corpus.shape[0])
-            return pad_rows(jnp.asarray(e8), tile), float(scale), corpus.shape[0]
-
-        # The int8 Pallas selection unrolls k extraction rounds and its
-        # rescan output block is (1, Q, k) — past k=64 that means compile
-        # blowup, not graceful degradation (same limit as _use_pallas).
-        # Large top_k falls through to the f32 path, which routes to XLA.
-        if max(4 * top_k, 16) > 64:
-            return None
-        entry = device_cache.get_or_put(
-            (str(self.dir), self.generation(), "int8"), build
-        )
-        if entry is None:
-            return None
-        e8_dev, scale, n = entry
-        q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        oversample = min(max(4 * top_k, 16), n)
-        _, idx = int8_topk_scan(q, e8_dev, scale, oversample, n_true=n)
-        return self._rerank_scan_rows(ranges, np.asarray(idx[0], np.int64), q, top_k)
+        return fit_rotation(corpus, reduced_dim)
 
     @staticmethod
-    def _device_corpus_builder(gather):
-        """Builder pushing the gathered corpus to device once, pre-padded
-        to the scan tile multiple; returns (device_array, n_true)."""
+    def _int8_oversample(top_k: int, reduced: bool, n: int) -> int:
+        """Candidate count for the exact re-rank. The reduced tier trades
+        projection error for memory and buys recall back with a deep,
+        corpus-size-scaled candidate set (see ops.reduce.reduced_oversample
+        for the measurements); the full-dim int8 tier's ~1e-2 sim error
+        needs far less."""
+        if reduced:
+            from semtools_tpu.ops.reduce import reduced_oversample
 
-        def build():
-            corpus = gather()
-            if corpus is None:
-                return None
-            import jax.numpy as jnp
+            return reduced_oversample(n, top_k)
+        return min(max(4 * top_k, 16), n)
 
-            from semtools_tpu.ops.pallas_scan import TILE_N, pad_rows
+    def _search_slot_cached(
+        self, query_vec, top_k: int,
+        max_distance: Optional[float], n_rows: int,
+    ) -> Optional[List[RankedLine]]:
+        """Single-device whole-store serving from the patchable slot-space
+        device corpus (store/patch_cache.py).
 
-            return pad_rows(jnp.asarray(corpus), TILE_N), corpus.shape[0]
+        Scan row == mmap slot; freed slots are zero rows that can only
+        outrank rows with negative similarity, so top-k scans request a
+        small slack, drop invalid slots host-side, and return None (exact
+        compact fallback) in the rare case the slack was not enough.
+        Compressed kinds re-rank an oversampled candidate set exactly
+        against the f32 originals, which also gives threshold queries an
+        exact boundary on 1-4 bytes/dim of streamed corpus.
+        """
+        from semtools_tpu.store import patch_cache
 
-        return build
+        reduced_dim = self._capacity_reduced_dim(n_rows)
+        use_int8 = bool(reduced_dim) or (
+            _int8_tier_enabled(n_rows)
+            and max(4 * top_k, 16) + patch_cache._SLACK <= 64
+        )
+        kind = "int8" if use_int8 else "f32"
+        sc = patch_cache.get(self, kind, reduced_dim)
+        if sc is None:
+            return None
+        q = np.asarray(query_vec, np.float32).reshape(1, -1)
+        need = min(top_k, n_rows)
+
+        def _ranked(slots, dists):
+            valid, ris, lines = sc.slot_owners(np.asarray(slots, np.int64))
+            out = [
+                RankedLine(sc.paths[int(r)], int(line), float(dv))
+                for ok, r, line, dv in zip(valid, ris, lines, np.asarray(dists))
+                if ok
+            ]
+            return out
+
+        if kind == "f32":
+            if max_distance is not None:
+                dists, slots = threshold_scan(
+                    q, sc.corpus, float(max_distance), n_true=sc.capacity
+                )
+                return _ranked(slots, dists)[:top_k]
+            k_scan = min(top_k + patch_cache._SLACK, sc.capacity)
+            d, i = topk_scan(q, sc.corpus, k_scan, n_true=sc.capacity)
+            out = _ranked(i[0], d[0])
+            if len(out) < need:
+                return None  # zero-slot slack exhausted: exact fallback
+            return out[:top_k]
+
+        oversample = self._int8_oversample(top_k, reduced_dim is not None, n_rows)
+        if reduced_dim:
+            # Deep candidate set over the reduced int8 corpus: f32 query x
+            # int8 rows on the chunked XLA matmul+top_k path (selection
+            # depth past the fused kernel's k ceiling; the scan still
+            # streams only reduced_dim bytes/row).
+            _, i = topk_scan(
+                q @ sc.rotation, sc.corpus,
+                min(oversample + patch_cache._SLACK, sc.capacity),
+                n_true=sc.capacity,
+            )
+        else:
+            from semtools_tpu.ops.int8_scan import int8_topk_scan
+
+            _, i = int8_topk_scan(
+                q, sc.corpus, sc.scale,
+                min(oversample + patch_cache._SLACK, 64, sc.capacity),
+                n_true=sc.capacity,
+            )
+        slots = np.asarray(i[0], np.int64)
+        valid, ris, lines = sc.slot_owners(slots)
+        slots, ris, lines = slots[valid], ris[valid], lines[valid]
+        if len(slots) < need:
+            return None
+        mm = self._mmap("r")
+        if mm is None:
+            return None
+        rows = np.asarray(mm[slots])
+        del mm
+        exact = 1.0 - rows @ q[0]
+        order = np.argsort(exact, kind="stable")[:top_k]
+        if max_distance is not None:
+            order = order[exact[order] < max_distance]
+        return [
+            RankedLine(sc.paths[int(ris[o])], int(lines[o]), float(exact[o]))
+            for o in order
+        ]
 
     def load_subset_matrix(
         self, subset_paths: Sequence[str]

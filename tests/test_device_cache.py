@@ -64,13 +64,14 @@ def test_store_full_scan_uses_cache_and_respects_generation(tmp_path):
     s.search_line_embeddings(q, ["/a.txt"], top_k=1)
     assert device_cache.stats()[0] == 1
 
-    # mutation bumps generation -> new entry, fresh data is served
+    # mutation bumps generation -> the entry is PATCHED in place (still
+    # one entry), and fresh data is served
     rows2 = rows.copy()
     rows2[5] = rows[3]
     s.upsert_document_lines("/a.txt", rows2)
     got2 = s.search_line_embeddings(q, ["/a.txt"], top_k=2)
     assert {rl.line_number for rl in got2} == {3, 5}
-    assert device_cache.stats()[0] == 2
+    assert device_cache.stats()[0] == 1
     s.close()
 
 

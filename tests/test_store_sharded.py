@@ -151,3 +151,96 @@ def test_sharded_topk_exceeds_corpus(filled, monkeypatch):
     assert len(got) == 123  # clamped to corpus size, no pad rows served
     assert got[0].distance < 1e-5
     assert all(h.line_number < 41 for h in got)
+
+
+def test_reduced_capacity_tier_single_device(tmp_path, monkeypatch):
+    """When the full-dim int8 corpus exceeds the device budget, the store
+    serves from the PCA-reduced int8 tier with exact f32 rerank."""
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    s = Store(str(tmp_path / "red"), dim=32)
+    rng = np.random.default_rng(5)
+    # clustered corpus: 8 centers, low intra-cluster noise
+    centers = _unit(rng, 8)
+    paths = []
+    all_rows = {}
+    for i in range(8):
+        rows = centers[i] + 0.07 * rng.standard_normal((50, 32)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        p = f"/c{i}.txt"
+        s.upsert_document_lines(p, rows)
+        paths.append(p)
+        all_rows[p] = rows
+
+    q = all_rows["/c3.txt"][7]
+    exact = s.search_line_embeddings(q, paths, top_k=5)
+
+    # force capacity mode: 400 rows * 32 dims > budget; * 8 dims fits
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(400 * 16))
+    monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    device_cache.invalidate()
+    assert s.serving_tier() == "int8-mxu-scan-reduced8d"
+    got = s.search_line_embeddings(q, paths, top_k=5)
+    assert (got[0].path, got[0].line_number) == ("/c3.txt", 7)
+    assert got[0].distance < 1e-5  # exact rerank distance
+    # top-5 should match the exact tier on this clustered data
+    assert [(h.path, h.line_number) for h in got] == [
+        (h.path, h.line_number) for h in exact
+    ]
+    for g, e in zip(got, exact):
+        assert abs(g.distance - e.distance) < 1e-5
+
+    # threshold through the reduced tier filters on exact distances
+    got_t = s.search_line_embeddings(q, paths, top_k=5, max_distance=0.05)
+    assert all(h.distance < 0.05 for h in got_t)
+    assert got_t[0].line_number == 7
+    s.close()
+
+
+def test_reduced_capacity_tier_sharded(tmp_path, monkeypatch):
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    s = Store(str(tmp_path / "redsh"), dim=32)
+    rng = np.random.default_rng(6)
+    centers = _unit(rng, 4)
+    paths = []
+    probe = None
+    for i in range(4):
+        rows = centers[i] + 0.07 * rng.standard_normal((60, 32)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        p = f"/d{i}.txt"
+        s.upsert_document_lines(p, rows)
+        paths.append(p)
+        if i == 2:
+            probe = rows[13]
+
+    exact = s.search_line_embeddings(probe, paths, top_k=3)
+
+    # budget scales x8 with the mesh: 500*8=4000 < full-dim int8 bytes
+    # (240*32=7680) but >= reduced bytes (240*8=1920)
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "500")
+    monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    device_cache.invalidate()
+    tier = s.serving_tier()
+    assert tier.startswith("sharded-int8-scan[") and tier.endswith("-reduced8d")
+    got = s.search_line_embeddings(probe, paths, top_k=3)
+    assert (got[0].path, got[0].line_number) == ("/d2.txt", 13)
+    assert got[0].distance < 1e-5
+    assert [(h.path, h.line_number) for h in got] == [
+        (h.path, h.line_number) for h in exact
+    ]
+    s.close()
+
+
+def test_rotation_deterministic():
+    from semtools_tpu.ops.reduce import fit_rotation, project
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 32)).astype(np.float32)
+    w1 = fit_rotation(x, 8)
+    w2 = fit_rotation(x, 8)
+    np.testing.assert_array_equal(w1, w2)
+    assert w1.shape == (32, 8)
+    # orthonormal columns
+    np.testing.assert_allclose(w1.T @ w1, np.eye(8), atol=1e-5)
+    # projection preserves dominant-direction similarity structure
+    p = project(x, w1)
+    assert p.shape == (500, 8)
