@@ -1,0 +1,206 @@
+"""Executed retrieval benchmark: the 15 questions' SEARCH STAGE, scored.
+
+The reference ships raw agent transcripts for its 15 questions
+(benchmarks/arxiv/answers/); that protocol needs an LLM harness. This is
+the no-LLM analogue the framework can execute and commit: each
+question's underlying retrieval operation runs through THIS product —
+semantic questions through `semtools_tpu` workspace search, exact-match
+questions through the ask agent's grep tool — against the synthetic
+ground-truth corpus (gen_text_corpus.py), recording per question family:
+
+- doc-precision@10: fraction of top-10 hits whose file is relevant to
+  the question's topic (ground truth by construction);
+- tier agreement: recall@10 of the configured serving tier against the
+  exact f32 scan (1.0 = the tier returns the exact scan's results);
+- exact-match completeness for grep questions (all planted probes found,
+  no false files);
+- wall latency per query (warm workspace).
+
+Results land in RESULTS_RETRIEVAL.json next to this script. Run:
+
+    SEMTOOLS_TPU_PLATFORM=cpu python benchmarks/arxiv/run_retrieval_eval.py
+    (drop the env var to run the search stage on the TPU)
+
+The committed results used the built-in hashed-ngram embedder (this
+environment has no network to fetch potion artifacts); re-run with
+SEMTOOLS_TPU_MODEL_DIR pointing at real model2vec artifacts to score the
+potion model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# (question id, family, kind, query-or-pattern, relevant topics)
+QUESTIONS = [
+    ("a1", "search_filter", "semantic", "attention mechanisms in neural networks", ["attention"]),
+    ("a2", "search_filter", "grep", "Diffusion", None),  # titles probe
+    ("a3", "search_filter", "semantic", "optimizer design for deep learning", ["optimizers"]),
+    ("a4", "search_filter", "grep", "_v3", None),  # filename-revision probe
+    ("a5", "search_filter", "semantic", "machine learning for medical imaging", ["medical-imaging"]),
+    ("b1", "cross_reference", "semantic", "contrastive representation learning with positive pairs", ["contrastive"]),
+    ("b2", "cross_reference", "semantic", "reinforcement learning for robotics control", ["rl-robotics"]),
+    ("b3", "cross_reference", "grep", "contrastive learning", None),
+    ("b4", "cross_reference", "semantic", "agents planning with tools", ["agents"]),
+    ("b5", "cross_reference", "semantic", "vision models using language model techniques", ["vision-language"]),
+    ("c1", "temporal", "semantic", "autonomous agent loop planning acting", ["agents"]),
+    ("c2", "temporal", "grep", "State Space Model", None),
+    ("c3", "temporal", "semantic", "structured state space sequence models", ["state-space"]),
+    ("c4", "temporal", "semantic", "denoising diffusion generative models", ["diffusion"]),
+    ("c5", "temporal", "semantic", "tumor segmentation radiology scans", ["medical-imaging"]),
+]
+
+TOP_K = 10
+
+
+def main():
+    out_path = Path(__file__).parent / "RESULTS_RETRIEVAL.json"
+    home = tempfile.mkdtemp(prefix="semtools_eval_home_")
+    os.environ["HOME"] = home
+    os.environ.setdefault("SEMTOOLS_TPU_SHARDED", "0")
+
+    from gen_text_corpus import gen
+
+    corpus_root = Path(tempfile.mkdtemp(prefix="semtools_eval_corpus_"))
+    truth = gen(corpus_root)
+
+    from semtools_tpu.utils.platform import configure_jax
+
+    configure_jax()
+    from semtools_tpu.ask.tools import grep_tool
+    from semtools_tpu.models.static_model import load_model
+    from semtools_tpu.search import SearchConfig, search_with_workspace
+    from semtools_tpu.store import Workspace
+    from semtools_tpu.store.store import Store
+
+    files = sorted(str(p) for p in (corpus_root / "full_text").glob("*.txt"))
+    model = load_model()
+
+    os.environ["SEMTOOLS_WORKSPACE"] = "retrieval-eval"
+    ws = Workspace.open("retrieval-eval")
+    ws.save()
+
+    def _search(query, top_k=TOP_K):
+        cfg = SearchConfig(top_k=top_k, n_lines=0)
+        return search_with_workspace(files, query, model, cfg, "retrieval-eval")
+
+    # Warm build: embeds the corpus once into the workspace store.
+    t0 = time.perf_counter()
+    _search("warmup query")
+    build_s = time.perf_counter() - t0
+
+    def _pid(path):
+        return Path(path).stem
+
+    results = []
+    for qid, family, kind, query, topics in QUESTIONS:
+        if kind == "grep":
+            t0 = time.perf_counter()
+            out = grep_tool(files, query, context_lines=0)
+            dt = time.perf_counter() - t0
+            hit_files = {
+                line.split("file=")[1].split(" ")[0]
+                for line in out.splitlines()
+                if line.startswith("<chunk")
+            }
+            hit_pids = {_pid(f) for f in hit_files}
+            if query == "Diffusion":
+                want = set(truth["_diffusion_titles"])
+                # the word also appears in body text of diffusion papers;
+                # completeness = all title-probe papers found
+                complete = want <= hit_pids
+            elif query == "_v3":
+                want = set(truth["_v3_files"])
+                complete = want <= hit_pids and all("_v3" in p for p in hit_pids)
+            else:  # phrase probes: every hit must contain the phrase
+                want = hit_pids
+                complete = bool(hit_pids)
+            results.append({
+                "question": qid, "family": family, "kind": "grep",
+                "pattern": query, "files_matched": len(hit_pids),
+                "complete": bool(complete), "seconds": dt,
+            })
+            continue
+
+        # semantic: score the serving tier's top-k against ground truth
+        t0 = time.perf_counter()
+        hits = _search(query)
+        dt = time.perf_counter() - t0
+        relevant = set()
+        for t in topics:
+            relevant |= set(truth[t])
+        hit_pids = [_pid(h.path) for h in hits]
+        prec = sum(p in relevant for p in hit_pids) / max(len(hit_pids), 1)
+
+        # tier agreement: int8 tier vs exact f32 on the same query
+        from semtools_tpu.store import device_cache
+
+        q_emb = __import__("numpy").asarray(model.encode_single(query))
+        with Store(ws.config.root_dir) as store:
+            os.environ["SEMTOOLS_TPU_STORE_INT8"] = "0"
+            device_cache.invalidate()
+            exact = store.search_line_embeddings(q_emb, files, TOP_K)
+            os.environ["SEMTOOLS_TPU_STORE_INT8"] = "1"
+            device_cache.invalidate()
+            tier = store.search_line_embeddings(q_emb, files, TOP_K)
+            os.environ.pop("SEMTOOLS_TPU_STORE_INT8", None)
+        # Tie-aware agreement: sentences repeat in this corpus, so many
+        # lines share one embedding and the exact top-10 is only defined
+        # up to tie permutations. The tiers agree when they return the
+        # same multiset of exact distances.
+        from collections import Counter
+
+        agree_n = sum(
+            (
+                Counter(round(h.distance, 5) for h in exact)
+                & Counter(round(h.distance, 5) for h in tier)
+            ).values()
+        )
+        agree = agree_n / max(len(exact), 1)
+
+        results.append({
+            "question": qid, "family": family, "kind": "semantic",
+            "query": query, "doc_precision_at_10": prec,
+            "int8_tier_agreement_at_10": agree, "seconds": dt,
+        })
+
+    by_family: dict = {}
+    for r in results:
+        fam = by_family.setdefault(r["family"], {"n": 0, "seconds": 0.0})
+        fam["n"] += 1
+        fam["seconds"] += r["seconds"]
+        if "doc_precision_at_10" in r:
+            fam.setdefault("precisions", []).append(r["doc_precision_at_10"])
+            fam.setdefault("agreements", []).append(r["int8_tier_agreement_at_10"])
+    for fam in by_family.values():
+        fam["mean_seconds"] = fam.pop("seconds") / fam["n"]
+        if "precisions" in fam:
+            precs = fam.pop("precisions")
+            agrees = fam.pop("agreements")
+            fam["semantic_questions"] = len(precs)
+            fam["mean_doc_precision_at_10"] = sum(precs) / len(precs)
+            fam["mean_int8_agreement_at_10"] = sum(agrees) / len(agrees)
+
+    payload = {
+        "corpus": {"papers": 400, "generator": "gen_text_corpus.py", "seed": 7},
+        "model": model.name,
+        "platform": os.environ.get("SEMTOOLS_TPU_PLATFORM", "default(TPU)"),
+        "workspace_build_seconds": build_s,
+        "per_question": results,
+        "per_family": by_family,
+    }
+    out_path.write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload["per_family"], indent=1))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,3 +131,28 @@ def test_semtools_env_scoped_per_request(monkeypatch):
     assert os.environ["SEMTOOLS_TPU_STORE_INT8"] == "1"  # restored
     assert "SEMTOOLS_TPU_MODEL" not in os.environ
     assert "LD_PRELOAD" not in os.environ  # rejected by allowlist
+
+
+def test_concurrent_clients(running_daemon, tmp_path):
+    # Commands run one at a time under the daemon's lock; concurrent
+    # clients must all get complete, uncorrupted replies.
+    import json
+
+    results = [None] * 6
+
+    def one(i):
+        resp = daemon._request({
+            "argv": ["--version"], "stdin": None,
+            "cwd": str(tmp_path), "env": {},
+        })
+        results[i] = resp
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for resp in results:
+        assert resp is not None and resp["exit"] == 0
+        assert "semtools" in resp["stdout"]
+        json.dumps(resp)  # reply was valid JSON end-to-end
