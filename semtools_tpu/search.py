@@ -167,7 +167,26 @@ def search_documents(
     q = np.asarray(query_embedding, dtype=np.float32).reshape(1, -1)
 
     with stage("scan"):
-        if config.max_distance is not None:
+        from semtools_tpu.store.store import _sharded_enabled
+
+        if _sharded_enabled(int(corpus.shape[0])):
+            # Multi-device host: shard the freshly embedded corpus over
+            # the mesh and merge per-device candidates over ICI — the
+            # same serving layer workspace scans use (parallel/scan.py).
+            from semtools_tpu.parallel.scan import (
+                sharded_threshold_scan,
+                sharded_topk_scan,
+            )
+
+            corpus_np = np.asarray(corpus, np.float32)
+            if config.max_distance is not None:
+                dists, idxs = sharded_threshold_scan(
+                    q, corpus_np, float(config.max_distance)
+                )
+            else:
+                d, i = sharded_topk_scan(q, corpus_np, config.top_k)
+                dists, idxs = d[0], i[0]
+        elif config.max_distance is not None:
             dists, idxs = threshold_scan(q, corpus, float(config.max_distance))
         else:
             # Default threshold 100.0 admits every line; top-k over the corpus

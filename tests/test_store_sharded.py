@@ -244,3 +244,40 @@ def test_rotation_deterministic():
     # projection preserves dominant-direction similarity structure
     p = project(x, w1)
     assert p.shape == (500, 8)
+
+
+def test_search_documents_sharded_matches_single_device(monkeypatch):
+    """Plain (non-workspace) search also rides the mesh when the policy
+    applies — results identical to the single-device scan."""
+    from semtools_tpu.search import Document, SearchConfig, search_documents
+
+    rng = np.random.default_rng(17)
+    docs = []
+    for di in range(3):
+        mat = _unit(rng, 50)
+        docs.append(
+            Document(
+                filename=f"f{di}.txt",
+                lines=[f"line {di}:{i}" for i in range(50)],
+                embeddings=mat,
+            )
+        )
+    q = docs[1].embeddings[20]
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    exact = search_documents(docs, q, SearchConfig(top_k=5, n_lines=0))
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    sharded = search_documents(docs, q, SearchConfig(top_k=5, n_lines=0))
+    assert [(r.filename, r.match_line) for r in sharded] == [
+        (r.filename, r.match_line) for r in exact
+    ]
+    assert sharded[0].filename == "f1.txt" and sharded[0].match_line == 20
+
+    # threshold mode (all hits, unbounded)
+    exact_t = search_documents(docs, q, SearchConfig(top_k=5, n_lines=0, max_distance=0.9))
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    sharded_t = search_documents(docs, q, SearchConfig(top_k=5, n_lines=0, max_distance=0.9))
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    assert [(r.filename, r.match_line) for r in sharded_t] == [
+        (r.filename, r.match_line) for r in exact_t
+    ]
