@@ -298,18 +298,47 @@ def grep_tool(
 _UNICODE_SENSITIVE = re.compile(r"\\[dwsbDWSB]")
 
 
+def _has_bytewise_unsafe_construct(pattern: str) -> bool:
+    """Unescaped ``.`` or negated class: over UTF-8 bytes these match ONE
+    BYTE of a multi-byte character ('x.y' misses 'x€y'; '[^a]' matches a
+    lone continuation byte), so they only equal Python re on ASCII
+    content. Escaped metacharacters (re.escape'd literals) are exact."""
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == ".":
+            return True
+        elif c == "[":
+            in_class = True
+            if i + 1 < len(pattern) and pattern[i + 1] == "^":
+                return True
+        i += 1
+    return False
+
+
 def _native_grep_safe(pattern: str, ignore_case: bool, lines: List[str]) -> bool:
     """True when the native scanner provably matches Python re semantics.
 
     Non-ASCII patterns (std::regex is byte-oriented, its icase never folds
-    past ASCII), and Unicode-class or case-insensitive matching over
-    non-ASCII content (e.g. Kelvin sign folding to 'k'), silently diverge
-    rather than erroring — so they are routed to the authoritative Python
+    past ASCII) always route to Python; Unicode-class escapes, wildcards /
+    negated classes, and case-insensitive matching (e.g. Kelvin sign
+    folding to 'k') silently diverge over non-ASCII content rather than
+    erroring — so those combinations route to the authoritative Python
     path up front.
     """
     if not pattern.isascii():
         return False
-    if ignore_case or _UNICODE_SENSITIVE.search(pattern):
+    if (
+        ignore_case
+        or _UNICODE_SENSITIVE.search(pattern)
+        or _has_bytewise_unsafe_construct(pattern)
+    ):
         return all(line.isascii() for line in lines)
     return True
 

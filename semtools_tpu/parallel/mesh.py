@@ -26,20 +26,43 @@ def corpus_mesh(n_devices: Optional[int] = None, axis: str = SHARD_AXIS) -> Mesh
     return Mesh(np.asarray(devices), (axis,))
 
 
+def bucket_rows(n: int, n_dev: int) -> int:
+    """Padded row count for a mesh-sharded serving corpus.
+
+    A multiple of the mesh size, rounded up in coarse steps (~n/16, min
+    256/device) so small corpus mutations keep the padded SHAPE — the
+    sharded scan executables key on shapes (n_true is traced), so a
+    stable shape means no retrace on the first query after an upsert.
+    Worst-case waste is ~6% zero rows, masked by n_true.
+    """
+    step = max(n_dev * 256, 1 << max(max(n, 1).bit_length() - 5, 0))
+    step = ((step + n_dev - 1) // n_dev) * n_dev
+    return ((n + step - 1) // step) * step
+
+
 def shard_corpus(
-    corpus: np.ndarray, mesh: Mesh, axis: str = SHARD_AXIS
+    corpus, mesh: Mesh, axis: str = SHARD_AXIS
 ) -> Tuple[jax.Array, int]:
     """Place an [N, D] matrix row-sharded on the mesh.
 
     N is padded up to a multiple of the mesh size with zero rows (zero rows
     score distance 1.0 and never displace real candidates unless the corpus
     is smaller than k; callers mask by true N). Returns (sharded array,
-    original N).
+    original N). Device-resident inputs (e.g. a freshly embedded corpus)
+    pad and reshard on device — no host round-trip.
     """
     n, d = corpus.shape
     n_dev = mesh.devices.size
     pad = (-n) % n_dev
+    sharding = NamedSharding(mesh, P(axis, None))
+    if isinstance(corpus, jax.Array):
+        import jax.numpy as jnp
+
+        if pad:
+            corpus = jnp.concatenate(
+                [corpus, jnp.zeros((pad, d), corpus.dtype)], axis=0
+            )
+        return jax.device_put(corpus, sharding), n
     if pad:
         corpus = np.concatenate([corpus, np.zeros((pad, d), corpus.dtype)], axis=0)
-    sharding = NamedSharding(mesh, P(axis, None))
     return jax.device_put(corpus, sharding), n

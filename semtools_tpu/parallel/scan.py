@@ -29,28 +29,39 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _local_then_global_topk(
-    q, e_local, *, k: int, n_local: int, n_shards: int, n_true: int, axis: str,
+    q, e_local, n_true, *, k: int, n_local: int, n_shards: int, axis: str,
     fused: bool = False, interpret: bool = False
 ):
-    """Runs per device under shard_map; returns replicated global top-k."""
+    """Runs per device under shard_map; returns replicated global top-k.
+
+    ``n_true`` is a TRACED scalar: corpus mutations that keep the padded
+    shape (row counts are bucketed by the callers) reuse the compiled
+    executable instead of retracing — the steady-state requirement for
+    daemon-resident multi-device serving. Kernels run over all local rows
+    (pads are zero vectors) and pad winners are demoted after, before the
+    merge.
+    """
     k_local = min(k, n_local)
     if fused:
         # Per-device fused Pallas scan (tile-max sweep + candidate rescan)
         # instead of materializing [Q, n_local] sims + lax.top_k — the
-        # same ~20x that the single-chip path gains. Only taken when the
-        # shard has no padding rows (n_true % n_shards == 0), so every
-        # local row is valid and the static n_true=n_local mask is exact.
+        # same ~20x that the single-chip path gains. The kernel treats all
+        # n_local rows as real (static shape); global pad rows are masked
+        # below with the traced n_true.
         from semtools_tpu.ops.pallas_scan import TILE_N, _two_phase_topk, pad_rows
 
         # Pad the local shard to a tile multiple: _two_phase_topk's grid
         # floors at tile boundaries, so an unpadded ragged tail would be
-        # silently skipped (n_true masks the pad rows).
+        # silently skipped.
         d_loc, idx_l = _two_phase_topk(
             q, pad_rows(e_local, TILE_N), k=k_local, n_true=n_local,
             interpret=interpret
         )
         vals = 1.0 - d_loc  # sims desc
         idx = idx_l + jax.lax.axis_index(axis) * n_local
+        pad = idx >= n_true
+        vals = jnp.where(pad, -jnp.inf, vals)
+        idx = jnp.where(pad, n_local * n_shards, idx)
     else:
         sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32, precision=_PRECISION)
         # Padding rows (global index >= n_true) must never win the merge: a
@@ -71,13 +82,15 @@ def _local_then_global_topk(
     return 1.0 - best_vals, best_idx
 
 
-def _use_fused_local(n_local: int, n_true: int, n_shards: int, k: int) -> bool:
-    """Fused per-device scan: TPU backend, unpadded shards, CLI-scale k."""
+def _use_fused_local(n_local: int, n_shards: int, k: int) -> bool:
+    """Fused per-device scan: TPU backend, CLI-scale k (pad rows are
+    handled by the traced n_true mask after the kernel)."""
     import os
 
+    del n_shards
     if os.environ.get("SEMTOOLS_TPU_NO_PALLAS"):
         return False
-    if k > 64 or n_true != n_local * n_shards:
+    if k > 64:
         return False
     from semtools_tpu.ops.pallas_scan import TILE_N
 
@@ -90,22 +103,23 @@ def _use_fused_local(n_local: int, n_true: int, n_shards: int, k: int) -> bool:
 
 
 def sharded_topk_fn(
-    mesh: Mesh, k: int, n_local: int, n_true: int, axis: str = SHARD_AXIS,
+    mesh: Mesh, k: int, n_local: int, axis: str = SHARD_AXIS,
     fused: Optional[bool] = None, interpret: bool = False
 ):
     """Build the jitted sharded scan for a given mesh/k/shard size.
 
-    Cached per (mesh, shapes) — a fresh jit wrapper per query would
-    re-trace every call, which matters for daemon-resident serving.
+    Cached per (mesh, shapes) — NOT per n_true, which is a traced operand
+    of the returned function (call as ``fn(q, e_sharded, n_true)``), so
+    mutations that keep the bucketed padded shape reuse the executable.
     """
     if fused is None:
-        fused = _use_fused_local(n_local, n_true, int(mesh.devices.size), k)
-    return _topk_fn_cached(mesh, k, n_local, n_true, axis, fused, interpret)
+        fused = _use_fused_local(n_local, int(mesh.devices.size), k)
+    return _topk_fn_cached(mesh, k, n_local, axis, fused, interpret)
 
 
 @functools.lru_cache(maxsize=128)
 def _topk_fn_cached(
-    mesh: Mesh, k: int, n_local: int, n_true: int, axis: str, fused: bool,
+    mesh: Mesh, k: int, n_local: int, axis: str, fused: bool,
     interpret: bool
 ):
     fn = jax.shard_map(
@@ -114,13 +128,12 @@ def _topk_fn_cached(
             k=k,
             n_local=n_local,
             n_shards=int(mesh.devices.size),
-            n_true=n_true,
             axis=axis,
             fused=fused,
             interpret=interpret,
         ),
         mesh=mesh,
-        in_specs=(P(None, None), P(axis, None)),
+        in_specs=(P(None, None), P(axis, None), P()),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -142,7 +155,9 @@ def sharded_topk_scan(
     """
     if mesh is None:
         mesh = corpus_mesh()
-    e_sharded, n = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
+    if not isinstance(corpus, jax.Array):
+        corpus = corpus.astype(np.float32, copy=False)
+    e_sharded, n = shard_corpus(corpus, mesh, axis)
     return sharded_topk_scan_device(q, e_sharded, n, k, mesh, axis)
 
 
@@ -164,8 +179,8 @@ def sharded_topk_scan_device(
             np.zeros((q.shape[0], 0), np.int64),
         )
     n_local = e_sharded.shape[0] // mesh.devices.size
-    fn = sharded_topk_fn(mesh, k_eff, n_local, n_true, axis)
-    d, i = fn(jnp.asarray(q, jnp.float32), e_sharded)
+    fn = sharded_topk_fn(mesh, k_eff, n_local, axis)
+    d, i = fn(jnp.asarray(q, jnp.float32), e_sharded, jnp.int32(n_true))
     d = np.asarray(d)
     i = np.asarray(i)
 
@@ -188,8 +203,8 @@ def sharded_topk_scan_device(
 # -- int8 sharded scan -------------------------------------------------------
 
 
-def _local_int8_topk(q8, e8_local, *, k: int, n_local: int, n_shards: int,
-                     n_true: int, axis: str, interpret: bool):
+def _local_int8_topk(q8, e8_local, n_true, *, k: int, n_local: int,
+                     n_shards: int, axis: str, interpret: bool):
     """Per-device fused int8 scan under shard_map + all-gather merge.
 
     Shard row counts are equal (caller pads the corpus to a multiple of
@@ -208,10 +223,9 @@ def _local_int8_topk(q8, e8_local, *, k: int, n_local: int, n_shards: int,
         interpret=interpret
     )
     idx = idx_l + jax.lax.axis_index(axis) * n_local
-    if n_true < n_local * n_shards:
-        pad = idx >= n_true
-        sims_desc = jnp.where(pad, jnp.int32(-(1 << 30)), sims_desc)
-        idx = jnp.where(pad, n_local * n_shards, idx)
+    pad = idx >= n_true  # traced mask: pad rows never win the merge
+    sims_desc = jnp.where(pad, jnp.int32(-(1 << 30)), sims_desc)
+    idx = jnp.where(pad, n_local * n_shards, idx)
     vals_all = jax.lax.all_gather(sims_desc, axis, axis=1, tiled=True)
     idx_all = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
     # ties -> lower corpus index: sort by (sim desc, index asc)
@@ -222,7 +236,7 @@ def _local_int8_topk(q8, e8_local, *, k: int, n_local: int, n_shards: int,
 
 @functools.lru_cache(maxsize=128)
 def _int8_fn_cached(
-    mesh: Mesh, k: int, n_local: int, n_true: int, axis: str, interpret: bool
+    mesh: Mesh, k: int, n_local: int, axis: str, interpret: bool
 ):
     fn = jax.shard_map(
         functools.partial(
@@ -230,12 +244,11 @@ def _int8_fn_cached(
             k=k,
             n_local=n_local,
             n_shards=int(mesh.devices.size),
-            n_true=n_true,
             axis=axis,
             interpret=interpret,
         ),
         mesh=mesh,
-        in_specs=(P(None, None), P(axis, None)),
+        in_specs=(P(None, None), P(axis, None), P()),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -300,8 +313,8 @@ def sharded_int8_topk_scan_device(
     n_local = e8_sharded.shape[0] // n_dev
     q8, q_scale = quantize_global(np.asarray(q))
 
-    fn = _int8_fn_cached(mesh, k_eff, n_local, n_true, axis, interpret)
-    sims, idx = fn(jnp.asarray(q8), e8_sharded)
+    fn = _int8_fn_cached(mesh, k_eff, n_local, axis, interpret)
+    sims, idx = fn(jnp.asarray(q8), e8_sharded, jnp.int32(n_true))
     sims = np.asarray(sims)[:, :k_eff]
     idx = np.asarray(idx)[:, :k_eff]
     dists = 1.0 - sims * (q_scale * e_scale)
@@ -337,7 +350,7 @@ def sharded_int8_topk_scan_device(
 #      on host.
 
 
-def _local_threshold_dists(q, e_local, t, *, n_local: int, n_true: int,
+def _local_threshold_dists(q, e_local, t, n_true, *, n_local: int,
                            axis: str):
     sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
                    precision=_PRECISION)
@@ -349,7 +362,7 @@ def _local_threshold_dists(q, e_local, t, *, n_local: int, n_true: int,
     return d[None], jnp.max(jax.lax.all_gather(local, axis))
 
 
-def _local_threshold_extract(d, t, *, n_local: int, n_true: int, cap: int,
+def _local_threshold_extract(d, t, n_true, *, n_local: int, cap: int,
                              axis: str):
     d = d[0]
     hit = d < t
@@ -366,17 +379,16 @@ def _local_threshold_extract(d, t, *, n_local: int, n_true: int, cap: int,
 _threshold_fn_cache: dict = {}
 
 
-def _threshold_fns(mesh: Mesh, axis: str, n_local: int, n_true: int, cap: int):
+def _threshold_fns(mesh: Mesh, axis: str, n_local: int, cap: int):
     """Jitted shard_map wrappers, cached so repeated queries against the
-    same sharded corpus reuse compiled executables. The threshold is a
-    traced operand; only shapes (n_local, cap) and n_true are static."""
-    key = (tuple(mesh.devices.flat), axis, n_local, n_true, cap)
+    same sharded corpus reuse compiled executables. The threshold AND
+    n_true are traced operands; only shapes (n_local, cap) are static."""
+    key = (tuple(mesh.devices.flat), axis, n_local, cap)
     if key in _threshold_fn_cache:
         return _threshold_fn_cache[key]
     dist_fn = jax.jit(jax.shard_map(
-        functools.partial(_local_threshold_dists, n_local=n_local,
-                          n_true=n_true, axis=axis),
-        mesh=mesh, in_specs=(P(None, None), P(axis, None), P()),
+        functools.partial(_local_threshold_dists, n_local=n_local, axis=axis),
+        mesh=mesh, in_specs=(P(None, None), P(axis, None), P(), P()),
         out_specs=(P(None, axis), P()),
         check_vma=False,
     ))
@@ -384,8 +396,8 @@ def _threshold_fns(mesh: Mesh, axis: str, n_local: int, n_true: int, cap: int):
     if cap:
         extract_fn = jax.jit(jax.shard_map(
             functools.partial(_local_threshold_extract, n_local=n_local,
-                              n_true=n_true, cap=cap, axis=axis),
-            mesh=mesh, in_specs=(P(None, axis), P()),
+                              cap=cap, axis=axis),
+            mesh=mesh, in_specs=(P(None, axis), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         ))
@@ -413,7 +425,9 @@ def sharded_threshold_scan(
     n = corpus.shape[0]
     if n == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int64)
-    e_sharded, _ = shard_corpus(corpus.astype(np.float32, copy=False), mesh, axis)
+    if not isinstance(corpus, jax.Array):
+        corpus = corpus.astype(np.float32, copy=False)
+    e_sharded, _ = shard_corpus(corpus, mesh, axis)
     return sharded_threshold_scan_device(q, e_sharded, n, max_distance, mesh, axis)
 
 
@@ -436,15 +450,16 @@ def sharded_threshold_scan_device(
     qd = jnp.asarray(q, jnp.float32)
     t = jnp.float32(max_distance)
 
-    dist_fn, _ = _threshold_fns(mesh, axis, n_local, n, cap=0)
-    d_sharded, max_local = dist_fn(qd, e_sharded, t)
+    nt = jnp.int32(n)
+    dist_fn, _ = _threshold_fns(mesh, axis, n_local, cap=0)
+    d_sharded, max_local = dist_fn(qd, e_sharded, t, nt)
     max_local = int(max_local)
     if max_local == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int64)
     cap = min(1 << (max_local - 1).bit_length(), n_local)
 
-    _, extract_fn = _threshold_fns(mesh, axis, n_local, n, cap=cap)
-    vals, idx = extract_fn(d_sharded, t)
+    _, extract_fn = _threshold_fns(mesh, axis, n_local, cap=cap)
+    vals, idx = extract_fn(d_sharded, t, nt)
     vals = np.asarray(vals)
     idx = np.asarray(idx)
     keep = np.isfinite(vals)

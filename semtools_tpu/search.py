@@ -178,13 +178,14 @@ def search_documents(
                 sharded_topk_scan,
             )
 
-            corpus_np = np.asarray(corpus, np.float32)
+            # corpus may be a device array (the embed op keeps it there);
+            # shard_corpus pads + reshards on device, no host bounce.
             if config.max_distance is not None:
                 dists, idxs = sharded_threshold_scan(
-                    q, corpus_np, float(config.max_distance)
+                    q, corpus, float(config.max_distance)
                 )
             else:
-                d, i = sharded_topk_scan(q, corpus_np, config.top_k)
+                d, i = sharded_topk_scan(q, corpus, config.top_k)
                 dists, idxs = d[0], i[0]
         elif config.max_distance is not None:
             dists, idxs = threshold_scan(q, corpus, float(config.max_distance))

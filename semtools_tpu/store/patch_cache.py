@@ -82,8 +82,8 @@ class SlotCorpus:
     def refresh_lookup(self) -> None:
         items = sorted(self.layout.items(), key=lambda kv: kv[1][0])
         self.paths = [p for p, _ in items]
-        self.starts = np.array([s for _, (s, _) in items], np.int64)
-        self.ends = np.array([s + n for _, (s, n) in items], np.int64)
+        self.starts = np.array([v[0] for _, v in items], np.int64)
+        self.ends = np.array([v[0] + v[1] for _, v in items], np.int64)
 
     def slot_owners(self, slots: np.ndarray):
         """(valid mask, range index, line number) for scan-result slots."""
@@ -185,7 +185,7 @@ def _transform(rows: np.ndarray, kind: str, rotation, scale) -> np.ndarray:
 def _build(store, kind: str, reduced_dim: Optional[int]) -> Optional[SlotCorpus]:
     import jax.numpy as jnp
 
-    ranges = store._valid_ranges_cached()
+    ranges = store._layout_with_rev()
     cap = store._capacity()
     if cap == 0 or not ranges:
         return None
@@ -193,7 +193,7 @@ def _build(store, kind: str, reduced_dim: Optional[int]) -> Optional[SlotCorpus]
     if mm is None:
         return None
     buf = np.zeros((cap, store.dim), np.float32)
-    for _, s, n in ranges:
+    for _, s, n, _rev in ranges:
         buf[s : s + n] = mm[s : s + n]
     del mm
 
@@ -220,7 +220,7 @@ def _build(store, kind: str, reduced_dim: Optional[int]) -> Optional[SlotCorpus]
         corpus=jnp.asarray(buf),
         scale=scale,
         rotation=rotation,
-        layout={p: (s, n) for p, s, n in ranges},
+        layout={p: (s, n, rev) for p, s, n, rev in ranges},
     )
     sc.refresh_lookup()
     return sc
@@ -232,15 +232,20 @@ def _patch(store, sc: SlotCorpus) -> bool:
     Returns False when a patch is not worthwhile (over half the corpus
     changed) — the caller rebuilds instead.
     """
-    new_ranges = store._valid_ranges_cached()
-    new_layout = {p: (s, n) for p, s, n in new_ranges}
+    new_ranges = store._layout_with_rev()
+    new_layout = {p: (s, n, rev) for p, s, n, rev in new_ranges}
+    # Diff on (start, n, vec_rev): the allocator can hand a re-written
+    # document the exact slot range it held before, so position equality
+    # alone would serve stale device rows (round-2 review finding).
     changed = [
-        (p, s, n) for p, (s, n) in new_layout.items() if sc.layout.get(p) != (s, n)
+        (p, v[0], v[1])
+        for p, v in new_layout.items()
+        if sc.layout.get(p) != v
     ]
     removed = [
-        (s, n) for p, (s, n) in sc.layout.items() if new_layout.get(p) != (s, n)
+        (v[0], v[1]) for p, v in sc.layout.items() if new_layout.get(p) != v
     ]
-    total = sum(n for _, n in new_layout.values())
+    total = sum(v[1] for v in new_layout.values())
     delta = sum(n for _, _, n in changed) + sum(n for _, n in removed)
     if total == 0 or delta > total // 2:
         return False
@@ -282,7 +287,15 @@ def get(store, kind: str, reduced_dim: Optional[int] = None) -> Optional[SlotCor
     if isinstance(cached, SlotCorpus):
         if cached.generation == gen:
             return cached
-        if _patch(store, cached):
+        # A failure mid-patch (device OOM, interrupt) can leave the entry
+        # pointing at a donated/deleted buffer — drop it and rebuild
+        # rather than poisoning every later query on this store.
+        try:
+            patched = _patch(store, cached)
+        except Exception:
+            device_cache.remove(key)
+            patched = False
+        if patched:
             device_cache.replace(key, cached)  # re-account bytes
             return cached
     fresh = _build(store, kind, reduced_dim)

@@ -219,11 +219,20 @@ class Store:
               mtime INTEGER,
               version INTEGER,
               slot_start INTEGER,
-              n_lines INTEGER);
+              n_lines INTEGER,
+              vec_rev INTEGER);
             CREATE TABLE IF NOT EXISTS free (
               start INTEGER PRIMARY KEY, length INTEGER NOT NULL);
             """
         )
+        # Migration for stores created before vec_rev existed. The column
+        # records the generation at which a document's VECTORS were last
+        # written — the device patch diff keys on it, because a freed slot
+        # range can be re-allocated to the same path with identical
+        # (start, n) while holding different bytes.
+        cols = {r[1] for r in self.db.execute("PRAGMA table_info(docs)")}
+        if "vec_rev" not in cols:
+            self.db.execute("ALTER TABLE docs ADD COLUMN vec_rev INTEGER")
         self.db.commit()
 
     def _resolve_dim(self, dim: int) -> int:
@@ -365,11 +374,18 @@ class Store:
                     mm[start : start + n] = embeddings
             mm.flush()
             del mm
+        # vec_rev = the generation this write lands in: even if the
+        # allocator hands a path the exact (start, n) range it held
+        # before, the revision proves the bytes changed.
+        next_rev = self.generation() + 1
         self.db.executemany(
-            """INSERT INTO docs (id, path, slot_start, n_lines) VALUES (?, ?, ?, ?)
-               ON CONFLICT(path) DO UPDATE SET slot_start = ?, n_lines = ?""",
+            """INSERT INTO docs (id, path, slot_start, n_lines, vec_rev)
+               VALUES (?, ?, ?, ?, ?)
+               ON CONFLICT(path) DO UPDATE SET
+                 slot_start = ?, n_lines = ?, vec_rev = ?""",
             [
-                (_to_i64(doc_id(path)), path, start, n, start, n)
+                (_to_i64(doc_id(path)), path, start, n, next_rev,
+                 start, n, next_rev)
                 for path, start, n, _ in staged
             ],
         )
@@ -505,19 +521,35 @@ class Store:
             return False
         return self._capacity_reduced_dim(n_rows) is None
 
+    def _device_kind(self, n_rows: int) -> Tuple[str, Optional[int]]:
+        """('f32' | 'int8', reduced_dim) for whole-store device serving.
+
+        int8 is chosen by the size policy OR because the f32 corpus would
+        not fit the device budget — the budget check must measure the
+        bytes of the tier actually served, not assume int8.
+        """
+        rd = self._capacity_reduced_dim(n_rows)
+        if rd:
+            return "int8", rd
+        if _int8_tier_enabled(n_rows):
+            return "int8", None
+        if self._capacity() * 4 * self.dim > self._device_budget_bytes(n_rows):
+            return "int8", None
+        return "f32", None
+
     def serving_tier(self, n_rows: Optional[int] = None) -> str:
-        """Name of the tier a whole-store top-k query would use right now
+        """Name of the tier a whole-store query would use right now
         (``workspace status`` reports this)."""
         if n_rows is None:
             n_rows = self.count_line_embeddings()
         if self._use_ann_tier(n_rows) and self._ann_generation_matches():
             return "ivf-pq"
-        rd = self._capacity_reduced_dim(n_rows)
+        kind, rd = self._device_kind(n_rows)
         suffix = f"-reduced{rd}d" if rd else ""
         if _sharded_enabled(n_rows):
-            kind = "int8" if (rd or _int8_tier_enabled(n_rows)) else "exact"
-            return f"sharded-{kind}-scan[{_n_devices()}]{suffix}"
-        if rd or _int8_tier_enabled(n_rows):
+            name = "int8" if kind == "int8" else "exact"
+            return f"sharded-{name}-scan[{_n_devices()}]{suffix}"
+        if kind == "int8":
             return f"int8-mxu-scan{suffix}"
         return "exact-mxu-scan"
 
@@ -549,6 +581,17 @@ class Store:
                ORDER BY slot_start"""
         ).fetchall()
         return [(r[0], int(r[1]), int(r[2])) for r in rows]
+
+    def _layout_with_rev(self) -> List[Tuple[str, int, int, int]]:
+        """(path, slot_start, n_lines, vec_rev) in slot order — the device
+        patch diff's view of the store (vec_rev distinguishes re-written
+        content in a re-used slot range)."""
+        rows = self.db.execute(
+            """SELECT path, slot_start, n_lines, COALESCE(vec_rev, 0) FROM docs
+               WHERE slot_start IS NOT NULL AND n_lines > 0
+               ORDER BY slot_start"""
+        ).fetchall()
+        return [(r[0], int(r[1]), int(r[2]), int(r[3])) for r in rows]
 
     def _valid_ranges_cached(self) -> List[Tuple[str, int, int]]:
         """Generation-keyed cache of :meth:`_valid_ranges` — repeated
@@ -883,11 +926,8 @@ class Store:
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
         n_rows = sum(n for _, _, n in ranges)
 
-        reduced_dim = self._capacity_reduced_dim(n_rows)
-        use_int8 = bool(reduced_dim) or (
-            _int8_tier_enabled(n_rows) and max(4 * top_k, 16) <= 64
-        )
-        if use_int8:
+        kind, reduced_dim = self._device_kind(n_rows)
+        if kind == "int8":
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from semtools_tpu.ops.int8_scan import quantize_global
@@ -904,7 +944,9 @@ class Store:
                     rotation = self._rotation_for(corpus, reduced_dim)
                     corpus = project(corpus, rotation)
                 e8, scale = quantize_global(corpus)
-                pad = (-e8.shape[0]) % n_dev
+                from semtools_tpu.parallel.mesh import bucket_rows
+
+                pad = bucket_rows(e8.shape[0], n_dev) - e8.shape[0]
                 if pad:
                     e8 = np.concatenate(
                         [e8, np.zeros((pad, e8.shape[1]), e8.dtype)], axis=0
@@ -925,14 +967,15 @@ class Store:
                 return None
             e8_dev, scale, n, rotation = entry
             oversample = self._int8_oversample(top_k, rotation is not None, n)
-            if rotation is not None:
-                # Reduced capacity tier: deep candidate selection via the
-                # sharded f32-query x int8-rows matmul path (per-device
-                # XLA top_k, candidates merged over ICI).
+            if rotation is not None or oversample > 64:
+                # Reduced capacity tier, or selection depth past the fused
+                # kernel's ceiling: f32-query x int8-rows matmul with
+                # per-device XLA top_k, candidates merged over ICI.
                 from semtools_tpu.parallel.scan import sharded_topk_scan_device
 
+                q_scan = q @ rotation if rotation is not None else q
                 _, idx = sharded_topk_scan_device(
-                    q @ rotation, e8_dev, n, oversample, mesh
+                    q_scan, e8_dev, n, oversample, mesh
                 )
             else:
                 _, idx = sharded_int8_topk_scan_device(
@@ -950,7 +993,18 @@ class Store:
             corpus = gather()
             if corpus is None:
                 return None
-            return shard_corpus(corpus, mesh)  # (sharded array, n_true)
+            from semtools_tpu.parallel.mesh import bucket_rows
+
+            # Bucket the padded shape so mutations reuse the compiled
+            # sharded executables (n_true is a traced operand).
+            n = corpus.shape[0]
+            pad = bucket_rows(n, n_dev) - n
+            if pad:
+                corpus = np.concatenate(
+                    [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)]
+                )
+            arr, _ = shard_corpus(corpus, mesh)
+            return arr, n  # (sharded array, n_true)
 
         entry = device_cache.get_or_put(
             (str(self.dir), self.generation(), "sharded", n_dev), build
@@ -1005,12 +1059,7 @@ class Store:
         """
         from semtools_tpu.store import patch_cache
 
-        reduced_dim = self._capacity_reduced_dim(n_rows)
-        use_int8 = bool(reduced_dim) or (
-            _int8_tier_enabled(n_rows)
-            and max(4 * top_k, 16) + patch_cache._SLACK <= 64
-        )
-        kind = "int8" if use_int8 else "f32"
+        kind, reduced_dim = self._device_kind(n_rows)
         sc = patch_cache.get(self, kind, reduced_dim)
         if sc is None:
             return None
@@ -1040,24 +1089,23 @@ class Store:
             return out[:top_k]
 
         oversample = self._int8_oversample(top_k, reduced_dim is not None, n_rows)
+        k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
         if reduced_dim:
             # Deep candidate set over the reduced int8 corpus: f32 query x
             # int8 rows on the chunked XLA matmul+top_k path (selection
             # depth past the fused kernel's k ceiling; the scan still
             # streams only reduced_dim bytes/row).
-            _, i = topk_scan(
-                q @ sc.rotation, sc.corpus,
-                min(oversample + patch_cache._SLACK, sc.capacity),
-                n_true=sc.capacity,
-            )
-        else:
+            _, i = topk_scan(q @ sc.rotation, sc.corpus, k_sel, n_true=sc.capacity)
+        elif k_sel <= 64:
             from semtools_tpu.ops.int8_scan import int8_topk_scan
 
-            _, i = int8_topk_scan(
-                q, sc.corpus, sc.scale,
-                min(oversample + patch_cache._SLACK, 64, sc.capacity),
-                n_true=sc.capacity,
-            )
+            _, i = int8_topk_scan(q, sc.corpus, sc.scale, k_sel, n_true=sc.capacity)
+        else:
+            # Selection depth past the fused kernel's ceiling (large
+            # top_k): chunked XLA top_k over the same int8 corpus — int8
+            # serves every k, so the reported tier never silently falls
+            # back to an over-budget f32 corpus.
+            _, i = topk_scan(q, sc.corpus, k_sel, n_true=sc.capacity)
         slots = np.asarray(i[0], np.int64)
         valid, ris, lines = sc.slot_owners(slots)
         slots, ris, lines = slots[valid], ris[valid], lines[valid]

@@ -246,3 +246,26 @@ def test_native_grep_safe_predicate():
     assert not _native_grep_safe("foo", True, uni_lines)       # icase + unicode content
     assert _native_grep_safe("foo", True, ascii_lines)
     assert not _native_grep_safe("café", False, ascii_lines)  # non-ascii pattern
+
+
+def test_grep_wildcard_over_unicode_content(tmp_path):
+    # Review regression: '.' is bytewise in std::regex ('x.y' must match
+    # 'x€y' — one CHARACTER, three bytes); negated classes likewise.
+    f = tmp_path / "w.txt"
+    f.write_text("x€y wildcard line\nplain xzy line\n", encoding="utf-8")
+    out = grep_tool([str(f)], "x.y", is_regex=True, context_lines=0)
+    assert "wildcard line" in out and "plain xzy line" in out
+    out = grep_tool([str(f)], "x[^a]y", is_regex=True, context_lines=0)
+    assert "wildcard line" in out
+
+
+def test_bytewise_unsafe_construct_detection():
+    from semtools_tpu.ask.tools import _has_bytewise_unsafe_construct as unsafe
+
+    assert unsafe("x.y")
+    assert unsafe("a[^b]c")
+    assert not unsafe(r"x\.y")       # escaped dot is a literal byte
+    assert not unsafe("[abc]+")      # positive class is ASCII-exact
+    assert not unsafe(r"foo\[^bar")  # escaped bracket
+    assert not unsafe("plain words")
+    assert unsafe("[a-z][^0-9]")

@@ -30,10 +30,10 @@ def test_fused_local_matches_xla_path():
 
     e_sharded, _ = shard_corpus(e, mesh)
     k = 5
-    fn_fused = sharded_topk_fn(mesh, k, n_local, n, fused=True, interpret=True)
-    fn_plain = sharded_topk_fn(mesh, k, n_local, n, fused=False)
-    d_f, i_f = fn_fused(jnp.asarray(q), e_sharded)
-    d_p, i_p = fn_plain(jnp.asarray(q), e_sharded)
+    fn_fused = sharded_topk_fn(mesh, k, n_local, fused=True, interpret=True)
+    fn_plain = sharded_topk_fn(mesh, k, n_local, fused=False)
+    d_f, i_f = fn_fused(jnp.asarray(q), e_sharded, jnp.int32(n))
+    d_p, i_p = fn_plain(jnp.asarray(q), e_sharded, jnp.int32(n))
     np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_p))
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_p), atol=1e-5)
 
@@ -78,8 +78,8 @@ def test_fused_local_non_tile_aligned_shard_keeps_tail():
     e[target] /= np.linalg.norm(e[target])
 
     e_sharded, _ = shard_corpus(e, mesh)
-    fn = sharded_topk_fn(mesh, 3, n_local, n, fused=True, interpret=True)
-    d, i = fn(jnp.asarray(q), e_sharded)
+    fn = sharded_topk_fn(mesh, 3, n_local, fused=True, interpret=True)
+    d, i = fn(jnp.asarray(q), e_sharded, jnp.int32(n))
     assert int(np.asarray(i)[0, 0]) == target
 
 

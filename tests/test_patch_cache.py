@@ -167,3 +167,122 @@ def test_pow2_chunks():
     assert list(patch_cache._pow2_chunks(1)) == [1]
     assert list(patch_cache._pow2_chunks(100)) == [64, 32, 4]
     assert sum(patch_cache._pow2_chunks(12345)) == 12345
+
+
+def test_reused_slot_range_serves_fresh_rows(tmp_path):
+    """Review regression: delete a doc then re-add the SAME path with the
+    same line count — the allocator hands back the exact freed range, so
+    (start, n) is unchanged while the bytes differ. The patch diff must
+    key on the vector revision, not position."""
+    s = Store(str(tmp_path / "reuse"), dim=32)
+    rng = np.random.default_rng(13)
+    first = _unit(rng, 20)
+    other = _unit(rng, 20)
+    s.upsert_document_lines("/a.txt", first)
+    s.upsert_document_lines("/b.txt", other)
+    paths = ["/a.txt", "/b.txt"]
+    s.search_line_embeddings(first[0], paths, top_k=1)  # build slot corpus
+
+    s.delete_line_embeddings(["/a.txt"])
+    second = _unit(rng, 20)
+    s.upsert_document_lines("/a.txt", second)  # best-fit reuses the range
+    # the store must serve the NEW rows
+    hit = s.search_line_embeddings(second[7], paths, top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/a.txt", 7)
+    assert hit.distance < 1e-5
+    # and the OLD rows must be gone
+    hit = s.search_line_embeddings(first[7], paths, top_k=1)[0]
+    assert hit.distance > 1e-3
+    s.close()
+
+
+def test_same_doc_twice_between_searches(tmp_path):
+    """Two upserts of one doc between searches: the second may reallocate
+    the range the first freed — again position-identical, bytes changed."""
+    s = Store(str(tmp_path / "twice"), dim=32)
+    rng = np.random.default_rng(14)
+    v1, v2, v3 = _unit(rng, 10), _unit(rng, 10), _unit(rng, 10)
+    s.upsert_document_lines("/x.txt", v1)
+    s.search_line_embeddings(v1[0], ["/x.txt"], top_k=1)  # build
+    s.upsert_document_lines("/x.txt", v2)
+    s.upsert_document_lines("/x.txt", v3)
+    hit = s.search_line_embeddings(v3[4], ["/x.txt"], top_k=1)[0]
+    assert hit.line_number == 4 and hit.distance < 1e-5
+    s.close()
+
+
+def test_mid_patch_failure_recovers(big_store, monkeypatch):
+    """An exception inside _patch must drop the entry and rebuild — not
+    leave a half-patched (or donated) corpus serving wrong results."""
+    s, docs, rng = big_store
+    paths = list(docs)
+    s.search_line_embeddings(docs["/d00.txt"][0], paths, top_k=1)  # build
+
+    new_rows = _unit(rng, 100)
+    s.upsert_document_lines("/d09.txt", new_rows)
+
+    real_write = patch_cache._write_rows
+    calls = {"n": 0}
+
+    def exploding(arr, rows_np, start):
+        calls["n"] += 1
+        raise RuntimeError("simulated device failure mid-patch")
+
+    monkeypatch.setattr(patch_cache, "_write_rows", exploding)
+    hit = s.search_line_embeddings(new_rows[5], paths, top_k=1)[0]
+    monkeypatch.setattr(patch_cache, "_write_rows", real_write)
+    assert calls["n"] == 1  # the patch attempt did fail
+    # the query still returned the CORRECT result (rebuild path)
+    assert (hit.path, hit.line_number) == ("/d09.txt", 5)
+    assert hit.distance < 1e-5
+    # and subsequent queries keep working
+    hit = s.search_line_embeddings(docs["/d31.txt"][8], paths, top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/d31.txt", 8)
+
+
+def test_large_topk_stays_on_int8_kind(big_store, monkeypatch):
+    """Review regression: the budget policy chooses int8, so a top_k past
+    the fused kernel's k=64 ceiling must be served from the SAME int8
+    corpus via the chunked XLA path — not silently build a 4x-larger f32
+    corpus the budget never accounted for."""
+    s, docs, rng = big_store
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    paths = list(docs)
+    q = docs["/d13.txt"][50]
+    assert s.serving_tier() == "int8-mxu-scan"
+    got = s.search_line_embeddings(q, paths, top_k=20)  # 4*20+16 > 64
+    assert len(got) == 20
+    assert (got[0].path, got[0].line_number) == ("/d13.txt", 50)
+    assert got[0].distance < 1e-5
+
+    # exactly one slot entry, and it is the int8 corpus (1 byte/dim)
+    key = (str(s.dir), "slot", "int8", 0)
+    sc = device_cache.peek(key)
+    assert sc is not None and str(sc.corpus.dtype) == "int8"
+    assert device_cache.peek((str(s.dir), "slot", "f32", 0)) is None
+
+    # matches the exact brute-force reference
+    mat = np.concatenate([docs[p] for p in paths])
+    want = np.sort(1.0 - mat @ q)[:20]
+    np.testing.assert_allclose(
+        [h.distance for h in got], want, atol=1e-5
+    )
+
+
+def test_f32_over_budget_routes_to_int8(tmp_path, monkeypatch):
+    """When the f32 corpus exceeds the device budget but int8 fits, the
+    served kind must be int8 even below the int8 size policy."""
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    s = Store(str(tmp_path / "fit"), dim=32)
+    rng = np.random.default_rng(21)
+    rows = _unit(rng, 200)
+    s.upsert_document_lines("/a.txt", rows)
+    # budget: f32 (200*32*4 = 25.6kB) over, int8 (6.4kB) fits
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "10000")
+    assert s.serving_tier() == "int8-mxu-scan"
+    got = s.search_line_embeddings(rows[5], ["/a.txt"], top_k=3)
+    assert (got[0].path, got[0].line_number) == ("/a.txt", 5)
+    assert got[0].distance < 1e-5
+    sc = device_cache.peek((str(s.dir), "slot", "int8", 0))
+    assert sc is not None and str(sc.corpus.dtype) == "int8"
+    s.close()

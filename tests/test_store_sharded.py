@@ -281,3 +281,39 @@ def test_search_documents_sharded_matches_single_device(monkeypatch):
     assert [(r.filename, r.match_line) for r in sharded_t] == [
         (r.filename, r.match_line) for r in exact_t
     ]
+
+
+def test_sharded_shape_stable_across_small_mutation(tmp_path, monkeypatch):
+    """Review regression: the sharded executables key on SHAPES with
+    n_true traced, and padded row counts are bucketed — so a small upsert
+    must not change the device corpus shape (no retrace on the next
+    query)."""
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
+    s = Store(str(tmp_path / "stab"), dim=32)
+    rng = np.random.default_rng(23)
+    bulk = [(f"/s{i}.txt", _unit(rng, 100)) for i in range(30)]  # 3000 rows
+    s.upsert_documents_bulk(bulk)
+    paths = [p for p, _ in bulk]
+    q = bulk[3][1][0]
+    s.search_line_embeddings(q, paths, top_k=3)
+    key1 = [k for k in device_cache._entries if k[0] == str(s.dir)]
+    shape1 = device_cache.peek(key1[0])[0].shape
+
+    new_rows = _unit(rng, 101)  # one row more
+    s.upsert_documents_bulk([("/s3.txt", new_rows)])
+    hit = s.search_line_embeddings(new_rows[7], paths, top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/s3.txt", 7)
+    key2 = [k for k in device_cache._entries if k[0] == str(s.dir) and k != key1[0]]
+    shape2 = device_cache.peek(key2[0])[0].shape
+    assert shape1 == shape2  # same bucketed shape -> executable reuse
+
+
+def test_bucket_rows():
+    from semtools_tpu.parallel.mesh import bucket_rows
+
+    for n in (1, 100, 2048, 100_000, 1_000_000):
+        b = bucket_rows(n, 8)
+        assert b >= n and b % 8 == 0
+        assert b - n <= max(8 * 256, n // 8)  # bounded waste
+    # stability: nearby sizes share a bucket
+    assert bucket_rows(100_000, 8) == bucket_rows(100_500, 8)
