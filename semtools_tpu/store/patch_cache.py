@@ -68,6 +68,7 @@ class SlotCorpus:
     scale: Optional[float]
     rotation: Optional[np.ndarray]
     layout: Dict[str, Tuple[int, int]]
+    mesh: object = None  # jax Mesh when the corpus is row-sharded
     starts: np.ndarray = field(default=None)  # slot-ordered range starts
     ends: np.ndarray = field(default=None)
     paths: List[str] = field(default=None)
@@ -93,8 +94,18 @@ class SlotCorpus:
         return valid, ris_c, slots - self.starts[ris_c]
 
 
+def _out_sharding(mesh):
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semtools_tpu.parallel.mesh import SHARD_AXIS
+
+    return NamedSharding(mesh, P(SHARD_AXIS, None))
+
+
 @functools.lru_cache(maxsize=64)
-def _dus_jit(rows: int, cols: int, dtype: str):
+def _dus_jit(rows: int, cols: int, dtype: str, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -102,11 +113,13 @@ def _dus_jit(rows: int, cols: int, dtype: str):
     def f(arr, block, start):
         return jax.lax.dynamic_update_slice(arr, block, (start, 0))
 
-    return jax.jit(f, donate_argnums=_donate_args())
+    return jax.jit(
+        f, donate_argnums=_donate_args(), out_shardings=_out_sharding(mesh)
+    )
 
 
 @functools.lru_cache(maxsize=64)
-def _zero_jit(rows: int, cols: int, dtype: str):
+def _zero_jit(rows: int, cols: int, dtype: str, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -114,11 +127,13 @@ def _zero_jit(rows: int, cols: int, dtype: str):
         block = jnp.zeros((rows, cols), arr.dtype)
         return jax.lax.dynamic_update_slice(arr, block, (start, 0))
 
-    return jax.jit(f, donate_argnums=_donate_args())
+    return jax.jit(
+        f, donate_argnums=_donate_args(), out_shardings=_out_sharding(mesh)
+    )
 
 
 @functools.lru_cache(maxsize=16)
-def _grow_jit(new_rows: int, cols: int, dtype: str):
+def _grow_jit(new_rows: int, cols: int, dtype: str, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -126,7 +141,9 @@ def _grow_jit(new_rows: int, cols: int, dtype: str):
         out = jnp.zeros((new_rows, arr.shape[1]), arr.dtype)
         return jax.lax.dynamic_update_slice(out, arr, (0, 0))
 
-    return jax.jit(f, donate_argnums=_donate_args())
+    return jax.jit(
+        f, donate_argnums=_donate_args(), out_shardings=_out_sharding(mesh)
+    )
 
 
 def _pow2_chunks(n: int):
@@ -137,7 +154,7 @@ def _pow2_chunks(n: int):
         n -= c
 
 
-def _write_rows(arr, rows_np: np.ndarray, start: int):
+def _write_rows(arr, rows_np: np.ndarray, start: int, mesh=None):
     """Upload rows and write them at [start:start+n] in pow2 chunks."""
     import jax.numpy as jnp
 
@@ -145,17 +162,17 @@ def _write_rows(arr, rows_np: np.ndarray, start: int):
     for c in _pow2_chunks(rows_np.shape[0]):
         block = np.ascontiguousarray(rows_np[off : off + c])
         _uploaded[0] += block.nbytes
-        arr = _dus_jit(c, arr.shape[1], str(arr.dtype))(
+        arr = _dus_jit(c, arr.shape[1], str(arr.dtype), mesh)(
             arr, jnp.asarray(block), start + off
         )
         off += c
     return arr
 
 
-def _zero_rows(arr, start: int, length: int):
+def _zero_rows(arr, start: int, length: int, mesh=None):
     off = 0
     for c in _pow2_chunks(length):
-        arr = _zero_jit(c, arr.shape[1], str(arr.dtype))(arr, start + off)
+        arr = _zero_jit(c, arr.shape[1], str(arr.dtype), mesh)(arr, start + off)
         off += c
     return arr
 
@@ -166,9 +183,17 @@ def _tile(cap: int) -> int:
     return tile_for_rows(max(cap, 1))
 
 
-def _padded_rows(cap: int) -> int:
+def _padded_rows(cap: int, mesh=None) -> int:
+    """Device rows for a capacity: tile-multiple (Pallas grids floor at
+    tile boundaries), additionally a mesh-size multiple when sharded."""
+    if not cap:
+        return 0
     t = _tile(cap)
-    return ((cap + t - 1) // t) * t if cap else 0
+    padded = ((cap + t - 1) // t) * t
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        padded = ((padded + n_dev - 1) // n_dev) * n_dev
+    return padded
 
 
 def _transform(rows: np.ndarray, kind: str, rotation, scale) -> np.ndarray:
@@ -182,9 +207,22 @@ def _transform(rows: np.ndarray, kind: str, rotation, scale) -> np.ndarray:
     return rows
 
 
-def _build(store, kind: str, reduced_dim: Optional[int]) -> Optional[SlotCorpus]:
+def _device_put(buf: np.ndarray, mesh):
+    """Upload the slot corpus — row-sharded over the mesh when given."""
+    import jax
     import jax.numpy as jnp
 
+    _uploaded[0] += buf.nbytes
+    if mesh is None:
+        return jnp.asarray(buf)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semtools_tpu.parallel.mesh import SHARD_AXIS
+
+    return jax.device_put(buf, NamedSharding(mesh, P(SHARD_AXIS, None)))
+
+
+def _build(store, kind: str, reduced_dim: Optional[int], mesh=None) -> Optional[SlotCorpus]:
     ranges = store._layout_with_rev()
     cap = store._capacity()
     if cap == 0 or not ranges:
@@ -209,18 +247,18 @@ def _build(store, kind: str, reduced_dim: Optional[int]) -> Optional[SlotCorpus]
 
         buf, scale = quantize_global(buf)
 
-    padded = _padded_rows(cap)
+    padded = _padded_rows(cap, mesh)
     if padded > cap:
         buf = np.concatenate([buf, np.zeros((padded - cap, buf.shape[1]), buf.dtype)])
-    _uploaded[0] += buf.nbytes
     sc = SlotCorpus(
         kind=kind,
         generation=store.generation(),
         capacity=cap,
-        corpus=jnp.asarray(buf),
+        corpus=_device_put(buf, mesh),
         scale=scale,
         rotation=rotation,
         layout={p: (s, n, rev) for p, s, n, rev in ranges},
+        mesh=mesh,
     )
     sc.refresh_lookup()
     return sc
@@ -251,15 +289,15 @@ def _patch(store, sc: SlotCorpus) -> bool:
         return False
 
     cap = store._capacity()
-    padded = _padded_rows(cap)
+    padded = _padded_rows(cap, sc.mesh)
     arr = sc.corpus
     if padded > arr.shape[0]:
-        arr = _grow_jit(padded, arr.shape[1], str(arr.dtype))(arr)
+        arr = _grow_jit(padded, arr.shape[1], str(arr.dtype), sc.mesh)(arr)
 
     # Zero freed ranges FIRST: the allocator may have handed part of a
     # freed range to a changed document, whose write below must win.
     for s, n in removed:
-        arr = _zero_rows(arr, s, n)
+        arr = _zero_rows(arr, s, n, sc.mesh)
 
     if changed:
         mm = store._mmap("r")
@@ -267,7 +305,7 @@ def _patch(store, sc: SlotCorpus) -> bool:
             return False
         for _, s, n in changed:
             rows = _transform(mm[s : s + n], sc.kind, sc.rotation, sc.scale)
-            arr = _write_rows(arr, rows, s)
+            arr = _write_rows(arr, rows, s, sc.mesh)
         del mm
 
     sc.corpus = arr
@@ -278,10 +316,15 @@ def _patch(store, sc: SlotCorpus) -> bool:
     return True
 
 
-def get(store, kind: str, reduced_dim: Optional[int] = None) -> Optional[SlotCorpus]:
+def get(
+    store, kind: str, reduced_dim: Optional[int] = None, mesh=None
+) -> Optional[SlotCorpus]:
     """Current-generation slot corpus for ``store`` — cache hit, in-place
-    patch, or full rebuild, in that order of preference."""
-    key = (str(store.dir), "slot", kind, reduced_dim or 0)
+    patch, or full rebuild, in that order of preference. With ``mesh``
+    the corpus is row-sharded over it and patches apply to the sharded
+    array in place (GSPMD partitions the dynamic_update_slice)."""
+    n_dev = int(mesh.devices.size) if mesh is not None else 0
+    key = (str(store.dir), "slot", kind, reduced_dim or 0, n_dev)
     gen = store.generation()
     cached = device_cache.peek(key)
     if isinstance(cached, SlotCorpus):
@@ -298,7 +341,7 @@ def get(store, kind: str, reduced_dim: Optional[int] = None) -> Optional[SlotCor
         if patched:
             device_cache.replace(key, cached)  # re-account bytes
             return cached
-    fresh = _build(store, kind, reduced_dim)
+    fresh = _build(store, kind, reduced_dim, mesh)
     if fresh is None:
         device_cache.remove(key)
         return None

@@ -827,24 +827,23 @@ class Store:
                     fresh[0], fresh[1], query_vec, top_k, max_distance
                 )
 
-        # Mesh-sharded serving tier: whole-store scans on multi-device
-        # hosts split the corpus rows across the mesh and merge per-device
-        # candidates over ICI (exact; see parallel/scan.py). ranges is
-        # slot-ordered here (full_store canonicalization).
-        if full_store and _sharded_enabled(n_rows):
-            hits = self._search_sharded(
-                _gather, ranges, query_vec, top_k, max_distance
-            )
-            if hits is not None:
-                return hits
-
         if full_store:
-            # Single-device serving: the patchable slot-space device
-            # corpus (store/patch_cache.py) — generation moves apply an
+            # Device serving: the patchable slot-space corpus
+            # (store/patch_cache.py) — generation moves apply an
             # O(changed-bytes) in-place patch instead of a full re-upload.
-            # Tier (f32 / int8 / reduced-int8) chosen by the size policy;
-            # None falls through to the exact compact path below.
-            hits = self._search_slot_cached(query_vec, top_k, max_distance, n_rows)
+            # On multi-device hosts the corpus is row-sharded over the
+            # mesh and per-device candidates merge over ICI
+            # (parallel/scan.py). Tier (f32 / int8 / reduced-int8) chosen
+            # by the size policy; None falls through to the exact compact
+            # path below.
+            mesh = None
+            if _sharded_enabled(n_rows):
+                from semtools_tpu.parallel.mesh import corpus_mesh
+
+                mesh = corpus_mesh()
+            hits = self._search_slot_cached(
+                query_vec, top_k, max_distance, n_rows, mesh
+            )
             if hits is not None:
                 return hits
 
@@ -906,124 +905,6 @@ class Store:
             order = order[exact[order] < max_distance]
         return self._ranked_from_slots(ranges, cand_slots, exact, order)
 
-    def _search_sharded(
-        self, gather, ranges, query_vec, top_k, max_distance
-    ) -> Optional[List[RankedLine]]:
-        """Whole-store scan sharded across the device mesh.
-
-        The device cache holds the SHARDED corpus (one row-shard per
-        device, generation-keyed); per-device top-k/threshold candidates
-        merge over ICI. int8 when the compressed-tier policy applies and
-        the k fits the fused kernel; f32 otherwise. Exact in all modes.
-        """
-        import jax
-
-        from semtools_tpu.parallel.mesh import SHARD_AXIS, corpus_mesh
-        from semtools_tpu.store import device_cache
-
-        mesh = corpus_mesh()
-        n_dev = int(mesh.devices.size)
-        q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        n_rows = sum(n for _, _, n in ranges)
-
-        kind, reduced_dim = self._device_kind(n_rows)
-        if kind == "int8":
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from semtools_tpu.ops.int8_scan import quantize_global
-            from semtools_tpu.parallel.scan import sharded_int8_topk_scan_device
-
-            def build():
-                corpus = gather()
-                if corpus is None:
-                    return None
-                rotation = None
-                if reduced_dim:
-                    from semtools_tpu.ops.reduce import project
-
-                    rotation = self._rotation_for(corpus, reduced_dim)
-                    corpus = project(corpus, rotation)
-                e8, scale = quantize_global(corpus)
-                from semtools_tpu.parallel.mesh import bucket_rows
-
-                pad = bucket_rows(e8.shape[0], n_dev) - e8.shape[0]
-                if pad:
-                    e8 = np.concatenate(
-                        [e8, np.zeros((pad, e8.shape[1]), e8.dtype)], axis=0
-                    )
-                sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
-                return (
-                    jax.device_put(np.ascontiguousarray(e8), sharding),
-                    float(scale),
-                    corpus.shape[0],
-                    rotation,
-                )
-
-            entry = device_cache.get_or_put(
-                (str(self.dir), self.generation(), "sh-int8", n_dev, reduced_dim or 0),
-                build,
-            )
-            if entry is None:
-                return None
-            e8_dev, scale, n, rotation = entry
-            oversample = self._int8_oversample(top_k, rotation is not None, n)
-            if rotation is not None or oversample > 64:
-                # Reduced capacity tier, or selection depth past the fused
-                # kernel's ceiling: f32-query x int8-rows matmul with
-                # per-device XLA top_k, candidates merged over ICI.
-                from semtools_tpu.parallel.scan import sharded_topk_scan_device
-
-                q_scan = q @ rotation if rotation is not None else q
-                _, idx = sharded_topk_scan_device(
-                    q_scan, e8_dev, n, oversample, mesh
-                )
-            else:
-                _, idx = sharded_int8_topk_scan_device(
-                    q, e8_dev, scale, oversample, n, mesh
-                )
-            return self._rerank_scan_rows(ranges, idx[0], q, top_k, max_distance)
-
-        from semtools_tpu.parallel.mesh import shard_corpus
-        from semtools_tpu.parallel.scan import (
-            sharded_threshold_scan_device,
-            sharded_topk_scan_device,
-        )
-
-        def build():
-            corpus = gather()
-            if corpus is None:
-                return None
-            from semtools_tpu.parallel.mesh import bucket_rows
-
-            # Bucket the padded shape so mutations reuse the compiled
-            # sharded executables (n_true is a traced operand).
-            n = corpus.shape[0]
-            pad = bucket_rows(n, n_dev) - n
-            if pad:
-                corpus = np.concatenate(
-                    [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)]
-                )
-            arr, _ = shard_corpus(corpus, mesh)
-            return arr, n  # (sharded array, n_true)
-
-        entry = device_cache.get_or_put(
-            (str(self.dir), self.generation(), "sharded", n_dev), build
-        )
-        if entry is None:
-            return None
-        e_sharded, n = entry
-        if max_distance is not None:
-            dists, idxs = sharded_threshold_scan_device(
-                q, e_sharded, n, float(max_distance), mesh
-            )
-            dists, idxs = dists[:top_k], idxs[:top_k]
-        else:
-            d, i = sharded_topk_scan_device(q, e_sharded, n, top_k, mesh)
-            dists, idxs = d[0], i[0]
-        return self._ranked_from_scan_rows(
-            ranges, np.asarray(idxs, np.int64), np.asarray(dists)
-        )
-
     def _rotation_for(self, corpus: np.ndarray, reduced_dim: int) -> np.ndarray:
         from semtools_tpu.ops.reduce import fit_rotation
 
@@ -1044,10 +925,10 @@ class Store:
 
     def _search_slot_cached(
         self, query_vec, top_k: int,
-        max_distance: Optional[float], n_rows: int,
+        max_distance: Optional[float], n_rows: int, mesh=None,
     ) -> Optional[List[RankedLine]]:
-        """Single-device whole-store serving from the patchable slot-space
-        device corpus (store/patch_cache.py).
+        """Whole-store serving from the patchable slot-space device corpus
+        (store/patch_cache.py), row-sharded over ``mesh`` when given.
 
         Scan row == mmap slot; freed slots are zero rows that can only
         outrank rows with negative similarity, so top-k scans request a
@@ -1060,7 +941,7 @@ class Store:
         from semtools_tpu.store import patch_cache
 
         kind, reduced_dim = self._device_kind(n_rows)
-        sc = patch_cache.get(self, kind, reduced_dim)
+        sc = patch_cache.get(self, kind, reduced_dim, mesh)
         if sc is None:
             return None
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
@@ -1075,14 +956,34 @@ class Store:
             ]
             return out
 
+        def _topk(q_scan, k_scan):
+            """Top-k over the slot corpus — mesh-sharded or single-device.
+            Mixed f32-query x int8-rows works on both (XLA promotes)."""
+            if mesh is not None:
+                from semtools_tpu.parallel.scan import sharded_topk_scan_device
+
+                return sharded_topk_scan_device(
+                    q_scan, sc.corpus, sc.capacity, k_scan, mesh
+                )
+            return topk_scan(q_scan, sc.corpus, k_scan, n_true=sc.capacity)
+
         if kind == "f32":
             if max_distance is not None:
-                dists, slots = threshold_scan(
-                    q, sc.corpus, float(max_distance), n_true=sc.capacity
-                )
+                if mesh is not None:
+                    from semtools_tpu.parallel.scan import (
+                        sharded_threshold_scan_device,
+                    )
+
+                    dists, slots = sharded_threshold_scan_device(
+                        q, sc.corpus, sc.capacity, float(max_distance), mesh
+                    )
+                else:
+                    dists, slots = threshold_scan(
+                        q, sc.corpus, float(max_distance), n_true=sc.capacity
+                    )
                 return _ranked(slots, dists)[:top_k]
             k_scan = min(top_k + patch_cache._SLACK, sc.capacity)
-            d, i = topk_scan(q, sc.corpus, k_scan, n_true=sc.capacity)
+            d, i = _topk(q, k_scan)
             out = _ranked(i[0], d[0])
             if len(out) < need:
                 return None  # zero-slot slack exhausted: exact fallback
@@ -1092,20 +993,31 @@ class Store:
         k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
         if reduced_dim:
             # Deep candidate set over the reduced int8 corpus: f32 query x
-            # int8 rows on the chunked XLA matmul+top_k path (selection
-            # depth past the fused kernel's k ceiling; the scan still
-            # streams only reduced_dim bytes/row).
-            _, i = topk_scan(q @ sc.rotation, sc.corpus, k_sel, n_true=sc.capacity)
+            # int8 rows on the chunked (or per-device) matmul+top_k path
+            # (selection depth past the fused kernel's k ceiling; the scan
+            # still streams only reduced_dim bytes/row).
+            _, i = _topk(q @ sc.rotation, k_sel)
         elif k_sel <= 64:
-            from semtools_tpu.ops.int8_scan import int8_topk_scan
+            if mesh is not None:
+                from semtools_tpu.parallel.scan import (
+                    sharded_int8_topk_scan_device,
+                )
 
-            _, i = int8_topk_scan(q, sc.corpus, sc.scale, k_sel, n_true=sc.capacity)
+                _, i = sharded_int8_topk_scan_device(
+                    q, sc.corpus, sc.scale, k_sel, sc.capacity, mesh
+                )
+            else:
+                from semtools_tpu.ops.int8_scan import int8_topk_scan
+
+                _, i = int8_topk_scan(
+                    q, sc.corpus, sc.scale, k_sel, n_true=sc.capacity
+                )
         else:
             # Selection depth past the fused kernel's ceiling (large
-            # top_k): chunked XLA top_k over the same int8 corpus — int8
+            # top_k): matmul + top_k over the same int8 corpus — int8
             # serves every k, so the reported tier never silently falls
             # back to an over-budget f32 corpus.
-            _, i = topk_scan(q, sc.corpus, k_sel, n_true=sc.capacity)
+            _, i = _topk(q, k_sel)
         slots = np.asarray(i[0], np.int64)
         valid, ris, lines = sc.slot_owners(slots)
         slots, ris, lines = slots[valid], ris[valid], lines[valid]

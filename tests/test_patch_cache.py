@@ -224,7 +224,7 @@ def test_mid_patch_failure_recovers(big_store, monkeypatch):
     real_write = patch_cache._write_rows
     calls = {"n": 0}
 
-    def exploding(arr, rows_np, start):
+    def exploding(*args, **kwargs):
         calls["n"] += 1
         raise RuntimeError("simulated device failure mid-patch")
 
@@ -256,10 +256,10 @@ def test_large_topk_stays_on_int8_kind(big_store, monkeypatch):
     assert got[0].distance < 1e-5
 
     # exactly one slot entry, and it is the int8 corpus (1 byte/dim)
-    key = (str(s.dir), "slot", "int8", 0)
+    key = (str(s.dir), "slot", "int8", 0, 0)
     sc = device_cache.peek(key)
     assert sc is not None and str(sc.corpus.dtype) == "int8"
-    assert device_cache.peek((str(s.dir), "slot", "f32", 0)) is None
+    assert device_cache.peek((str(s.dir), "slot", "f32", 0, 0)) is None
 
     # matches the exact brute-force reference
     mat = np.concatenate([docs[p] for p in paths])
@@ -283,6 +283,6 @@ def test_f32_over_budget_routes_to_int8(tmp_path, monkeypatch):
     got = s.search_line_embeddings(rows[5], ["/a.txt"], top_k=3)
     assert (got[0].path, got[0].line_number) == ("/a.txt", 5)
     assert got[0].distance < 1e-5
-    sc = device_cache.peek((str(s.dir), "slot", "int8", 0))
+    sc = device_cache.peek((str(s.dir), "slot", "int8", 0, 0))
     assert sc is not None and str(sc.corpus.dtype) == "int8"
     s.close()

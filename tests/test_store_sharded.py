@@ -283,11 +283,13 @@ def test_search_documents_sharded_matches_single_device(monkeypatch):
     ]
 
 
-def test_sharded_shape_stable_across_small_mutation(tmp_path, monkeypatch):
+def test_sharded_shape_stable_and_patched_across_small_mutation(tmp_path, monkeypatch):
     """Review regression: the sharded executables key on SHAPES with
-    n_true traced, and padded row counts are bucketed — so a small upsert
-    must not change the device corpus shape (no retrace on the next
-    query)."""
+    n_true traced, and the sharded corpus is a patchable slot entry — a
+    small upsert must keep the device corpus shape (no retrace) AND ship
+    only O(doc) bytes to the mesh."""
+    from semtools_tpu.store import patch_cache
+
     monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
     s = Store(str(tmp_path / "stab"), dim=32)
     rng = np.random.default_rng(23)
@@ -296,16 +298,21 @@ def test_sharded_shape_stable_across_small_mutation(tmp_path, monkeypatch):
     paths = [p for p, _ in bulk]
     q = bulk[3][1][0]
     s.search_line_embeddings(q, paths, top_k=3)
-    key1 = [k for k in device_cache._entries if k[0] == str(s.dir)]
-    shape1 = device_cache.peek(key1[0])[0].shape
+    keys = [k for k in device_cache._entries if k[0] == str(s.dir)]
+    assert len(keys) == 1 and keys[0][1] == "slot"
+    sc = device_cache.peek(keys[0])
+    shape1 = sc.corpus.shape
+    built = patch_cache.uploaded_bytes()
 
     new_rows = _unit(rng, 101)  # one row more
     s.upsert_documents_bulk([("/s3.txt", new_rows)])
     hit = s.search_line_embeddings(new_rows[7], paths, top_k=1)[0]
     assert (hit.path, hit.line_number) == ("/s3.txt", 7)
-    key2 = [k for k in device_cache._entries if k[0] == str(s.dir) and k != key1[0]]
-    shape2 = device_cache.peek(key2[0])[0].shape
-    assert shape1 == shape2  # same bucketed shape -> executable reuse
+    sc2 = device_cache.peek(keys[0])
+    assert sc2 is sc  # patched in place, not rebuilt
+    assert sc2.corpus.shape == shape1  # bucketed shape -> executable reuse
+    patched = patch_cache.uploaded_bytes() - built
+    assert patched <= 2 * new_rows.nbytes  # O(doc) bytes to the mesh
 
 
 def test_bucket_rows():
