@@ -170,11 +170,12 @@ def bench_sharded(results, n=1 << 18, d=256, q=8, k=10):
     # time only the mesh scan + candidate merge.
     e_sharded, _ = shard_corpus(e, mesh)
     n_local = e_sharded.shape[0] // nd
-    fn = sharded_topk_fn(mesh, k, n_local, n)
+    fn = sharded_topk_fn(mesh, k, n_local)
     q_dev = jnp.asarray(qq)
-    jax.block_until_ready(fn(q_dev, e_sharded))  # compile + warm
+    nt = jnp.int32(n)
+    jax.block_until_ready(fn(q_dev, e_sharded, nt))  # compile + warm
     t0 = _now()
-    jax.block_until_ready(fn(q_dev, e_sharded))
+    jax.block_until_ready(fn(q_dev, e_sharded, nt))
     dt = _now() - t0
     if nd < 2:
         # A 1-device "sharded" number measures nothing distributed; don't

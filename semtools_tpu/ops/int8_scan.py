@@ -86,17 +86,17 @@ def _int_sims(q_ref, e_ref):
     )
 
 
-def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int, tile_n: int):
+def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int):
     i = pl.program_id(0)
     qn = q_ref.shape[0]
     sims = _int_sims(q_ref, e_ref)
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
-    sims = jnp.where(col + i * tile_n < n_true, sims, _NEG_INF)
+    sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
     out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
 
 
-def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
-                   k_tiles: int, n_true: int, tile_n: int):
+def _rescan_kernel(ids_ref, nt_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
+                   k_tiles: int, tile_n: int):
     i = pl.program_id(0)
     tile_id = ids_ref[i]
     owner = i // k_tiles
@@ -105,7 +105,7 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
     sims = _int_sims(q_ref, e_ref)
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)
-    valid = (col + tile_id * tile_n < n_true) & (row == owner)
+    valid = (col + tile_id * tile_n < nt_ref[0]) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
     vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
@@ -113,23 +113,28 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
     idx_ref[0] = idxs + tile_id * tile_n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
-def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool,
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
+def _int8_two_phase(q8, e8, n_true, *, k: int, interpret: bool,
                     tile_n: int = TILE_N):
-    """Exact top-k over integer similarities; returns (int_sims desc, idx)."""
+    """Exact top-k over integer similarities; returns (int_sims desc, idx).
+
+    ``n_true`` is a DYNAMIC scalar operand (see pallas_scan._two_phase_topk).
+    """
     qn, d = q8.shape
     n_pad = e8.shape[0]
     num_tiles = n_pad // tile_n
+    nt = jnp.asarray(n_true, jnp.int32).reshape(1)
 
     tile_max = pl.pallas_call(
-        functools.partial(_tilemax_kernel, n_true=n_true, tile_n=tile_n),
-        grid_spec=pl.GridSpec(
+        functools.partial(_tilemax_kernel, tile_n=tile_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(num_tiles,),
             in_specs=[
-                pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, qn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 8, qn), lambda i, nt: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -138,26 +143,26 @@ def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q8, e8)[:, 0, :]
+    )(nt, q8, e8)[:, 0, :]
 
     k_tiles = min(k, num_tiles)
     _, tile_ids = jax.lax.top_k(tile_max.T, k_tiles)
     flat_ids = tile_ids.reshape(-1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(qn * k_tiles,),
         in_specs=[
-            pl.BlockSpec((qn, d), lambda i, ids: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i, ids, nt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     cand_vals, cand_idx = pl.pallas_call(
-        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true,
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles,
                           tile_n=tile_n),
         grid_spec=grid_spec,
         out_shape=[
@@ -165,7 +170,7 @@ def _int8_two_phase(q8, e8, *, k: int, n_true: int, interpret: bool,
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.int32),
         ],
         interpret=interpret,
-    )(flat_ids, q8, e8)
+    )(flat_ids, nt, q8, e8)
 
     return merge_candidates_sorted(cand_vals, cand_idx, k)
 
@@ -199,6 +204,6 @@ def int8_topk_scan(
     tile_n = tile_for_rows(n)
     e8 = pad_rows(jnp.asarray(e8), tile_n)
     sims, i = _int8_two_phase(
-        jnp.asarray(q8), e8, k=k_eff, n_true=n, interpret=interpret, tile_n=tile_n
+        jnp.asarray(q8), e8, n, k=k_eff, interpret=interpret, tile_n=tile_n
     )
     return np.asarray(1.0 - np.asarray(sims) * (q_scale * e_scale)), np.asarray(i)

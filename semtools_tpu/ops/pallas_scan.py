@@ -105,9 +105,13 @@ def pad_rows(e, tile_n: int):
 _MAX_TWO_PHASE_Q = 32
 
 
-def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int,
+def _scan_kernel(nt_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
                  tile_n: int):
-    """One grid step: similarity tile + K-round candidate extraction."""
+    """One grid step: similarity tile + K-round candidate extraction.
+
+    ``nt_ref`` is a scalar-prefetched [1] int32 holding n_true — DYNAMIC,
+    so corpus growth within a padded shape reuses the executable and
+    shard_map callers can mask per-device pad rows exactly."""
     i = pl.program_id(0)
     tile_q = q_ref[:]  # [Q, D]
     tile_e = e_ref[:]  # [tile_n, D]
@@ -125,34 +129,36 @@ def _scan_kernel(q_ref, e_ref, vals_ref, idx_ref, *, k: int, n_true: int,
     # outrank genuinely negative similarities.
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     global_col = col + i * tile_n
-    sims = jnp.where(global_col < n_true, sims, _NEG_INF)
+    sims = jnp.where(global_col < nt_ref[0], sims, _NEG_INF)
 
     vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
     vals_ref[0] = vals  # [Q, K]
     idx_ref[0] = idxs + i * tile_n  # global indices
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
-def _pallas_candidates(q, e_padded, *, k: int, n_true: int, interpret: bool,
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
+def _pallas_candidates(q, e_padded, n_true, *, k: int, interpret: bool,
                        tile_n: int = TILE_N):
     """Per-tile candidates [T, Q, k] (sims desc) over the padded corpus."""
     qn, d = q.shape
     n_pad = e_padded.shape[0]
     num_tiles = n_pad // tile_n
 
-    kernel = functools.partial(_scan_kernel, k=k, n_true=n_true, tile_n=tile_n)
-    grid_spec = pl.GridSpec(
+    kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, qn, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qn, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, nt: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     flops_tile = 2 * qn * tile_n * d
+    nt = jnp.asarray(n_true, jnp.int32).reshape(1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -166,7 +172,7 @@ def _pallas_candidates(q, e_padded, *, k: int, n_true: int, interpret: bool,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, e_padded)
+    )(nt, q, e_padded)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -204,7 +210,7 @@ def _merge(cand_vals, cand_idx, *, k: int):
 # re-read — O(1%) for bench-scale corpora.
 
 
-def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int, tile_n: int):
+def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int):
     """One grid step of phase 1: per-query max similarity of this tile."""
     i = pl.program_id(0)
     qn = q_ref.shape[0]
@@ -216,14 +222,14 @@ def _tilemax_kernel(q_ref, e_ref, out_ref, *, n_true: int, tile_n: int):
         precision=_mxu_precision(q_ref.dtype, e_ref.dtype),
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
-    sims = jnp.where(col + i * tile_n < n_true, sims, _NEG_INF)
+    sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
     # Output block is (1, 8, Q): Mosaic wants the sublane dim divisible by
     # 8, so the per-query maxes are broadcast over a padded axis of 8.
     out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
 
 
-def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
-                   k_tiles: int, n_true: int, tile_n: int):
+def _rescan_kernel(ids_ref, nt_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
+                   k_tiles: int, tile_n: int):
     """One grid step of phase 2: full K-round extraction of one candidate
     tile, emitted only for the query that selected it (row mask), so a
     tile chosen by several queries never duplicates candidates."""
@@ -241,7 +247,7 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)
-    valid = (col + tile_id * tile_n < n_true) & (row == owner)
+    valid = (col + tile_id * tile_n < nt_ref[0]) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
     vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
@@ -249,23 +255,29 @@ def _rescan_kernel(ids_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
     idx_ref[0] = idxs + tile_id * tile_n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_true", "interpret", "tile_n"))
-def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool,
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
+def _two_phase_topk(q, e_padded, n_true, *, k: int, interpret: bool,
                     tile_n: int = TILE_N):
-    """Exact top-k via tile-max sweep + candidate rescan (distances asc)."""
+    """Exact top-k via tile-max sweep + candidate rescan (distances asc).
+
+    ``n_true`` is a DYNAMIC scalar operand: the executable is reused
+    across corpus sizes that share a padded shape, and shard_map callers
+    mask their own device's pad rows exactly."""
     qn, d = q.shape
     n_pad = e_padded.shape[0]
     num_tiles = n_pad // tile_n
+    nt = jnp.asarray(n_true, jnp.int32).reshape(1)
 
     tile_max = pl.pallas_call(
-        functools.partial(_tilemax_kernel, n_true=n_true, tile_n=tile_n),
-        grid_spec=pl.GridSpec(
+        functools.partial(_tilemax_kernel, tile_n=tile_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(num_tiles,),
             in_specs=[
-                pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, qn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 8, qn), lambda i, nt: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -274,7 +286,7 @@ def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, e_padded)[:, 0, :]  # [T, Q]
+    )(nt, q, e_padded)[:, 0, :]  # [T, Q]
 
     k_tiles = min(k, num_tiles)
     # [Q, T] -> each query's candidate tiles; ties prefer the earlier tile,
@@ -283,27 +295,26 @@ def _two_phase_topk(q, e_padded, *, k: int, n_true: int, interpret: bool,
     flat_ids = tile_ids.reshape(-1).astype(jnp.int32)  # query-major [Q*k_tiles]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(qn * k_tiles,),
         in_specs=[
-            pl.BlockSpec((qn, d), lambda i, ids: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i, ids: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i, ids, nt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qn, k), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     cand_vals, cand_idx = pl.pallas_call(
-        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, n_true=n_true,
-                          tile_n=tile_n),
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, tile_n=tile_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.int32),
         ],
         interpret=interpret,
-    )(flat_ids, q, e_padded)
+    )(flat_ids, nt, q, e_padded)
     # Phase-2 candidates arrive in tile-max order, NOT corpus order, so the
     # prefer-earlier-position trick of _merge would break value ties toward
     # the wrong corpus index; merge with the two-key sort.

@@ -45,15 +45,16 @@ def shard_corpus(
 ) -> Tuple[jax.Array, int]:
     """Place an [N, D] matrix row-sharded on the mesh.
 
-    N is padded up to a multiple of the mesh size with zero rows (zero rows
-    score distance 1.0 and never displace real candidates unless the corpus
-    is smaller than k; callers mask by true N). Returns (sharded array,
-    original N). Device-resident inputs (e.g. a freshly embedded corpus)
-    pad and reshard on device — no host round-trip.
+    N is padded up to a bucketed multiple of the mesh size with zero rows
+    (masked by the scans' traced n_true; bucketing keeps padded shapes —
+    and therefore compiled executables — stable across nearby corpus
+    sizes). Returns (sharded array, original N). Device-resident inputs
+    (e.g. a freshly embedded corpus) pad and reshard on device — no host
+    round-trip.
     """
     n, d = corpus.shape
     n_dev = mesh.devices.size
-    pad = (-n) % n_dev
+    pad = bucket_rows(n, int(n_dev)) - n
     sharding = NamedSharding(mesh, P(axis, None))
     if isinstance(corpus, jax.Array):
         import jax.numpy as jnp

@@ -45,21 +45,25 @@ def _local_then_global_topk(
     if fused:
         # Per-device fused Pallas scan (tile-max sweep + candidate rescan)
         # instead of materializing [Q, n_local] sims + lax.top_k — the
-        # same ~20x that the single-chip path gains. The kernel treats all
-        # n_local rows as real (static shape); global pad rows are masked
-        # below with the traced n_true.
+        # same ~20x that the single-chip path gains. Each device masks its
+        # OWN pad rows inside the kernel with the dynamic local true
+        # count: pad rows must never crowd real (possibly negative-sim)
+        # rows out of the local candidate set before the merge.
         from semtools_tpu.ops.pallas_scan import TILE_N, _two_phase_topk, pad_rows
 
+        local_true = jnp.clip(
+            n_true - jax.lax.axis_index(axis) * n_local, 0, n_local
+        ).astype(jnp.int32)
         # Pad the local shard to a tile multiple: _two_phase_topk's grid
         # floors at tile boundaries, so an unpadded ragged tail would be
         # silently skipped.
         d_loc, idx_l = _two_phase_topk(
-            q, pad_rows(e_local, TILE_N), k=k_local, n_true=n_local,
+            q, pad_rows(e_local, TILE_N), local_true, k=k_local,
             interpret=interpret
         )
         vals = 1.0 - d_loc  # sims desc
         idx = idx_l + jax.lax.axis_index(axis) * n_local
-        pad = idx >= n_true
+        pad = idx >= n_true  # belt-and-suspenders; kernel already masked
         vals = jnp.where(pad, -jnp.inf, vals)
         idx = jnp.where(pad, n_local * n_shards, idx)
     else:
@@ -218,12 +222,15 @@ def _local_int8_topk(q8, e8_local, n_true, *, k: int, n_local: int,
     from semtools_tpu.ops.pallas_scan import pad_rows
 
     k_local = min(k, n_local)
+    local_true = jnp.clip(
+        n_true - jax.lax.axis_index(axis) * n_local, 0, n_local
+    ).astype(jnp.int32)
     sims_desc, idx_l = _int8_two_phase(
-        q8, pad_rows(e8_local, TILE_N), k=k_local, n_true=n_local,
+        q8, pad_rows(e8_local, TILE_N), local_true, k=k_local,
         interpret=interpret
     )
     idx = idx_l + jax.lax.axis_index(axis) * n_local
-    pad = idx >= n_true  # traced mask: pad rows never win the merge
+    pad = idx >= n_true  # belt-and-suspenders; kernel already masked
     sims_desc = jnp.where(pad, jnp.int32(-(1 << 30)), sims_desc)
     idx = jnp.where(pad, n_local * n_shards, idx)
     vals_all = jax.lax.all_gather(sims_desc, axis, axis=1, tiled=True)

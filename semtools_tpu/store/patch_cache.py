@@ -75,10 +75,15 @@ class SlotCorpus:
 
     @property
     def device_nbytes(self) -> int:
+        """PER-DEVICE bytes — what the LRU budget must account, since a
+        mesh-sharded corpus holds 1/n of its rows on each device (the fit
+        policy approves corpora up to budget x mesh size)."""
         try:
-            return int(self.corpus.size) * self.corpus.dtype.itemsize
+            total = int(self.corpus.size) * self.corpus.dtype.itemsize
         except Exception:
             return 0
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        return total // max(n_dev, 1)
 
     def refresh_lookup(self) -> None:
         items = sorted(self.layout.items(), key=lambda kv: kv[1][0])
@@ -185,13 +190,19 @@ def _tile(cap: int) -> int:
 
 def _padded_rows(cap: int, mesh=None) -> int:
     """Device rows for a capacity: tile-multiple (Pallas grids floor at
-    tile boundaries), additionally a mesh-size multiple when sharded."""
+    tile boundaries), a mesh-size multiple when sharded, and bucketed in
+    coarse steps (parallel.mesh.bucket_rows) so capacity growth keeps the
+    padded SHAPE stable across many mutations — the scan executables key
+    on shapes with n_true traced."""
     if not cap:
         return 0
-    t = _tile(cap)
-    padded = ((cap + t - 1) // t) * t
+    from semtools_tpu.parallel.mesh import bucket_rows
+
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    padded = bucket_rows(cap, n_dev)
+    t = _tile(padded)
+    padded = ((padded + t - 1) // t) * t
     if mesh is not None:
-        n_dev = int(mesh.devices.size)
         padded = ((padded + n_dev - 1) // n_dev) * n_dev
     return padded
 

@@ -533,7 +533,13 @@ class Store:
             return "int8", rd
         if _int8_tier_enabled(n_rows):
             return "int8", None
-        if self._capacity() * 4 * self.dim > self._device_budget_bytes(n_rows):
+        if (
+            os.environ.get("SEMTOOLS_TPU_STORE_INT8") != "0"
+            and self._capacity() * 4 * self.dim > self._device_budget_bytes(n_rows)
+        ):
+            # f32 would blow the device budget; int8 fits. An explicit
+            # SEMTOOLS_TPU_STORE_INT8=0 still wins ('0=never') — the user
+            # accepts the memory cost.
             return "int8", None
         return "f32", None
 
@@ -885,30 +891,6 @@ class Store:
             )
             for ri, line, dist in zip(ris, line_in_doc, dists)
         ]
-
-    def _rerank_scan_rows(
-        self, ranges, rows: np.ndarray, q: np.ndarray, top_k: int,
-        max_distance: Optional[float] = None,
-    ) -> Optional[List[RankedLine]]:
-        """Exact f32 re-rank of candidate scan rows against the mmap'd
-        originals; reported distances are exact even when the candidates
-        came from a quantized tier."""
-        _, _, cand_slots = self._scan_rows_to_slots(ranges, rows)
-        mm = self._mmap("r")
-        if mm is None:
-            return None
-        rows_mat = np.asarray(mm[cand_slots])
-        del mm
-        exact = 1.0 - rows_mat @ q[0]
-        order = np.argsort(exact, kind="stable")[:top_k]
-        if max_distance is not None:
-            order = order[exact[order] < max_distance]
-        return self._ranked_from_slots(ranges, cand_slots, exact, order)
-
-    def _rotation_for(self, corpus: np.ndarray, reduced_dim: int) -> np.ndarray:
-        from semtools_tpu.ops.reduce import fit_rotation
-
-        return fit_rotation(corpus, reduced_dim)
 
     @staticmethod
     def _int8_oversample(top_k: int, reduced: bool, n: int) -> int:

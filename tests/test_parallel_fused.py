@@ -30,6 +30,7 @@ def test_fused_local_matches_xla_path():
 
     e_sharded, _ = shard_corpus(e, mesh)
     k = 5
+    n_local = e_sharded.shape[0] // n_dev  # shard_corpus may bucket-pad
     fn_fused = sharded_topk_fn(mesh, k, n_local, fused=True, interpret=True)
     fn_plain = sharded_topk_fn(mesh, k, n_local, fused=False)
     d_f, i_f = fn_fused(jnp.asarray(q), e_sharded, jnp.int32(n))
@@ -78,7 +79,9 @@ def test_fused_local_non_tile_aligned_shard_keeps_tail():
     e[target] /= np.linalg.norm(e[target])
 
     e_sharded, _ = shard_corpus(e, mesh)
-    fn = sharded_topk_fn(mesh, 3, n_local, fused=True, interpret=True)
+    # shard_corpus may bucket-pad; n_local is the actual per-device rows
+    n_local_padded = e_sharded.shape[0] // n_dev
+    fn = sharded_topk_fn(mesh, 3, n_local_padded, fused=True, interpret=True)
     d, i = fn(jnp.asarray(q), e_sharded, jnp.int32(n))
     assert int(np.asarray(i)[0, 0]) == target
 

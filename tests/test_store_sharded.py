@@ -273,7 +273,9 @@ def test_search_documents_sharded_matches_single_device(monkeypatch):
     ]
     assert sharded[0].filename == "f1.txt" and sharded[0].match_line == 20
 
-    # threshold mode (all hits, unbounded)
+    # threshold mode (all hits, unbounded) — reference computed with
+    # sharding OFF so the parity check is against the single-device path
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
     exact_t = search_documents(docs, q, SearchConfig(top_k=5, n_lines=0, max_distance=0.9))
     monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "1")
     sharded_t = search_documents(docs, q, SearchConfig(top_k=5, n_lines=0, max_distance=0.9))
