@@ -87,7 +87,7 @@ def bench_batched_scan(results, n=100_000, q=1_000, d=256, k=10):
 
 def bench_workspace_warm(paths, model, results):
     from semtools_tpu.search import SearchConfig, search_with_workspace
-    from semtools_tpu.store import Store, Workspace, WorkspaceConfig
+    from semtools_tpu.store import Workspace, WorkspaceConfig
 
     name = "bench_ws"
     ws = Workspace(WorkspaceConfig(name=name, root_dir=Workspace.root_path(name)))

@@ -7,7 +7,6 @@ detection incl. version/model invalidation; persistence across reopen.
 """
 
 import os
-import time
 
 import numpy as np
 import pytest
