@@ -115,3 +115,66 @@ def test_sharded_threshold_no_hits():
     q /= np.linalg.norm(q)
     d, i = sharded_threshold_scan(q, e, 1e-9, mesh)
     assert d.shape == (0,) and i.shape == (0,)
+
+
+def test_fused_pad_rows_cannot_crowd_out_negative_sims():
+    """Review regression: with tile-scale zero padding on the tail shard
+    and a corpus whose similarities are all NEGATIVE, the fused kernel
+    must not let pad rows (sim 0.0) crowd the true best match out of the
+    tail shard's local candidates — each device masks its own pad rows
+    in-kernel via the dynamic local n_true."""
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(77)
+    q = rng.standard_normal((1, 32)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    n = 4 * 600 + 11  # ragged; bucketing pads the tail shard heavily
+    # every row anti-aligned with q: all sims negative, so zero pads would
+    # outrank EVERY real row if unmasked
+    e = -q + 0.05 * rng.standard_normal((n, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    # true best (least-negative sim) lives in the very tail (padded shard)
+    target = n - 1
+    ortho = rng.standard_normal(32).astype(np.float32)
+    ortho -= (ortho @ q[0]) * q[0]
+    ortho /= np.linalg.norm(ortho)
+    e[target] = 0.999 * ortho - 0.045 * q[0]
+    e[target] /= np.linalg.norm(e[target])
+
+    from semtools_tpu.ops.scan import topk_scan
+
+    d_ref, i_ref = topk_scan(q, e, 3)
+
+    e_sharded, _ = shard_corpus(e, mesh)
+    n_local = e_sharded.shape[0] // n_dev
+    assert n_local * n_dev > n  # the scenario really has pad rows
+    fn = sharded_topk_fn(mesh, 3, n_local, fused=True, interpret=True)
+    d, i = fn(jnp.asarray(q), e_sharded, jnp.int32(n))
+    np.testing.assert_array_equal(np.asarray(i), i_ref)
+    assert int(np.asarray(i)[0, 0]) == target
+    assert float(np.asarray(d)[0, 0]) > 1.0  # negative sim, not a pad
+
+
+def test_int8_sharded_pad_rows_cannot_crowd_out_negative_sims():
+    from semtools_tpu.ops.int8_scan import int8_topk_scan, quantize_global
+    from semtools_tpu.parallel.scan import sharded_int8_topk_scan
+
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(78)
+    q = rng.standard_normal((1, 32)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    n = 4 * 300 + 7
+    e = -q + 0.05 * rng.standard_normal((n, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    ortho = rng.standard_normal(32).astype(np.float32)
+    ortho -= (ortho @ q[0]) * q[0]
+    ortho /= np.linalg.norm(ortho)
+    e[n - 1] = 0.999 * ortho - 0.045 * q[0]  # least-negative sim
+    e[n - 1] /= np.linalg.norm(e[n - 1])
+    e8, es = quantize_global(e)
+
+    d_s, i_s = sharded_int8_topk_scan(q, e8, es, 3, mesh, interpret=True)
+    d_1, i_1 = int8_topk_scan(q, e8, es, 3, interpret=True)
+    np.testing.assert_array_equal(i_s, i_1)
+    assert int(i_s[0, 0]) == n - 1
