@@ -112,3 +112,60 @@ def test_int8_selection_exact_over_quantized_random(seed):
     for qi in range(q.shape[0]):
         expect = np.argsort(-int_sims[qi], kind="stable")[:k]
         np.testing.assert_array_equal(i_q[qi], expect)
+
+
+@pytest.mark.parametrize(
+    "tier_env",
+    [
+        {"SEMTOOLS_TPU_STORE_INT8": "1"},
+        {"SEMTOOLS_TPU_SHARDED": "1"},
+        {"SEMTOOLS_TPU_SHARDED": "1", "SEMTOOLS_TPU_STORE_INT8": "1"},
+        {"SEMTOOLS_TPU_REDUCED_DIM": "8",
+         "SEMTOOLS_TPU_DEVICE_CACHE_BYTES": "4000"},
+    ],
+)
+def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
+    """The random op-sequence fuzz, repeated under every serving tier:
+    int8 (exact rerank), mesh-sharded, sharded+int8, and the PCA-reduced
+    capacity tier — results must match the brute-force reference model
+    regardless of which device path serves (patching included)."""
+    from semtools_tpu.store import device_cache
+    from semtools_tpu.store.store import Store
+
+    for k, v in tier_env.items():
+        monkeypatch.setenv(k, v)
+    device_cache.invalidate()
+
+    rng = np.random.default_rng(4242)
+    s = Store(str(tmp_path / "fz_tier"), dim=16)
+    model = {}
+    paths = [f"/doc{i}.txt" for i in range(6)]
+
+    for step in range(25):
+        op = rng.random()
+        p = paths[int(rng.integers(0, len(paths)))]
+        if op < 0.55:
+            m = _unit(rng, int(rng.integers(1, 30)), 16)
+            s.upsert_document_lines(p, m)
+            model[p] = m
+        elif op < 0.75 and model:
+            victim = list(model)[int(rng.integers(0, len(model)))]
+            s.delete_line_embeddings([victim])
+            del model[victim]
+        else:
+            if not model:
+                continue
+            all_rows = np.concatenate([model[k2] for k2 in sorted(model)], axis=0)
+            owner = []
+            for k2 in sorted(model):
+                owner += [(k2, i) for i in range(len(model[k2]))]
+            q = _unit(rng, 1, 16)[0]
+            got = s.search_line_embeddings(q, sorted(model), top_k=3)
+            sims = all_rows @ q
+            expect_order = np.argsort(1.0 - sims, kind="stable")[:3]
+            expect = [(owner[j][0], owner[j][1]) for j in expect_order]
+            assert [(rl.path, rl.line_number) for rl in got] == expect, (
+                step, tier_env, got, expect)
+        assert s.count_line_embeddings() == sum(len(m2) for m2 in model.values())
+    s.close()
+    device_cache.invalidate()
