@@ -314,12 +314,19 @@ def workspace_index_cmd(args) -> int:
             "total_lines": stats.total_lines,
         }))
     else:
-        if index is not None:
-            print(f"Index ready: {stats.index_type} over {stats.total_lines} lines")
+        if index is not None and stats.index_type == "ivf-pq":
+            print(f"Index ready: ivf-pq serving {stats.total_lines} lines")
+        elif index is not None:
+            print(
+                f"IVF-PQ index built (capacity fallback); corpus fits "
+                f"on-device so '{stats.index_type}' serves "
+                f"{stats.total_lines} lines"
+            )
         else:
             print(
-                "Corpus below ANN threshold; exact MXU scan in use "
-                "(pass --force to build anyway)"
+                f"Corpus fits the device tiers ('{stats.index_type}' over "
+                f"{stats.total_lines} lines); no ANN index needed "
+                "(pass --force to build the capacity fallback anyway)"
             )
     return 0
 
