@@ -295,7 +295,10 @@ def grep_tool(
 # U+0660, \w matches é, \b derives from \w) — the native scanner's
 # std::regex applies them bytewise to UTF-8, so they are only equivalent
 # to Python re over pure-ASCII content.
-_UNICODE_SENSITIVE = re.compile(r"\\[dwsbDWSB]")
+# \x/\u/\U/\N escapes can NAME a non-ASCII codepoint with an ASCII
+# pattern (r"caf\xe9"): Python matches the character, std::regex matches
+# the single byte — which never occurs inside the UTF-8 encoding.
+_UNICODE_SENSITIVE = re.compile(r"\\[dwsbDWSBxuUN]")
 
 
 def _has_bytewise_unsafe_construct(pattern: str) -> bool:

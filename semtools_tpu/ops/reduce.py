@@ -69,12 +69,9 @@ def reduced_oversample(n_rows: int, top_k: int = 10) -> int:
     floored at 1024 and capped at 16384; SEMTOOLS_TPU_REDUCED_OVERSAMPLE
     overrides.
     """
-    import os
+    from semtools_tpu.utils.env import env_int
 
-    try:
-        env = int(os.environ.get("SEMTOOLS_TPU_REDUCED_OVERSAMPLE", 0))
-    except ValueError:
-        env = 0
+    env = env_int("SEMTOOLS_TPU_REDUCED_OVERSAMPLE", 0)
     if env > 0:
         return min(max(env, 4 * top_k), n_rows)
     target = max(1024, n_rows >> 9, 4 * top_k)

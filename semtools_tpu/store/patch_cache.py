@@ -233,7 +233,12 @@ def _device_put(buf: np.ndarray, mesh):
     return jax.device_put(buf, NamedSharding(mesh, P(SHARD_AXIS, None)))
 
 
-def _build(store, kind: str, reduced_dim: Optional[int], mesh=None) -> Optional[SlotCorpus]:
+def _build(
+    store, kind: str, reduced_dim: Optional[int], mesh=None, gen: int = 0
+) -> Optional[SlotCorpus]:
+    # ``gen`` was read BEFORE the layout/mmap: if a concurrent writer
+    # lands in between, the entry is stamped with the OLDER generation
+    # and the next query re-patches — stale data is never marked current.
     ranges = store._layout_with_rev()
     cap = store._capacity()
     if cap == 0 or not ranges:
@@ -263,7 +268,7 @@ def _build(store, kind: str, reduced_dim: Optional[int], mesh=None) -> Optional[
         buf = np.concatenate([buf, np.zeros((padded - cap, buf.shape[1]), buf.dtype)])
     sc = SlotCorpus(
         kind=kind,
-        generation=store.generation(),
+        generation=gen,
         capacity=cap,
         corpus=_device_put(buf, mesh),
         scale=scale,
@@ -275,12 +280,18 @@ def _build(store, kind: str, reduced_dim: Optional[int], mesh=None) -> Optional[
     return sc
 
 
-def _patch(store, sc: SlotCorpus) -> bool:
-    """Bring ``sc`` up to the store's current generation in place.
+def _patch(store, sc: SlotCorpus, gen: int) -> bool:
+    """Bring ``sc`` up to generation ``gen`` (read before the layout; see
+    _build) in place.
 
     Returns False when a patch is not worthwhile (over half the corpus
-    changed) — the caller rebuilds instead.
+    changed, or the entry's int8 scale cannot represent new content) —
+    the caller rebuilds instead.
     """
+    # A zero quantization scale (all-zero corpus at build time) cannot
+    # encode real rows; any content change must rebuild to refit it.
+    if sc.kind == "int8" and not sc.scale:
+        return False
     new_ranges = store._layout_with_rev()
     new_layout = {p: (s, n, rev) for p, s, n, rev in new_ranges}
     # Diff on (start, n, vec_rev): the allocator can hand a re-written
@@ -321,7 +332,7 @@ def _patch(store, sc: SlotCorpus) -> bool:
 
     sc.corpus = arr
     sc.capacity = cap
-    sc.generation = store.generation()
+    sc.generation = gen
     sc.layout = new_layout
     sc.refresh_lookup()
     return True
@@ -345,14 +356,14 @@ def get(
         # pointing at a donated/deleted buffer — drop it and rebuild
         # rather than poisoning every later query on this store.
         try:
-            patched = _patch(store, cached)
+            patched = _patch(store, cached, gen)
         except Exception:
             device_cache.remove(key)
             patched = False
         if patched:
             device_cache.replace(key, cached)  # re-account bytes
             return cached
-    fresh = _build(store, kind, reduced_dim, mesh)
+    fresh = _build(store, kind, reduced_dim, mesh, gen)
     if fresh is None:
         device_cache.remove(key)
         return None

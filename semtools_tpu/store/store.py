@@ -48,11 +48,7 @@ _ANN_FILE = "ann.npz"
 _ANN_META_FILE = "ann_meta.npz"
 
 
-def _env_int(name: str, default: int) -> int:
-    try:
-        return int(os.environ.get(name, default))
-    except ValueError:
-        return default
+from semtools_tpu.utils.env import env_int as _env_int
 
 
 def _int8_tier_enabled(n_rows: int) -> bool:
@@ -75,13 +71,19 @@ def _int8_tier_enabled(n_rows: int) -> bool:
     return n_rows >= _env_int("SEMTOOLS_TPU_INT8_MIN_ROWS", 262_144)
 
 
-def _n_devices() -> int:
-    """Visible accelerator count WITHOUT forcing backend init: commands
-    that never touch the device (workspace status on a cold process)
-    must not pay TPU client bring-up just to report a tier name."""
+def _n_devices(force: bool = False) -> int:
+    """Visible accelerator count.
+
+    Without ``force``, returns 1 when jax has not been imported yet —
+    commands that never touch the device (workspace status on a small
+    store in a cold process) must not pay TPU client bring-up just to
+    report a tier name. Decisions whose answer actually depends on the
+    mesh size (budget fits for large corpora, ANN build gating) pass
+    ``force=True`` so cold processes agree with the warm daemon.
+    """
     import sys
 
-    if "jax" not in sys.modules:
+    if not force and "jax" not in sys.modules:
         return 1
     try:
         import jax
@@ -104,7 +106,10 @@ def _sharded_enabled(n_rows: int) -> bool:
     v = os.environ.get("SEMTOOLS_TPU_SHARDED")
     if v in ("0", "off"):
         return False
-    if _n_devices() < 2:
+    # Large corpora force a real device count: the budget/tier answer
+    # depends on mesh size, and a cold `workspace status`/`index` must
+    # agree with the warm serving process (review finding).
+    if _n_devices(force=n_rows >= _ann_min_rows()) < 2:
         return False
     if v in ("1", "on"):
         return True
@@ -232,7 +237,10 @@ class Store:
         # (start, n) while holding different bytes.
         cols = {r[1] for r in self.db.execute("PRAGMA table_info(docs)")}
         if "vec_rev" not in cols:
-            self.db.execute("ALTER TABLE docs ADD COLUMN vec_rev INTEGER")
+            try:
+                self.db.execute("ALTER TABLE docs ADD COLUMN vec_rev INTEGER")
+            except sqlite3.OperationalError:
+                pass  # concurrent opener won the migration race
         self.db.commit()
 
     def _resolve_dim(self, dim: int) -> int:
@@ -484,8 +492,15 @@ class Store:
 
         budget = device_cache._max_bytes()
         if _sharded_enabled(n_rows):
-            budget *= max(1, _n_devices())
+            budget *= max(1, _n_devices(force=n_rows >= _ann_min_rows()))
         return budget
+
+    def _slot_rows(self, n_rows: int) -> int:
+        """Rows the slot-space device corpus actually allocates: the mmap
+        CAPACITY (freed/fragmented slots included), never less than the
+        live row count — budget fits must measure this, or a fragmented
+        store gets approved far over budget."""
+        return max(self._capacity(), n_rows)
 
     def _capacity_reduced_dim(self, n_rows: int) -> Optional[int]:
         """Projection dim for the reduced-int8 capacity tier, or None.
@@ -499,9 +514,10 @@ class Store:
         if rd <= 0 or rd >= self.dim:
             return None
         budget = self._device_budget_bytes(n_rows)
-        if n_rows * self.dim <= budget:
+        slot_rows = self._slot_rows(n_rows)
+        if slot_rows * self.dim <= budget:
             return None
-        if n_rows * rd <= budget:
+        if slot_rows * rd <= budget:
             return rd
         return None
 
@@ -517,7 +533,7 @@ class Store:
         if n_rows < _ann_min_rows():
             return False
         budget = self._device_budget_bytes(n_rows)
-        if n_rows * self.dim <= budget:
+        if self._slot_rows(n_rows) * self.dim <= budget:
             return False
         return self._capacity_reduced_dim(n_rows) is None
 
@@ -535,7 +551,8 @@ class Store:
             return "int8", None
         if (
             os.environ.get("SEMTOOLS_TPU_STORE_INT8") != "0"
-            and self._capacity() * 4 * self.dim > self._device_budget_bytes(n_rows)
+            and self._slot_rows(n_rows) * 4 * self.dim
+            > self._device_budget_bytes(n_rows)
         ):
             # f32 would blow the device budget; int8 fits. An explicit
             # SEMTOOLS_TPU_STORE_INT8=0 still wins ('0=never') — the user

@@ -269,3 +269,15 @@ def test_bytewise_unsafe_construct_detection():
     assert not unsafe(r"foo\[^bar")  # escaped bracket
     assert not unsafe("plain words")
     assert unsafe("[a-z][^0-9]")
+
+
+def test_grep_escape_named_codepoints_route_to_python(tmp_path):
+    # r"caf\xe9" names é via an ASCII escape: Python matches the CHARACTER,
+    # the bytewise native engine would match a lone 0xE9 byte (never
+    # present in UTF-8) and silently miss.
+    f = tmp_path / "e.txt"
+    f.write_text("café escape line\nplain cafe line\n", encoding="utf-8")
+    out = grep_tool([str(f)], r"caf\xe9", is_regex=True, context_lines=0)
+    assert "escape line" in out
+    out = grep_tool([str(f)], r"café", is_regex=True, context_lines=0)
+    assert "escape line" in out

@@ -286,3 +286,53 @@ def test_f32_over_budget_routes_to_int8(tmp_path, monkeypatch):
     sc = device_cache.peek((str(s.dir), "slot", "int8", 0, 0))
     assert sc is not None and str(sc.corpus.dtype) == "int8"
     s.close()
+
+
+def test_zero_scale_build_rebuilds_on_real_content(tmp_path, monkeypatch):
+    """Review regression: a store whose first content is all-zero vectors
+    builds an int8 corpus with scale 0.0; later real content cannot be
+    encoded with that scale, so the patch must REBUILD (refit the scale),
+    not write zero rows."""
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    s = Store(str(tmp_path / "zs"), dim=32)
+    zeros = np.zeros((40, 32), np.float32)
+    s.upsert_document_lines("/blank.txt", zeros)
+    s.search_line_embeddings(np.ones(32, np.float32) / np.sqrt(32),
+                             ["/blank.txt"], top_k=1)  # build with scale 0
+
+    rng = np.random.default_rng(31)
+    real = _unit(rng, 40)
+    s.upsert_document_lines("/real.txt", real)
+    hit = s.search_line_embeddings(real[13], ["/blank.txt", "/real.txt"], top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/real.txt", 13)
+    assert hit.distance < 1e-5
+    s.close()
+
+
+def test_concurrent_writer_between_gen_and_layout_reads(tmp_path):
+    """Review regression (generation TOCTOU): an entry patched against a
+    layout newer than the generation it was stamped with must be stamped
+    with the OLDER generation, so the next query re-patches instead of
+    serving data marked falsely current."""
+    s = Store(str(tmp_path / "race"), dim=32)
+    rng = np.random.default_rng(32)
+    a, b = _unit(rng, 20), _unit(rng, 20)
+    s.upsert_document_lines("/a.txt", a)
+    s.search_line_embeddings(a[0], ["/a.txt"], top_k=1)  # build entry
+
+    key = (str(s.dir), "slot", "f32", 0, 0)
+    sc = device_cache.peek(key)
+    gen_before = s.generation()
+
+    # "concurrent writer": mutation lands AFTER the gen read but BEFORE
+    # the patch reads the layout — simulate by patching with the stale gen
+    s.upsert_document_lines("/b.txt", b)
+    assert patch_cache._patch(s, sc, gen_before)
+    assert sc.generation == gen_before  # stamped with the OLDER gen
+
+    # the next real query sees generation != current and re-patches,
+    # serving fresh data
+    hit = s.search_line_embeddings(b[5], ["/a.txt", "/b.txt"], top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/b.txt", 5)
+    assert hit.distance < 1e-5
+    s.close()
