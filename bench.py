@@ -148,13 +148,13 @@ def _embed_bench() -> float:
         def body(i, carry):
             acc, ids = carry
             rows = jnp.take(tab, ids, axis=0) * w[:, None]
-            sums = jax.ops.segment_sum(
-                rows, segs, num_segments=EMBED_LINES + 1, indices_are_sorted=True
+            # Mirrors ops/embed.py: single fused segment_sum (weights
+            # column carries the counts).
+            aug = jnp.concatenate([rows, w[:, None]], axis=1)
+            both = jax.ops.segment_sum(
+                aug, segs, num_segments=EMBED_LINES + 1, indices_are_sorted=True
             )
-            counts = jax.ops.segment_sum(
-                w, segs, num_segments=EMBED_LINES + 1, indices_are_sorted=True
-            )
-            mean = sums / jnp.maximum(counts, 1.0)[:, None]
+            mean = both[:, :-1] / jnp.maximum(both[:, -1], 1.0)[:, None]
             norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
             emb = jnp.where(norm > 0, mean / jnp.maximum(norm, 1e-30), mean)
             acc = acc + emb[0, 0]
