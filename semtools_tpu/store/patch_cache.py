@@ -25,7 +25,10 @@ enough — results stay exact in all cases.
 Serving kinds: "f32" (exact scan), "int8" (global-scale quantized +
 exact rerank), and reduced-int8 (PCA-projected capacity tier). Patched
 rows reuse the entry's quantization scale and rotation; values are
-clipped, and the exact f32 rerank keeps reported distances exact.
+clipped, and the exact f32 rerank keeps reported distances exact. To
+bound transform drift on mutating corpora, lossy entries stop accepting
+patches once cumulative patched rows exceed 25% of the corpus — the
+resulting rebuild refits rotation and scale on current content.
 """
 
 from __future__ import annotations
@@ -72,6 +75,12 @@ class SlotCorpus:
     starts: np.ndarray = field(default=None)  # slot-ordered range starts
     ends: np.ndarray = field(default=None)
     paths: List[str] = field(default=None)
+    # Rows written through _patch since the entry's rotation/scale were
+    # fit. Patched rows reuse the BUILD-time transform, so a corpus that
+    # drifts topically accumulates representation error; once this
+    # exceeds a quarter of the corpus the entry refuses further patches
+    # and the rebuild refits (see _patch). Exact f32 entries never drift.
+    patched_rows: int = 0
 
     @property
     def device_nbytes(self) -> int:
@@ -309,6 +318,16 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     delta = sum(n for _, _, n in changed) + sum(n for _, n in removed)
     if total == 0 or delta > total // 2:
         return False
+    # Drift refit heuristic: entries with a lossy transform (int8 global
+    # scale and/or PCA rotation) encode patched rows under statistics fit
+    # at build time. Bound the stale-transform fraction: once cumulative
+    # patched rows would exceed 25% of the live corpus, rebuild instead —
+    # the rebuild refits rotation and scale on current content. delta
+    # counts changed+removed rows, so pure deletions also age the entry
+    # (they shift the distribution the transform was fit on).
+    lossy = sc.scale is not None or sc.rotation is not None
+    if lossy and sc.patched_rows + delta > total // 4:
+        return False
 
     cap = store._capacity()
     padded = _padded_rows(cap, sc.mesh)
@@ -334,6 +353,7 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     sc.capacity = cap
     sc.generation = gen
     sc.layout = new_layout
+    sc.patched_rows += delta
     sc.refresh_lookup()
     return True
 

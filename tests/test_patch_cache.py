@@ -336,3 +336,47 @@ def test_concurrent_writer_between_gen_and_layout_reads(tmp_path):
     assert (hit.path, hit.line_number) == ("/b.txt", 5)
     assert hit.distance < 1e-5
     s.close()
+
+
+def test_lossy_entry_refits_after_cumulative_drift(big_store):
+    """Rotation/scale drift bound: an int8 (lossy) entry accepts small
+    patches but refuses them once cumulative patched rows exceed 25% of
+    the corpus; the rebuild refits the transform on current content."""
+    s, docs, rng = big_store
+    sc = patch_cache.get(s, "int8")
+    assert sc is not None and sc.scale is not None
+    first_build = id(sc)
+
+    # Each update rewrites one 100-row doc out of 4000 rows (2.5%).
+    # 25% drift allows ~10 such patches before a refit is forced.
+    rebuilt_at = None
+    for i in range(14):
+        s.upsert_document_lines(f"/d{i:02}.txt", _unit(rng, 100))
+        sc2 = patch_cache.get(s, "int8")
+        assert sc2 is not None
+        if id(sc2) != first_build or sc2.patched_rows == 0:
+            rebuilt_at = i
+            break
+    assert rebuilt_at is not None, "lossy entry never refit its transform"
+    # small patches were accepted first (not rebuilding on every change)
+    assert rebuilt_at >= 3, rebuilt_at
+    # the refreshed entry serves correct results
+    probe = _unit(rng, 1)[0]
+    s.upsert_document_lines("/probe.txt", probe[None, :])
+    hit = s.search_line_embeddings(probe, list(docs) + ["/probe.txt"], top_k=1)[0]
+    assert (hit.path, hit.line_number) == ("/probe.txt", 0)
+    assert hit.distance < 1e-5
+
+
+def test_exact_f32_entry_never_refits(big_store):
+    """f32 entries are exact under patching — the drift bound must not
+    force rebuilds on them."""
+    s, docs, rng = big_store
+    sc = patch_cache.get(s, "f32")
+    assert sc is not None and sc.scale is None and sc.rotation is None
+    first_build = id(sc)
+    for i in range(14):
+        s.upsert_document_lines(f"/d{i:02}.txt", _unit(rng, 100))
+        sc2 = patch_cache.get(s, "f32")
+        assert sc2 is not None
+        assert id(sc2) == first_build, f"f32 entry rebuilt at update {i}"
