@@ -44,23 +44,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from semtools_tpu.ops.pallas_scan import (
+    SUB_N,
     _should_interpret,
     extract_topk_rounds,
     merge_candidates_sorted,
     pad_rows,
 )
 
-# Measured on TPU v5e: at CLI-scale corpora (~2M rows) tile 2048 wins
-# end-to-end (the phase-2 rescan re-reads Q*k tiles, which scales with
-# tile size); at 10M rows the rescan fraction shrinks and tile 8192 wins
-# (2.15M vs 1.93M vecs/ms).
-TILE_N = 2048
-TILE_N_LARGE = 8192
-LARGE_CORPUS_ROWS = 4_000_000
+# Measured on TPU v5e: 8192 rows x 256 dims = 2 MB streaming blocks, the
+# HBM->VMEM pipeline's best operating point (bench_stream_sweep.py; 4 MB
+# blocks fall off a VMEM-double-buffering cliff). With the SUB_N=512
+# sub-tile rescan the old big-tile penalty (phase-2 re-reads scaling
+# with tile size) is gone, so 8192 wins at every corpus scale: 1.55M
+# vecs/ms at 2M rows (vs 1.35M at 2048) and 2.44M at 10M rows.
+TILE_N = 8192
 
 
 def tile_for_rows(n: int) -> int:
-    return TILE_N_LARGE if n >= LARGE_CORPUS_ROWS else TILE_N
+    del n
+    return TILE_N
 
 _NEG_INF = float("-inf")
 
@@ -86,31 +88,37 @@ def _int_sims(q_ref, e_ref):
     )
 
 
-def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int):
+def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int,
+                    sub_n: int):
+    """Per-query max of each ``sub_n``-row sub-tile (see pallas_scan's
+    sub-tile rationale: streaming granularity stays tile_n, selection
+    granularity shrinks to sub_n so phase 2 re-reads 16x less)."""
     i = pl.program_id(0)
     qn = q_ref.shape[0]
+    s = tile_n // sub_n
     sims = _int_sims(q_ref, e_ref)
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
-    out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
+    sub_max = jnp.max(sims.reshape(qn, s, sub_n), axis=2)  # [Q, S]
+    out_ref[0] = jnp.broadcast_to(sub_max[None, :, :], (8, qn, s))
 
 
 def _rescan_kernel(ids_ref, nt_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
-                   k_tiles: int, tile_n: int):
+                   k_tiles: int, sub_n: int):
     i = pl.program_id(0)
-    tile_id = ids_ref[i]
+    sub_id = ids_ref[i]
     owner = i // k_tiles
     qn = q_ref.shape[0]
 
     sims = _int_sims(q_ref, e_ref)
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)
-    valid = (col + tile_id * tile_n < nt_ref[0]) & (row == owner)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 0)
+    valid = (col + sub_id * sub_n < nt_ref[0]) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
-    vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
+    vals, idxs = extract_topk_rounds(sims, col, k, sub_n)
     vals_ref[0] = vals
-    idx_ref[0] = idxs + tile_id * tile_n
+    idx_ref[0] = idxs + sub_id * sub_n
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
@@ -123,10 +131,12 @@ def _int8_two_phase(q8, e8, n_true, *, k: int, interpret: bool,
     qn, d = q8.shape
     n_pad = e8.shape[0]
     num_tiles = n_pad // tile_n
+    sub_n = min(SUB_N, tile_n)
+    s = tile_n // sub_n
     nt = jnp.asarray(n_true, jnp.int32).reshape(1)
 
-    tile_max = pl.pallas_call(
-        functools.partial(_tilemax_kernel, tile_n=tile_n),
+    sub_max = pl.pallas_call(
+        functools.partial(_tilemax_kernel, tile_n=tile_n, sub_n=sub_n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(num_tiles,),
@@ -134,27 +144,29 @@ def _int8_two_phase(q8, e8, n_true, *, k: int, interpret: bool,
                 pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_n, d), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, qn), lambda i, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 8, qn, s), lambda i, nt: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn, s), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * qn * n_pad * d,
             bytes_accessed=n_pad * d,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(nt, q8, e8)[:, 0, :]
+    )(nt, q8, e8)[:, 0, :, :]  # [T, Q, S]
 
-    k_tiles = min(k, num_tiles)
-    _, tile_ids = jax.lax.top_k(tile_max.T, k_tiles)
-    flat_ids = tile_ids.reshape(-1).astype(jnp.int32)
+    num_subs = num_tiles * s
+    k_tiles = min(k, num_subs)
+    flat_max = jnp.transpose(sub_max, (1, 0, 2)).reshape(qn, num_subs)
+    _, sub_ids = jax.lax.top_k(flat_max, k_tiles)
+    flat_ids = sub_ids.reshape(-1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(qn * k_tiles,),
         in_specs=[
             pl.BlockSpec((qn, d), lambda i, ids, nt: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub_n, d), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -163,7 +175,7 @@ def _int8_two_phase(q8, e8, n_true, *, k: int, interpret: bool,
     )
     cand_vals, cand_idx = pl.pallas_call(
         functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles,
-                          tile_n=tile_n),
+                          sub_n=sub_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),

@@ -33,21 +33,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Corpus rows per grid step (default; real calls pick by dtype). Larger
-# tiles amortize per-grid-step overhead; the cap is double-buffered VMEM:
-# two e-tiles must fit alongside the query block and scratch.
+# Corpus rows per grid step (default; real calls pick by dtype). The
+# HBM->VMEM pipeline's best operating point is ~2 MB streaming blocks
+# (benchmarks/quantitative/bench_stream_sweep.py: 1 MB blocks lose ~5%,
+# 4 MB blocks fall off a VMEM-double-buffering cliff to ~1/3 bandwidth),
+# so the row count scales inversely with the row byte-width.
 TILE_N = 2048
 
 
 def tile_for_dtype(dtype) -> int:
-    """Tile size per storage dtype.
+    """Streaming-tile rows per storage dtype: ~2 MB blocks at D=256.
 
-    Measured on TPU v5e (2M x 256 corpus, Q=8, k=10): larger tiles gain
-    <4% on the sweep but lose more on the phase-2 rescan (Q*k tiles
-    re-read scale with tile size), so 2048 wins end-to-end for every
-    dtype (bf16 two-phase: 986k vecs/ms @2048 vs 908k @8192).
+    With the SUB_N sub-tile rescan, phase-2 re-read traffic no longer
+    scales with the streaming tile, so each dtype just takes its best
+    pipeline block size (measured: bf16 two-phase 1.00M vecs/ms @4096 vs
+    0.99M @2048 on the 2M-row config; f32 keeps 2048 = 2 MB already).
     """
-    del dtype
+    if jnp.dtype(dtype).itemsize <= 2:
+        return 4096
     return TILE_N
 
 _NEG_INF = float("-inf")
@@ -188,32 +191,47 @@ def _merge(cand_vals, cand_idx, *, k: int):
     return 1.0 - best, jnp.take_along_axis(flat_idx, pos, axis=1)
 
 
-# -- two-phase scan: per-tile max sweep + candidate-tile rescan -------------
+# -- two-phase scan: sub-tile max sweep + candidate-block rescan ------------
 #
 # The K-round extraction above costs K VPU passes over every similarity
 # tile, which dominates once the matmul is HBM-bound. The two-phase scan
 # removes it from the streaming loop entirely:
 #
-#   phase 1  sweep the corpus computing only each tile's per-query MAX
-#            (one VPU pass, fused with the matmul — HBM-bound);
-#   select   lax.top_k over the [Q, T] tile maxes picks each query's k
-#            candidate tiles. Exactness: order elements by (value desc,
-#            index asc). A tile's rank is its best element's rank, so if
-#            the tile holding the j-th best element (j <= k) were outside
-#            the top-k tiles, k tiles with better best-elements would each
-#            contribute an element ranked above it — contradiction.
-#   phase 2  rescan ONLY those <= Q*k tiles with the K-round extraction,
-#            reading them straight from HBM via scalar-prefetched block
-#            indices (no gather materialization).
+#   phase 1  sweep the corpus computing each SUB-TILE's per-query MAX
+#            (one VPU pass, fused with the matmul — HBM-bound). Streaming
+#            still uses big tiles (tile_n rows — the pipeline's best
+#            operating point), but maxes are taken per SUB_N-row sub-tile,
+#            so the selection granularity is finer than the streaming
+#            granularity.
+#   select   lax.top_k over the [Q, T*S] sub-tile maxes picks each query's
+#            k candidate sub-tiles. Exactness: order elements by (value
+#            desc, index asc). A sub-tile's rank is its best element's
+#            rank, so if the sub-tile holding the j-th best element
+#            (j <= k) were outside the top-k sub-tiles, k sub-tiles with
+#            better best-elements would each contribute an element ranked
+#            above it — contradiction.
+#   phase 2  rescan ONLY those <= Q*k sub-tiles with the K-round
+#            extraction, reading SUB_N-row blocks straight from HBM via
+#            scalar-prefetched block indices (no gather materialization).
 #
-# Total extra traffic beyond the corpus read: [T, Q] maxes out, Q*k tiles
-# re-read — O(1%) for bench-scale corpora.
+# Total extra traffic beyond the corpus read: [T*S, Q] maxes out, Q*k
+# SUB_N-row blocks re-read. At 10M rows / tile 8192 / SUB 512 the rescan
+# is 0.4% of the corpus where whole-tile rescans cost 6.5% — the sub-tile
+# granularity is what keeps phase 2 off the roofline-bound sweep's back.
+
+# Phase-2 rescan granularity (rows). 512 = 4 Mosaic f32 sublane tiles:
+# big enough that the [Q, SUB_N] extraction stays VPU-efficient, small
+# enough that Q*k rescanned blocks are noise next to the sweep.
+SUB_N = 512
 
 
-def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int):
-    """One grid step of phase 1: per-query max similarity of this tile."""
+def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int,
+                    sub_n: int):
+    """One grid step of phase 1: per-query max similarity of each of the
+    tile's ``tile_n // sub_n`` sub-tiles."""
     i = pl.program_id(0)
     qn = q_ref.shape[0]
+    s = tile_n // sub_n
     sims = jax.lax.dot_general(
         q_ref[:],
         e_ref[:],
@@ -223,18 +241,22 @@ def _tilemax_kernel(nt_ref, q_ref, e_ref, out_ref, *, tile_n: int):
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
-    # Output block is (1, 8, Q): Mosaic wants the sublane dim divisible by
-    # 8, so the per-query maxes are broadcast over a padded axis of 8.
-    out_ref[0] = jnp.broadcast_to(jnp.max(sims, axis=1)[None, :], (8, qn))
+    # [Q, tile] -> [Q, S, SUB] is a minor-dim split (lane layout unchanged);
+    # the max reduces the lane dim. Output block is (1, 8, Q, S): Mosaic
+    # wants the sublane dim divisible by 8, so the [Q, S] maxes are
+    # broadcast over a padded leading axis of 8.
+    sub_max = jnp.max(sims.reshape(qn, s, sub_n), axis=2)  # [Q, S]
+    out_ref[0] = jnp.broadcast_to(sub_max[None, :, :], (8, qn, s))
 
 
 def _rescan_kernel(ids_ref, nt_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
-                   k_tiles: int, tile_n: int):
+                   k_tiles: int, sub_n: int):
     """One grid step of phase 2: full K-round extraction of one candidate
-    tile, emitted only for the query that selected it (row mask), so a
-    tile chosen by several queries never duplicates candidates."""
+    SUB_N-row block, emitted only for the query that selected it (row
+    mask), so a block chosen by several queries never duplicates
+    candidates."""
     i = pl.program_id(0)
-    tile_id = ids_ref[i]
+    sub_id = ids_ref[i]
     owner = i // k_tiles  # grid is query-major: k_tiles consecutive steps per query
     qn = q_ref.shape[0]
 
@@ -245,20 +267,21 @@ def _rescan_kernel(ids_ref, nt_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int,
         preferred_element_type=jnp.float32,
         precision=_mxu_precision(q_ref.dtype, e_ref.dtype),
     )
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 0)
-    valid = (col + tile_id * tile_n < nt_ref[0]) & (row == owner)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 0)
+    valid = (col + sub_id * sub_n < nt_ref[0]) & (row == owner)
     sims = jnp.where(valid, sims, _NEG_INF)
 
-    vals, idxs = extract_topk_rounds(sims, col, k, tile_n)
+    vals, idxs = extract_topk_rounds(sims, col, k, sub_n)
     vals_ref[0] = vals
-    idx_ref[0] = idxs + tile_id * tile_n
+    idx_ref[0] = idxs + sub_id * sub_n
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
 def _two_phase_topk(q, e_padded, n_true, *, k: int, interpret: bool,
                     tile_n: int = TILE_N):
-    """Exact top-k via tile-max sweep + candidate rescan (distances asc).
+    """Exact top-k via sub-tile-max sweep + candidate rescan (distances
+    asc).
 
     ``n_true`` is a DYNAMIC scalar operand: the executable is reused
     across corpus sizes that share a padded shape, and shard_map callers
@@ -266,10 +289,12 @@ def _two_phase_topk(q, e_padded, n_true, *, k: int, interpret: bool,
     qn, d = q.shape
     n_pad = e_padded.shape[0]
     num_tiles = n_pad // tile_n
+    sub_n = min(SUB_N, tile_n)
+    s = tile_n // sub_n
     nt = jnp.asarray(n_true, jnp.int32).reshape(1)
 
-    tile_max = pl.pallas_call(
-        functools.partial(_tilemax_kernel, tile_n=tile_n),
+    sub_max = pl.pallas_call(
+        functools.partial(_tilemax_kernel, tile_n=tile_n, sub_n=sub_n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(num_tiles,),
@@ -277,29 +302,31 @@ def _two_phase_topk(q, e_padded, n_true, *, k: int, interpret: bool,
                 pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_n, d), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, qn), lambda i, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 8, qn, s), lambda i, nt: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn, s), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * qn * n_pad * d,
             bytes_accessed=n_pad * d * e_padded.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(nt, q, e_padded)[:, 0, :]  # [T, Q]
+    )(nt, q, e_padded)[:, 0, :, :]  # [T, Q, S]
 
-    k_tiles = min(k, num_tiles)
-    # [Q, T] -> each query's candidate tiles; ties prefer the earlier tile,
-    # matching the global lower-index tie-break.
-    _, tile_ids = jax.lax.top_k(tile_max.T, k_tiles)  # [Q, k_tiles]
-    flat_ids = tile_ids.reshape(-1).astype(jnp.int32)  # query-major [Q*k_tiles]
+    num_subs = num_tiles * s
+    k_tiles = min(k, num_subs)
+    # [Q, T*S] -> each query's candidate sub-tiles; ties prefer the earlier
+    # sub-tile, matching the global lower-index tie-break.
+    flat_max = jnp.transpose(sub_max, (1, 0, 2)).reshape(qn, num_subs)
+    _, sub_ids = jax.lax.top_k(flat_max, k_tiles)  # [Q, k_tiles]
+    flat_ids = sub_ids.reshape(-1).astype(jnp.int32)  # query-major [Q*k_tiles]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(qn * k_tiles,),
         in_specs=[
             pl.BlockSpec((qn, d), lambda i, ids, nt: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub_n, d), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -307,7 +334,7 @@ def _two_phase_topk(q, e_padded, n_true, *, k: int, interpret: bool,
         ],
     )
     cand_vals, cand_idx = pl.pallas_call(
-        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, tile_n=tile_n),
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, sub_n=sub_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
