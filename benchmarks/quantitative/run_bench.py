@@ -59,29 +59,49 @@ def bench_search_e2e(paths, model, results):
     })
 
 
-def bench_batched_scan(results, n=100_000, q=1_000, d=256, k=10):
+def bench_batched_scan(results, n=100_000, q=1_000, d=256, k=10, repeats=16):
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from semtools_tpu.ops.scan import topk_scan
+    import semtools_tpu.ops.scan as scan_mod
 
     rng = np.random.default_rng(0)
-    e = rng.standard_normal((n, d)).astype(np.float32)
+    n_al = (n // 512) * 512  # serving corpora are tile-padded; align here too
+    e = rng.standard_normal((n_al, d)).astype(np.float32)
     e /= np.linalg.norm(e, axis=1, keepdims=True)
     qq = rng.standard_normal((q, d)).astype(np.float32)
     qq /= np.linalg.norm(qq, axis=1, keepdims=True)
     # Pre-place on device: a serving system keeps the corpus resident (the
     # store's device cache does exactly this); without it the measurement
-    # is host->device transfer, not the scan.
+    # is host->device transfer, not the scan. Repeats fold into ONE jitted
+    # fori_loop: a single dispatch on this host costs ~50 ms of
+    # stdio-tunnel RTT, which would swamp the ~8 ms device scan (the old
+    # 15k q/s row measured the tunnel, not the chip).
     e_dev = jnp.asarray(e)
     q_dev = jnp.asarray(qq)
-    topk_scan(q_dev, e_dev, k)  # compile + warm
+    chunk = scan_mod.chunk_for_shape(n_al)
+
+    @jax.jit
+    def run(q0, ee):
+        def body(i, carry):
+            acc, cur = carry
+            dd, ii = chunk(cur, ee, 0, n_al, k=k)
+            acc = acc + dd[0, 0] + ii.astype(jnp.float32)[0, 0]
+            cur = cur + acc * 1e-30
+            return acc, cur
+
+        acc, _ = jax.lax.fori_loop(0, repeats, body, (jnp.float32(0), q0))
+        return acc
+
+    float(run(q_dev, e_dev))  # compile + warm
     t0 = _now()
-    topk_scan(q_dev, e_dev, k)
-    dt = _now() - t0
+    float(run(q_dev, e_dev))
+    dt = (_now() - t0) / repeats
     results.append({
         "config": "batched_scan", "metric": "queries_per_sec", "value": q / dt,
-        "n_chunks": n, "k": k,
+        "n_chunks": n_al, "k": k, "note": "device-resident corpus, repeats "
+        "folded in one jit (dispatch/tunnel RTT excluded)",
     })
 
 

@@ -129,3 +129,77 @@ def test_threshold_device_compaction_no_hits_and_n_true():
     e[n - 1] = q[0]
     d2, i2 = scan_mod.threshold_scan(q, e, 0.1, n_true=n - 1)
     assert (n - 1) not in set(map(int, i2))
+
+
+def test_blocked_chunk_equals_plain(rng):
+    """The XLA blocked two-phase (_topk_chunk_blocked) must equal the
+    plain matmul+top_k chunk on values AND indices, including value ties
+    (duplicate rows) and n_true padding."""
+    import jax.numpy as jnp
+
+    n, d, k = 4096, 16, 7
+    e = _unit_rows(rng, n, d)
+    # plant exact duplicates across different blocks to force ties
+    e[1000] = e[3500] = e[77]
+    e[2048] = e[2560]
+    q = np.concatenate([_unit_rows(rng, 3, d), e[77][None, :]], axis=0)
+    for n_true in (n, n - 700):
+        d_plain, i_plain = scan_mod._topk_chunk(
+            jnp.asarray(q), jnp.asarray(e), 0, n_true, k=k
+        )
+        d_blk, i_blk = scan_mod._topk_chunk_blocked(
+            jnp.asarray(q), jnp.asarray(e), 0, n_true, k=k
+        )
+        np.testing.assert_allclose(np.asarray(d_blk), np.asarray(d_plain),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_plain))
+
+
+def test_blocked_chunk_nonzero_base(rng):
+    """Nonzero base offset (multi-chunk path) with an aligned corpus."""
+    import jax.numpy as jnp
+
+    n, d, k = 1536, 8, 5
+    e = _unit_rows(rng, n, d)
+    q = _unit_rows(rng, 2, d)
+    d_plain, i_plain = scan_mod._topk_chunk(
+        jnp.asarray(q), jnp.asarray(e), 100, n + 100, k=k
+    )
+    d_blk, i_blk = scan_mod._topk_chunk_blocked(
+        jnp.asarray(q), jnp.asarray(e), 100, n + 100, k=k
+    )
+    np.testing.assert_allclose(np.asarray(d_blk), np.asarray(d_plain),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_plain))
+
+
+def test_topk_scan_unaligned_corpus_stays_plain_and_correct(rng, monkeypatch):
+    """Corpus lengths not divisible by 512 must route to the plain chunk
+    (the blocked kernel requires alignment) and stay correct."""
+    monkeypatch.setattr(scan_mod, "_XLA_BLOCKED_MIN_ROWS", 1 << 10)
+    monkeypatch.setenv("SEMTOOLS_TPU_NO_PALLAS", "1")
+    n, d, k = 3001, 8, 4
+    e = _unit_rows(rng, n, d)
+    q = _unit_rows(rng, 40, d)
+    d_got, i_got = topk_scan(q, e, k)
+    sims = q @ e.T
+    want_i = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(i_got, want_i)
+
+
+def test_topk_scan_routes_blocked_above_threshold(rng, monkeypatch):
+    """End-to-end: a corpus above _XLA_BLOCKED_MIN_ROWS on the XLA path
+    returns the same results as the plain chunk path."""
+    monkeypatch.setattr(scan_mod, "_XLA_BLOCKED_MIN_ROWS", 1 << 10)
+    monkeypatch.setenv("SEMTOOLS_TPU_NO_PALLAS", "1")
+    n, d, k = 3072, 8, 4  # 512-aligned so the blocked route engages
+    e = _unit_rows(rng, n, d)
+    q = _unit_rows(rng, 40, d)  # Q > 32: the batched XLA route
+    d_got, i_got = topk_scan(q, e, k)
+    sims = q @ e.T
+    want_i = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(i_got, want_i)
+    np.testing.assert_allclose(
+        d_got, 1.0 - np.take_along_axis(sims, want_i, axis=1),
+        rtol=1e-5, atol=1e-6,
+    )
