@@ -1,0 +1,101 @@
+"""Workspace mutation-at-scale benchmark (the workspace_patch_500k row).
+
+Builds a 500k-line store (5000 docs x 100 lines, synthetic unit
+vectors), measures cold/warm full-store query latency, then repeatedly
+rewrites ONE document and re-queries — verifying the slot-space device
+cache ships O(doc) bytes per mutation and that steady-state
+update+query latency sits at the warm-query floor regardless of corpus
+size.
+
+Run on the real chip from the repo root (takes a few minutes; the cold
+first query pays the scan+patch executable compiles):
+
+    python benchmarks/quantitative/bench_patch_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+DOCS = 5000
+LINES = 100
+DIM = 256
+
+
+def _unit(rng, n):
+    x = rng.standard_normal((n, DIM)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def main() -> None:
+    from semtools_tpu.store import patch_cache
+    from semtools_tpu.store.store import Store
+
+    rng = np.random.default_rng(7)
+    tmp = tempfile.mkdtemp(prefix="patch_scale_")
+    s = Store(str(Path(tmp) / "ws"), dim=DIM)
+
+    t0 = time.perf_counter()
+    bulk = []
+    docs = {}
+    for i in range(DOCS):
+        rows = _unit(rng, LINES)
+        bulk.append((f"/d{i:04}.txt", rows))
+        docs[f"/d{i:04}.txt"] = rows
+        if len(bulk) >= 500:
+            s.upsert_documents_bulk(bulk)
+            bulk = []
+    if bulk:
+        s.upsert_documents_bulk(bulk)
+    host_build_s = time.perf_counter() - t0
+    paths = list(docs)
+
+    q = docs["/d0007.txt"][42]
+    t0 = time.perf_counter()
+    hits = s.search_line_embeddings(q, paths, top_k=10)
+    cold_s = time.perf_counter() - t0
+    assert (hits[0].path, hits[0].line_number) == ("/d0007.txt", 42), hits[0]
+    built_bytes = patch_cache.uploaded_bytes()
+
+    t0 = time.perf_counter()
+    s.search_line_embeddings(q, paths, top_k=10)
+    warm_s = time.perf_counter() - t0
+
+    per_update = []
+    patch_bytes = []
+    for i in range(4):
+        new_rows = _unit(rng, LINES)
+        path = f"/d{1000 + i:04}.txt"
+        before = patch_cache.uploaded_bytes()
+        t0 = time.perf_counter()
+        s.upsert_document_lines(path, new_rows)
+        hits = s.search_line_embeddings(new_rows[9], paths, top_k=1)
+        per_update.append(round(time.perf_counter() - t0, 4))
+        patch_bytes.append(patch_cache.uploaded_bytes() - before)
+        assert (hits[0].path, hits[0].line_number) == (path, 9), hits[0]
+
+    tier = s.serving_tier() if hasattr(s, "serving_tier") else None
+    print(json.dumps({
+        "config": "workspace_patch_500k",
+        "total_lines": DOCS * LINES,
+        "tier": tier,
+        "host_build_seconds": round(host_build_s, 2),
+        "cold_first_query_s": round(cold_s, 2),
+        "warm_query_s": round(warm_s, 4),
+        "per_update_query_s": per_update,
+        "per_update_uploaded_bytes": patch_bytes,
+        "initial_upload_bytes": built_bytes,
+    }))
+    s.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-from semtools_tpu.ask.config import ApiMode, AskConfig, load_ask_config
+from semtools_tpu.ask.config import ApiMode, load_ask_config
 from semtools_tpu.ask.openai_client import OpenAIClient, response_output_text
 from semtools_tpu.ask.prompts import STDIN_SYSTEM_PROMPT, SYSTEM_PROMPT
 from semtools_tpu.ask.tools import (

@@ -97,7 +97,6 @@ def search_cmd(args) -> int:
     from semtools_tpu.search import (
         Document,
         SearchConfig,
-        create_document_from_content,
         search_documents,
         search_files,
         search_with_workspace,

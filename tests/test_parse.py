@@ -5,13 +5,11 @@ skip list, retry/backoff classification, polling, page assembly, and the
 concurrency fan-out hermetically.
 """
 
-import json
-import os
 
 import pytest
 
 from semtools_tpu.parse import CacheManager, LlamaParseBackend, LlamaParseConfig
-from semtools_tpu.parse.client import InvalidResponse, ParseClient, RetryExhausted
+from semtools_tpu.parse.client import InvalidResponse, RetryExhausted
 from tests.fake_servers import FakeLlamaParse, FakeServer
 
 
