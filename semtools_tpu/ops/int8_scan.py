@@ -46,9 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 from semtools_tpu.ops.pallas_scan import (
     SUB_N,
     _should_interpret,
+    bucket_pad_rows,
     extract_topk_rounds,
     merge_candidates_sorted,
-    pad_rows,
 )
 
 # Measured on TPU v5e: 8192 rows x 256 dims = 2 MB streaming blocks, the
@@ -214,7 +214,7 @@ def int8_topk_scan(
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
     tile_n = tile_for_rows(n)
-    e8 = pad_rows(jnp.asarray(e8), tile_n)
+    e8 = bucket_pad_rows(jnp.asarray(e8), tile_n)
     sims, i = _int8_two_phase(
         jnp.asarray(q8), e8, n, k=k_eff, interpret=interpret, tile_n=tile_n
     )

@@ -100,6 +100,39 @@ def pad_rows(e, tile_n: int):
     return e
 
 
+# Above this row count, power-of-two padding (up to 2x scan work) stops
+# being free next to the compile it saves; larger corpora bucket at ~6%
+# slack instead (parallel.mesh.bucket_rows).
+_POW2_BUCKET_MAX = 1 << 21
+
+
+def bucket_pad_rows(e, tile_n: int):
+    """Pad a corpus to a BUCKETED tile multiple for executable reuse.
+
+    The kernels take ``n_true`` as a dynamic operand, so the padded
+    SHAPE — not the true row count — keys the compiled executable.
+    Ad-hoc file sets (the plain `semtools search` path) hit a different
+    corpus size every invocation; exact-size padding would recompile the
+    scan per file set (~2-4 s on this host). Power-of-two buckets below
+    2M rows (scan slack < 2x, sub-ms at these sizes) and ~6% coarse
+    buckets above make nearby sizes share one executable. Pre-padded
+    store corpora arrive already bucketed and pass through unchanged.
+    """
+    n = e.shape[0]
+    if n <= _POW2_BUCKET_MAX:
+        target = max(tile_n, 1 << (max(n, 1) - 1).bit_length())
+    else:
+        from semtools_tpu.parallel.mesh import bucket_rows
+
+        target = bucket_rows(n, 1)
+    target = ((target + tile_n - 1) // tile_n) * tile_n
+    if n >= target:
+        return pad_rows(e, tile_n)
+    return jnp.concatenate(
+        [e, jnp.zeros((target - n, e.shape[1]), e.dtype)], axis=0
+    )
+
+
 # Query counts above this stay on the XLA matmul+top_k path: measured at
 # Q=256 / N=100k on v5e, XLA takes 15 ms where the K-round Pallas
 # extraction takes 90 ms — per-element selection cost scales with Q, while
@@ -382,8 +415,9 @@ def pallas_topk_scan(
 
     tile_n = tile_for_dtype(e.dtype)
     # Pad the ARRAY (which may already carry caller padding past n_true) up
-    # to a tile multiple; the kernels mask rows >= n regardless.
-    e = pad_rows(e, tile_n)
+    # to a BUCKETED tile multiple; the kernels mask rows >= n regardless,
+    # and bucketing lets ad-hoc corpus sizes share compiled executables.
+    e = bucket_pad_rows(e, tile_n)
     num_tiles = e.shape[0] // tile_n
     qn = q.shape[0]
     assert qn <= _MAX_TWO_PHASE_Q, (
