@@ -210,24 +210,30 @@ class StaticModel:
         texts: Sequence[str],
         max_length: Optional[int] = 2048,
         batch_size: int = 16384,
+        host: bool = False,
     ):
         """Embed a batch of texts → [N, dim] float32 device array.
 
-        Use ``np.asarray`` on the result for host-side consumers; keeping
-        the default device residency lets the scan run without a host
-        round-trip.
+        Host-side consumers (the store's upsert path) pass ``host=True``
+        to get a numpy array whose chunked device→host copies start
+        asynchronously and overlap later chunks' tokenize/flatten work —
+        on transfer-limited hosts this pipelines the corpus download
+        instead of end-loading it. Keeping the default device residency
+        lets the scan run without a host round-trip.
         """
         del batch_size  # device-call chunking is handled in ops.embed
         if len(texts) == 0:
             import jax.numpy as jnp
 
-            return jnp.zeros((0, self.dim), dtype=jnp.float32)
+            z = jnp.zeros((0, self.dim), dtype=jnp.float32)
+            return np.asarray(z) if host else z
         token_lists = self.tokenizer.encode_batch(texts)
         return embed_token_lists(
             self.table,
             token_lists,
             max_length=max_length if max_length is not None else 1 << 30,
             normalize=self.normalize,
+            host=host,
         )
 
     def encode_single(self, text: str) -> np.ndarray:

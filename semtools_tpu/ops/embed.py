@@ -105,17 +105,27 @@ def embed_token_lists(
     *,
     max_length: int = 2048,
     normalize: bool = True,
+    host: bool = False,
 ) -> "jnp.ndarray":
-    """Embed ragged token-id lists → ``[len(token_lists), D]`` float32
-    DEVICE array (``np.asarray`` it for host use — the store's upsert
-    path does, batched).
+    """Embed ragged token-id lists → ``[len(token_lists), D]`` float32.
+
+    Returns a DEVICE array by default (the scan consumes embeddings
+    in-place; a host round-trip of the whole corpus would dominate on
+    dispatch-latency-bound hosts). With ``host=True`` returns a NUMPY
+    array instead, with each chunk's device→host copy started
+    asynchronously as soon as that chunk's compute is dispatched — on
+    transfer-limited hosts (the tunneled bench host moves ~10 MB/s
+    device→host) this overlaps the corpus download with the Python-side
+    flattening of later chunks instead of end-loading one giant blocking
+    transfer.
 
     Splits work into device calls bounded by MAX_TOKENS_PER_CALL /
     MAX_TEXTS_PER_CALL so activation memory stays bounded for arbitrarily
     large files.
     """
     if len(token_lists) == 0:
-        return jnp.zeros((0, table.shape[1]), dtype=jnp.float32)
+        z = jnp.zeros((0, table.shape[1]), dtype=jnp.float32)
+        return np.asarray(z) if host else z
 
     out: List[np.ndarray] = []
     chunk: List[Sequence[int]] = []
@@ -134,11 +144,13 @@ def embed_token_lists(
             num_segments=b_bucket + 1,
             normalize=normalize,
         )
-        # Stay on device: the scan consumes these directly, and a
-        # host round-trip of the whole corpus would dominate on
-        # dispatch-latency-bound hosts. Callers that need host data
-        # (store upserts) np.asarray the result themselves.
-        out.append(res[: len(chunk)])
+        res = res[: len(chunk)]
+        if host:
+            try:
+                res.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: np.asarray blocks below
+        out.append(res)
         chunk = []
         chunk_tokens = 0
 
@@ -150,6 +162,13 @@ def embed_token_lists(
         chunk_tokens += n
     flush()
 
+    if host:
+        # Concatenate on host: chunks arrive via the async copies above;
+        # a device-side concatenate would re-materialize the full corpus
+        # in HBM and then re-download it in one end-loaded transfer.
+        return np.asarray(out[0]) if len(out) == 1 else np.concatenate(
+            [np.asarray(r) for r in out], axis=0
+        )
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 

@@ -95,9 +95,12 @@ def create_documents_from_contents(
         return []
     to_embed = [ln.lower() for ln in all_lines] if ignore_case else all_lines
     with stage("embed"):
-        embeddings = model.encode(to_embed, max_length=2048)
-    if host:
-        with stage("host_transfer"):
+        # host=True pipelines the chunked device->host copies with later
+        # chunks' flatten work (ops/embed.py) instead of end-loading one
+        # blocking transfer of the whole corpus.
+        embeddings = model.encode(to_embed, max_length=2048, host=host)
+    if host and not isinstance(embeddings, np.ndarray):
+        with stage("host_transfer"):  # fallback models without host=
             embeddings = np.asarray(embeddings)
     docs: List[Document] = []
     offset = 0
