@@ -76,10 +76,18 @@ def _embed_segments(table, flat_ids, seg_ids, weights, *, num_segments: int, nor
 
 
 def _flatten_bucketed(token_lists: Sequence[Sequence[int]], max_length: int):
-    """Flatten ragged token lists into bucket-padded flat/seg/weight arrays."""
+    """Flatten ragged token lists into bucket-padded flat/seg/weight arrays.
+
+    Vectorized: one ``np.fromiter`` over the chained ids and one
+    ``np.repeat`` for the segment ids — a per-line Python slice-assignment
+    loop costs ~8 s per 500k lines on this host's single core.
+    """
+    from itertools import chain
+
     b = len(token_lists)
     clipped = [ids[:max_length] for ids in token_lists]
-    t = sum(len(ids) for ids in clipped)
+    lengths = np.fromiter((len(ids) for ids in clipped), np.int64, count=b)
+    t = int(lengths.sum())
 
     t_bucket = _next_pow2(t, _MIN_T_BUCKET)
     b_bucket = _next_pow2(b, _MIN_B_BUCKET)
@@ -88,14 +96,9 @@ def _flatten_bucketed(token_lists: Sequence[Sequence[int]], max_length: int):
     seg = np.full(t_bucket, b_bucket, dtype=np.int32)  # trash segment
     weights = np.zeros(t_bucket, dtype=np.float32)
 
-    pos = 0
-    for i, ids in enumerate(clipped):
-        n = len(ids)
-        if n:
-            flat[pos : pos + n] = ids
-            seg[pos : pos + n] = i
-            weights[pos : pos + n] = 1.0
-            pos += n
+    flat[:t] = np.fromiter(chain.from_iterable(clipped), np.int32, count=t)
+    seg[:t] = np.repeat(np.arange(b, dtype=np.int32), lengths)
+    weights[:t] = 1.0
     return flat, seg, weights, b_bucket
 
 
