@@ -25,11 +25,12 @@ query counts. HBM carries 1 byte/dim: 256 B/row at D=256 — 2x less
 traffic than bf16, 4x less than f32.
 
 Selection is the same two-phase exact structure as
-:mod:`semtools_tpu.ops.pallas_scan` (tile-max sweep, then rescan of the
-<= Q*k candidate tiles via scalar-prefetched block indices), ties broken
-toward the lower corpus index. Measured ~1.5M chunk-vectors/ms on one
-TPU v5e chip at 2M x 256 (vs ~1M for the bf16 two-phase and 60k for the
-XLA matmul+top_k path).
+:mod:`semtools_tpu.ops.pallas_scan` (sub-tile-max sweep, then rescan of
+the <= Q*k candidate 512-row blocks via scalar-prefetched block
+indices), ties broken toward the lower corpus index. Measured ~1.55M
+chunk-vectors/ms on one TPU v5e chip at 2M x 256, 2.44M at 10M rows
+(vs ~1.0M for the bf16 two-phase and ~396k for the device-side XLA
+matmul+top_k path).
 """
 
 from __future__ import annotations
@@ -214,7 +215,9 @@ def int8_topk_scan(
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
     tile_n = tile_for_rows(n)
-    e8 = bucket_pad_rows(jnp.asarray(e8), tile_n)
+    e8 = bucket_pad_rows(
+        jnp.asarray(e8), tile_n, n_true=None if n_true is None else n
+    )
     sims, i = _int8_two_phase(
         jnp.asarray(q8), e8, n, k=k_eff, interpret=interpret, tile_n=tile_n
     )

@@ -106,7 +106,7 @@ def pad_rows(e, tile_n: int):
 _POW2_BUCKET_MAX = 1 << 21
 
 
-def bucket_pad_rows(e, tile_n: int):
+def bucket_pad_rows(e, tile_n: int, n_true: Optional[int] = None):
     """Pad a corpus to a BUCKETED tile multiple for executable reuse.
 
     The kernels take ``n_true`` as a dynamic operand, so the padded
@@ -115,10 +115,18 @@ def bucket_pad_rows(e, tile_n: int):
     corpus size every invocation; exact-size padding would recompile the
     scan per file set (~2-4 s on this host). Power-of-two buckets below
     2M rows (scan slack < 2x, sub-ms at these sizes) and ~6% coarse
-    buckets above make nearby sizes share one executable. Pre-padded
-    store corpora arrive already bucketed and pass through unchanged.
+    buckets above make nearby sizes share one executable.
+
+    CALLER-padded corpora — ``n_true`` strictly below the row count with
+    rows already a ``tile_n`` multiple (the store's slot corpora, padded
+    by patch_cache via bucket_rows) — pass through UNCHANGED: those
+    callers manage their own shape bucketing, and re-bucketing here
+    would copy the whole corpus on device every query (round-2 review
+    finding).
     """
     n = e.shape[0]
+    if n_true is not None and n_true < n and n % tile_n == 0:
+        return e
     if n <= _POW2_BUCKET_MAX:
         target = max(tile_n, 1 << (max(n, 1) - 1).bit_length())
     else:
@@ -414,10 +422,11 @@ def pallas_topk_scan(
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
     tile_n = tile_for_dtype(e.dtype)
-    # Pad the ARRAY (which may already carry caller padding past n_true) up
-    # to a BUCKETED tile multiple; the kernels mask rows >= n regardless,
-    # and bucketing lets ad-hoc corpus sizes share compiled executables.
-    e = bucket_pad_rows(e, tile_n)
+    # Pad the ARRAY up to a BUCKETED tile multiple (the kernels mask rows
+    # >= n regardless; bucketing lets ad-hoc corpus sizes share compiled
+    # executables). Corpora the caller already padded past n_true keep
+    # their shape — the store buckets those itself.
+    e = bucket_pad_rows(e, tile_n, n_true=None if n_true is None else n)
     num_tiles = e.shape[0] // tile_n
     qn = q.shape[0]
     assert qn <= _MAX_TWO_PHASE_Q, (

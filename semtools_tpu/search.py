@@ -97,8 +97,15 @@ def create_documents_from_contents(
     with stage("embed"):
         # host=True pipelines the chunked device->host copies with later
         # chunks' flatten work (ops/embed.py) instead of end-loading one
-        # blocking transfer of the whole corpus.
-        embeddings = model.encode(to_embed, max_length=2048, host=host)
+        # blocking transfer of the whole corpus. Only passed when set, so
+        # duck-typed models without the kwarg keep working.
+        if host:
+            try:
+                embeddings = model.encode(to_embed, max_length=2048, host=True)
+            except TypeError:
+                embeddings = model.encode(to_embed, max_length=2048)
+        else:
+            embeddings = model.encode(to_embed, max_length=2048)
     if host and not isinstance(embeddings, np.ndarray):
         with stage("host_transfer"):  # fallback models without host=
             embeddings = np.asarray(embeddings)

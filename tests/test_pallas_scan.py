@@ -137,3 +137,25 @@ def test_batched_queries_rejected():
     # the public dispatcher handles it fine
     d_ref, i_ref = topk_scan(q, e, 4)
     assert d_ref.shape == (70, 4)
+
+
+def test_bucket_pad_passthrough_for_caller_padded():
+    """Store serving corpora arrive pre-padded (n_true < rows, rows a
+    tile multiple) and must pass through UNCHANGED — re-bucketing would
+    copy the whole corpus on device every query (round-2 review)."""
+    import jax.numpy as jnp
+
+    from semtools_tpu.ops.pallas_scan import bucket_pad_rows
+
+    # store-style: bucket_rows padding, not a power of two
+    e = jnp.zeros((507904, 8), jnp.float32)  # 62 * 8192
+    out = bucket_pad_rows(e, 8192, n_true=500000)
+    assert out is e
+    # ad-hoc (no caller padding): bucketed up to the pow2 tile multiple
+    e2 = jnp.zeros((20000, 8), jnp.float32)
+    out2 = bucket_pad_rows(e2, 2048, n_true=None)
+    assert out2.shape[0] == 32768
+    # caller n_true but NOT tile-aligned: still bucketed (pow2 of rows)
+    e3 = jnp.zeros((5000, 8), jnp.float32)
+    out3 = bucket_pad_rows(e3, 2048, n_true=4000)
+    assert out3.shape[0] == 8192

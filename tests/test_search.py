@@ -152,3 +152,29 @@ def test_exact_line_match_has_near_zero_distance(fallback_model):
     results = search_documents([doc], q, config(top_k=1))
     assert results[0].match_line == 1
     assert results[0].distance < 1e-5
+
+
+def test_duck_typed_model_without_host_kwarg(tmp_path):
+    """create_documents_from_contents(host=True) must keep working with
+    models whose encode() lacks the host kwarg (round-2 review)."""
+    import numpy as np
+
+    from semtools_tpu.search import create_documents_from_contents
+
+    class OldModel:
+        dim = 4
+
+        def encode(self, texts, max_length=2048):
+            import jax.numpy as jnp
+
+            return jnp.ones((len(texts), 4), jnp.float32)
+
+        def encode_single(self, text):
+            return np.ones(4, np.float32)
+
+    docs = create_documents_from_contents(
+        [("/a.txt", "one\ntwo\n")], OldModel(), False, host=True
+    )
+    assert len(docs) == 1
+    assert isinstance(docs[0].embeddings, np.ndarray)
+    assert docs[0].embeddings.shape == (2, 4)
