@@ -114,16 +114,18 @@ def _int8_bench() -> float:
 
 
 def _bf16_bench(base: jax.Array) -> float:
-    from semtools_tpu.ops.pallas_scan import _two_phase_topk
+    from semtools_tpu.ops.pallas_scan import _two_phase_topk, tile_for_dtype
 
     e = base.astype(jnp.bfloat16)
     q = e[:Q]
+    tile = tile_for_dtype(e.dtype)  # 4096 = the 2 MB bf16 streaming block
 
     @jax.jit
     def run(q0, ee):
         def body(i, carry):
             acc, qq = carry
-            d, idx = _two_phase_topk(qq, ee, k=K, n_true=N, interpret=False)
+            d, idx = _two_phase_topk(qq, ee, k=K, n_true=N, interpret=False,
+                                     tile_n=tile)
             acc = acc + d[0, 0] + idx.astype(jnp.float32)[0, 0]
             qq = (qq.astype(jnp.float32) + 1e-12 * acc).astype(qq.dtype)
             return acc, qq
