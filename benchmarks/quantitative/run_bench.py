@@ -105,6 +105,57 @@ def bench_batched_scan(results, n=100_000, q=1_000, d=256, k=10, repeats=16):
     })
 
 
+def bench_batched_threshold(results, n=100_000, q=1_000, d=256, t=0.85,
+                            repeats=16):
+    """BASELINE config 2's threshold flavor: Q queries, every hit below
+    max_distance, in O(1) device dispatches (ops.scan.batched_threshold_scan
+    core). Repeats folded in one jit (see bench_batched_scan)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import semtools_tpu.ops.scan as scan_mod
+
+    rng = np.random.default_rng(0)
+    n_al = (n // 512) * 512
+    e = rng.standard_normal((n_al, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    qq = rng.standard_normal((q, d)).astype(np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+    e_dev = jnp.asarray(e)
+    q_dev = jnp.asarray(qq)
+
+    # size the extract once (as batched_threshold_scan's growth loop would)
+    counts, _, _ = scan_mod._batched_threshold_extract(q_dev, e_dev, t, n_al, size=64)
+    max_hits = int(np.asarray(counts).max())
+    size = max(64, 1 << max(0, (max_hits - 1)).bit_length())
+
+    @jax.jit
+    def run(q0, ee):
+        def body(i, carry):
+            acc, cur = carry
+            counts, dd, ii = scan_mod._batched_threshold_extract.__wrapped__(
+                cur, ee, t, n_al, size=size
+            )
+            acc = acc + dd[0, 0] + counts.astype(jnp.float32)[0]
+            cur = cur + acc * 1e-30
+            return acc, cur
+
+        acc, _ = jax.lax.fori_loop(0, repeats, body, (jnp.float32(0), q0))
+        return acc
+
+    float(run(q_dev, e_dev))
+    t0 = _now()
+    float(run(q_dev, e_dev))
+    dt = (_now() - t0) / repeats
+    results.append({
+        "config": "batched_threshold", "metric": "queries_per_sec",
+        "value": q / dt, "n_chunks": n_al, "max_distance": t,
+        "extract_size": size, "max_hits": max_hits,
+        "note": "device-resident corpus, repeats folded in one jit",
+    })
+
+
 def bench_workspace_warm(paths, model, results):
     from semtools_tpu.search import SearchConfig, search_with_workspace
     from semtools_tpu.store import Workspace, WorkspaceConfig
@@ -313,8 +364,8 @@ def bench_tier_recall(results, n=200_000, d=256, n_queries=50, k=10):
 
 
 ALL = [
-    "search_e2e", "batched_scan", "workspace_warm", "ivfpq_recall",
-    "sharded_scan", "tier_recall",
+    "search_e2e", "batched_scan", "batched_threshold", "workspace_warm",
+    "ivfpq_recall", "sharded_scan", "tier_recall",
 ]
 
 
@@ -355,6 +406,11 @@ def main():
                 bench_batched_scan(results, n=20_000, q=100)
             else:
                 bench_batched_scan(results)
+        if "batched_threshold" in configs:
+            if args.small:
+                bench_batched_threshold(results, n=20_000, q=100)
+            else:
+                bench_batched_threshold(results)
         if "workspace_warm" in configs:
             bench_workspace_warm(paths, model, results)
         if "ivfpq_recall" in configs:

@@ -244,6 +244,62 @@ def _threshold_extract(d, t, *, size: int):
 _THRESHOLD_DEVICE_MIN_ROWS = 1 << 16
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _batched_threshold_extract(q, e, t, n_true, *, size: int):
+    """[Q] hit counts + each query's ``size`` nearest (dists, idx),
+    ascending, ties toward the lower corpus index. One matmul + one
+    top_k — hits beyond ``size`` are absent (callers grow size)."""
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    d = 1.0 - sims
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, e.shape[0]), 1)
+    d = jnp.where(col < n_true, d, jnp.inf)
+    counts = jnp.sum(d < t, axis=1)
+    neg, idx = jax.lax.top_k(-d, size)  # ascending distance; ties keep order
+    return counts, -neg, idx
+
+
+def batched_threshold_scan(
+    q, e, max_distance: float, n_true: Optional[int] = None
+):
+    """Threshold mode for a BATCH of queries in O(1) device dispatches.
+
+    The reference's threshold semantics (src/search/mod.rs:113-119 —
+    strict ``distance < max_distance``, unbounded hit count, threshold
+    overrides top-k) per query row. Returns a list of (distances [M_i],
+    indices [M_i]) pairs, ascending, ties toward the lower corpus index.
+
+    Implementation: one matmul + per-row hit counts, then one
+    ``lax.top_k`` sized to the LARGEST row's hit count (pow2-bucketed so
+    nearby workloads share executables), sliced per row on host. Serves
+    the batched-agent / daemon use the single-query
+    :func:`threshold_scan` would pay Q dispatch round-trips for.
+    """
+    q = jnp.asarray(q, jnp.float32)
+    e = jnp.asarray(e)
+    n = e.shape[0] if n_true is None else min(n_true, e.shape[0])
+    qn = q.shape[0]
+    if n == 0 or qn == 0:
+        return [(np.zeros(0, np.float32), np.zeros(0, np.int64))] * qn
+
+    size = 64
+    while True:
+        size = min(size, e.shape[0])
+        counts, dists, idxs = _batched_threshold_extract(
+            q, e, float(max_distance), n, size=size
+        )
+        counts = np.asarray(counts)
+        if counts.max(initial=0) <= size or size >= e.shape[0]:
+            break
+        size = 1 << int(counts.max() - 1).bit_length()
+
+    dists = np.asarray(dists)
+    idxs = np.asarray(idxs)
+    return [
+        (dists[i, : counts[i]], idxs[i, : counts[i]].astype(np.int64))
+        for i in range(qn)
+    ]
+
+
 def threshold_scan(q, e, max_distance: float, n_true: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """All (query, line) pairs with distance strictly below ``max_distance``.
 

@@ -203,3 +203,35 @@ def test_topk_scan_routes_blocked_above_threshold(rng, monkeypatch):
         d_got, 1.0 - np.take_along_axis(sims, want_i, axis=1),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_batched_threshold_scan_matches_reference(rng):
+    from semtools_tpu.ops.scan import batched_threshold_scan
+
+    n, d, t = 500, 16, 0.9
+    e = _unit_rows(rng, n, d)
+    e[100] = e[400] = e[7]  # duplicates: tie-break by corpus order
+    q = np.concatenate([_unit_rows(rng, 5, d), e[7][None, :]], axis=0)
+    got = batched_threshold_scan(q, e, t)
+    assert len(got) == 6
+    sims = q @ e.T
+    for row, (dd, ii) in enumerate(got):
+        dist = 1.0 - sims[row]
+        keep = np.nonzero(dist < t)[0]
+        order = np.argsort(dist[keep], kind="stable")
+        want = keep[order]
+        np.testing.assert_array_equal(ii, want)
+        np.testing.assert_allclose(dd, dist[want], rtol=1e-5, atol=1e-6)
+        assert np.all(dd < t)
+
+
+def test_batched_threshold_scan_grows_size_and_n_true(rng):
+    from semtools_tpu.ops.scan import batched_threshold_scan
+
+    n, d = 400, 8
+    e = np.tile(_unit_rows(rng, 1, d), (n, 1))  # every row identical
+    q = e[:3].copy()
+    got = batched_threshold_scan(q, e, 0.5, n_true=250)  # all 250 real rows hit
+    for dd, ii in got:
+        assert len(ii) == 250  # > the initial 64 extract size, pads excluded
+        np.testing.assert_array_equal(ii, np.arange(250))
