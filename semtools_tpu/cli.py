@@ -92,22 +92,71 @@ def _ranked_line_json(rl, n_lines: int) -> dict:
     return json_mode.search_result(rl.path, start, end, match_line, rl.distance, content)
 
 
+def _read_queries_file(path: str, files_given: bool) -> List[str]:
+    """Non-empty lines of a --queries-file; '-' reads queries from stdin
+    (only valid when document files are given — otherwise stdin is the
+    document source)."""
+    if path == "-":
+        if not files_given:
+            raise ValueError(
+                "--queries-file - needs document files as arguments "
+                "(stdin cannot be both the query list and the document)"
+            )
+        text = sys.stdin.read()
+    else:
+        text = read_file_text(path)
+    return [ln for ln in text.split("\n") if ln.strip()]
+
+
+def _print_batched(queries, per_query, printer, to_json) -> None:
+    """Batch output: NDJSON (one {query, results} line per query) under
+    -j, else per-query blocks introduced by a '# query:' header line."""
+    for q, results in zip(queries, per_query):
+        if to_json is not None:
+            print(json_mode.batch_search_line(q, [to_json(r) for r in results]))
+        else:
+            print(f"# query: {q}")
+            printer(results)
+
+
 def search_cmd(args) -> int:
     from semtools_tpu.models.static_model import StaticModel
     from semtools_tpu.search import (
         Document,
         SearchConfig,
         search_documents,
+        search_documents_batched,
         search_files,
+        search_files_batched,
         search_with_workspace,
+        search_with_workspace_batched,
     )
     from semtools_tpu.store import NoActiveWorkspace, Workspace
+
+    if args.query is None and not args.queries_file:
+        print(
+            "Error: a QUERY argument or --queries-file is required",
+            file=sys.stderr,
+        )
+        return 2
+    if args.query is not None and args.queries_file:
+        # Under --queries-file every positional is a file: the first one
+        # landed in the query slot only because of argparse greediness.
+        args.files = [args.query] + list(args.files)
+        args.query = None
 
     model = StaticModel.from_pretrained(args.model_path or os.environ.get(
         "SEMTOOLS_TPU_MODEL", "minishlab/potion-multilingual-128M"
     ))
 
-    query = args.query.lower() if args.ignore_case else args.query
+    queries: Optional[List[str]] = None
+    if args.queries_file:
+        queries = _read_queries_file(args.queries_file, bool(args.files))
+        if not queries:
+            print(f"Error: no queries in {args.queries_file}", file=sys.stderr)
+            return 1
+
+    query = (args.query or "").lower() if args.ignore_case else (args.query or "")
     config = SearchConfig(
         n_lines=args.n_lines,
         top_k=args.top_k,
@@ -124,6 +173,17 @@ def search_cmd(args) -> int:
             to_embed = [ln.lower() for ln in stdin_lines] if args.ignore_case else stdin_lines
             embeddings = model.encode(to_embed, max_length=2048)
             documents = [Document("<stdin>", stdin_lines, embeddings)]
+            if queries is not None:
+                from semtools_tpu.search import _encode_queries
+
+                per = search_documents_batched(
+                    documents, _encode_queries(queries, model, config), config
+                )
+                _print_batched(
+                    queries, per, _print_search_results,
+                    _search_result_json if args.json else None,
+                )
+                return 0
             query_embedding = model.encode_single(query)
             results = search_documents(documents, query_embedding, config)
             if args.json:
@@ -149,6 +209,17 @@ def search_cmd(args) -> int:
         workspace_active = False
 
     if workspace_active:
+        if queries is not None:
+            per = search_with_workspace_batched(
+                args.files, queries, model, config, args.workspace
+            )
+            _print_batched(
+                queries, per,
+                lambda rs: _print_workspace_search_results(rs, args.n_lines),
+                (lambda rl: _ranked_line_json(rl, args.n_lines))
+                if args.json else None,
+            )
+            return 0
         ranked = search_with_workspace(args.files, query, model, config, args.workspace)
         if args.json:
             print(json_mode.dumps(
@@ -157,6 +228,13 @@ def search_cmd(args) -> int:
         else:
             _print_workspace_search_results(ranked, args.n_lines)
     else:
+        if queries is not None:
+            per = search_files_batched(args.files, queries, model, config)
+            _print_batched(
+                queries, per, _print_search_results,
+                _search_result_json if args.json else None,
+            )
+            return 0
         results = search_files(args.files, query, model, config)
         if args.json:
             print(json_mode.dumps(
@@ -389,8 +467,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=parse_cmd)
 
     s = sub.add_parser("search", help="Fast semantic keyword search")
-    s.add_argument("query")
+    s.add_argument("query", nargs="?", default=None,
+                   help="Query text (or use --queries-file for a batch)")
     s.add_argument("files", nargs="*", help="Files to search, optional if using stdin")
+    s.add_argument("-Q", "--queries-file", dest="queries_file", default=None,
+                   help="Run every non-empty line of FILE as a query in one "
+                   "batched scan ('-' reads queries from stdin when files "
+                   "are given); output is per-query blocks, or NDJSON with -j")
     s.add_argument("-n", "--n-lines", "--context", dest="n_lines", type=int, default=3)
     s.add_argument("--top-k", dest="top_k", type=int, default=3)
     s.add_argument("-m", "--max-distance", "--threshold", dest="max_distance",

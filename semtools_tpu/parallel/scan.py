@@ -412,6 +412,130 @@ def _threshold_fns(mesh: Mesh, axis: str, n_local: int, cap: int):
     return dist_fn, extract_fn
 
 
+def _local_batched_threshold_dists(q, e_local, t, n_true, *, n_local: int,
+                                   axis: str):
+    """[Q, n_local] local distance block + the mesh-max per-(query, device)
+    hit count (the compaction cap must bound the largest per-device row)."""
+    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+    d = 1.0 - sims
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
+    gcol = col + jax.lax.axis_index(axis) * n_local
+    d = jnp.where(gcol < n_true, d, jnp.inf)
+    local = jnp.max(jnp.sum(d < t, axis=1))
+    return d, jnp.max(jax.lax.all_gather(local, axis))
+
+
+def _local_batched_threshold_extract(d, t, n_true, *, n_local: int, cap: int,
+                                     axis: str):
+    """Each device's ``cap`` nearest rows per query (ascending, ties to the
+    lower local index), all-gathered in shard order. Reads the SAME sharded
+    distance block phase 1 produced. Non-hits surface as d >= t (or inf)
+    and are filtered on host against the same values."""
+    del t
+    neg, li = jax.lax.top_k(-d, cap)  # [Q, cap] per device
+    vals = -neg
+    gidx = li + jax.lax.axis_index(axis) * n_local
+    gidx = jnp.where(jnp.isfinite(vals), gidx, n_true)  # pad sentinel
+    vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)  # [Q, d*cap]
+    idx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+    return vals_all, idx_all
+
+
+def _batched_threshold_fns(mesh: Mesh, axis: str, n_local: int, cap: int):
+    """Jitted shard_map wrappers for the batched threshold phases, cached
+    like :func:`_threshold_fns` (threshold/n_true traced; Q keyed by jit)."""
+    key = ("batched", tuple(mesh.devices.flat), axis, n_local, cap)
+    if key in _threshold_fn_cache:
+        return _threshold_fn_cache[key]
+    dist_fn = jax.jit(jax.shard_map(
+        functools.partial(_local_batched_threshold_dists, n_local=n_local,
+                          axis=axis),
+        mesh=mesh, in_specs=(P(None, None), P(axis, None), P(), P()),
+        out_specs=(P(None, axis), P()),
+        check_vma=False,
+    ))
+    extract_fn = None
+    if cap:
+        extract_fn = jax.jit(jax.shard_map(
+            functools.partial(_local_batched_threshold_extract,
+                              n_local=n_local, cap=cap, axis=axis),
+            mesh=mesh, in_specs=(P(None, axis), P(), P()),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        ))
+    _threshold_fn_cache[key] = (dist_fn, extract_fn)
+    return dist_fn, extract_fn
+
+
+def sharded_batched_threshold_scan_device(
+    q: np.ndarray,
+    e_sharded,
+    n_true: int,
+    max_distance: float,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+):
+    """Threshold mode for a BATCH of queries over a mesh-sharded corpus in
+    O(1) device dispatches (two phases: sharded distances + hit-count max,
+    then per-device top-``cap`` compaction all-gathered over ICI).
+
+    Per-query contract matches :func:`sharded_threshold_scan_device` /
+    ``ops.scan.batched_threshold_scan``: returns a list of
+    (distances [M_i], global indices [M_i]) pairs, ascending by distance,
+    ties toward the lower corpus index; rows >= ``n_true`` never match.
+    """
+    qn = int(q.shape[0])
+    empty = (np.zeros(0, np.float32), np.zeros(0, np.int64))
+    if n_true == 0 or qn == 0:
+        return [empty] * qn
+    n_dev = int(mesh.devices.size)
+    n_local = e_sharded.shape[0] // n_dev
+    qd = jnp.asarray(q, jnp.float32)
+    t = jnp.float32(max_distance)
+    nt = jnp.int32(n_true)
+
+    dist_fn, _ = _batched_threshold_fns(mesh, axis, n_local, cap=0)
+    d_sharded, max_local = dist_fn(qd, e_sharded, t, nt)
+    max_local = int(max_local)
+    if max_local == 0:
+        return [empty] * qn
+    cap = min(1 << (max_local - 1).bit_length(), n_local)
+
+    _, extract_fn = _batched_threshold_fns(mesh, axis, n_local, cap=cap)
+    vals, idx = extract_fn(d_sharded, t, nt)
+    vals = np.asarray(vals)
+    idx = np.asarray(idx)
+    out = []
+    for row in range(qn):
+        keep = vals[row] < max_distance
+        v, i = vals[row][keep], idx[row][keep]
+        order = np.lexsort((i, v))  # distance asc, index asc on ties
+        out.append((v[order], i[order].astype(np.int64)))
+    return out
+
+
+def sharded_batched_threshold_scan(
+    q: np.ndarray,
+    corpus: np.ndarray,
+    max_distance: float,
+    mesh: Optional[Mesh] = None,
+    axis: str = SHARD_AXIS,
+):
+    """Host-corpus wrapper for :func:`sharded_batched_threshold_scan_device`."""
+    if mesh is None:
+        mesh = corpus_mesh()
+    n = corpus.shape[0]
+    if n == 0:
+        return [(np.zeros(0, np.float32), np.zeros(0, np.int64))] * int(q.shape[0])
+    if not isinstance(corpus, jax.Array):
+        corpus = corpus.astype(np.float32, copy=False)
+    e_sharded, _ = shard_corpus(corpus, mesh, axis)
+    return sharded_batched_threshold_scan_device(
+        q, e_sharded, n, max_distance, mesh, axis
+    )
+
+
 def sharded_threshold_scan(
     q: np.ndarray,
     corpus: np.ndarray,

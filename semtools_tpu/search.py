@@ -212,6 +212,63 @@ def search_documents(
     return results
 
 
+def search_documents_batched(
+    documents: Sequence[Document],
+    query_embeddings: np.ndarray,
+    config: SearchConfig,
+) -> List[List[SearchResult]]:
+    """Batched :func:`search_documents`: Q query rows against the same
+    corpus in O(1) device dispatches (the top-k scans are query-batched;
+    threshold mode uses the batched collection paths). Per-query results
+    match the single-query function — threshold overrides top-k with an
+    unbounded hit count (mod.rs:113-119)."""
+    qs = np.asarray(query_embeddings, np.float32)
+    if qs.ndim == 1:
+        qs = qs[None]
+    qn = int(qs.shape[0])
+    if not documents or qn == 0:
+        return [[] for _ in range(qn)]
+    corpus, owners = _corpus_of(documents)
+    if corpus.shape[0] == 0:
+        return [[] for _ in range(qn)]
+
+    with stage("scan"):
+        from semtools_tpu.store.store import _sharded_enabled
+
+        if _sharded_enabled(int(corpus.shape[0])):
+            if config.max_distance is not None:
+                from semtools_tpu.parallel.scan import (
+                    sharded_batched_threshold_scan,
+                )
+
+                per = sharded_batched_threshold_scan(
+                    qs, corpus, float(config.max_distance)
+                )
+            else:
+                from semtools_tpu.parallel.scan import sharded_topk_scan
+
+                d, i = sharded_topk_scan(qs, corpus, config.top_k)
+                per = list(zip(d, i))
+        elif config.max_distance is not None:
+            from semtools_tpu.ops.scan import batched_threshold_scan
+
+            per = batched_threshold_scan(qs, corpus, float(config.max_distance))
+        else:
+            d, i = topk_scan(qs, corpus, config.top_k)
+            per = list(zip(d, i))
+
+    out: List[List[SearchResult]] = []
+    for dists, idxs in per:
+        results = []
+        for dist, flat in zip(dists, idxs):
+            di, li = owners[int(flat)]
+            results.append(
+                _result_for_line(documents[di], li, dist, config.n_lines)
+            )
+        out.append(results)
+    return out
+
+
 def search_files(
     files: Sequence[str],
     query: str,
@@ -226,6 +283,33 @@ def search_files(
     query_text = query.lower() if config.ignore_case else query
     query_embedding = model.encode_single(query_text)
     return search_documents(documents, query_embedding, config)
+
+
+def _encode_queries(
+    queries: Sequence[str], model: StaticModel, config: SearchConfig
+) -> np.ndarray:
+    """Embed Q query strings in ONE encode call (not Q encode_single
+    round-trips); lowercases first under ignore_case (mod.rs:63-67)."""
+    texts = [q.lower() for q in queries] if config.ignore_case else list(queries)
+    return np.asarray(model.encode(texts, max_length=2048), np.float32)
+
+
+def search_files_batched(
+    files: Sequence[str],
+    queries: Sequence[str],
+    model: StaticModel,
+    config: SearchConfig,
+) -> List[List[SearchResult]]:
+    """Batched :func:`search_files`: embed the corpus once, embed all
+    queries in one encode, scan in O(1) dispatches."""
+    if not queries:
+        return []
+    with stage("read_files"):
+        contents = [(f, read_file_text(f)) for f in files]
+    documents = create_documents_from_contents(contents, model, config.ignore_case)
+    return search_documents_batched(
+        documents, _encode_queries(queries, model, config), config
+    )
 
 
 def search_with_workspace(
@@ -243,13 +327,25 @@ def search_with_workspace(
     ``List[RankedLine]`` — (path, line_number, distance) only; context text
     is re-read from the live file at print time (src/cmds/search.rs:66-110).
     """
-    import sys
-
     from semtools_tpu.store import Store, Workspace
 
     query_embedding = model.encode_single(query)
     ws = Workspace.open(workspace_name)
     store = Store(ws.config.root_dir, dim=model.dim, model_name=model.name)
+    _workspace_update(files, model, config, store)
+
+    with stage("store_scan"):
+        ranked = store.search_line_embeddings(
+            query_embedding, list(files), config.top_k, config.max_distance
+        )
+    store.close()
+    return ranked
+
+
+def _workspace_update(files, model, config, store) -> None:
+    """The incremental re-embed + upsert + ANN-refresh flow shared by the
+    single-query and batched workspace searches (src/search/mod.rs:164-207)."""
+    import sys
 
     states = store.analyze_document_states(files)
 
@@ -289,9 +385,29 @@ def search_with_workspace(
     with stage("ann_build"):
         store.build_ann_index(verbose=True)
 
+
+def search_with_workspace_batched(
+    files: Sequence[str],
+    queries: Sequence[str],
+    model: StaticModel,
+    config: SearchConfig,
+    workspace_name: Optional[str] = None,
+):
+    """Batched :func:`search_with_workspace`: one incremental update, all
+    queries embedded in one encode, one batched store scan. Returns
+    ``List[List[RankedLine]]`` in query order."""
+    from semtools_tpu.store import Store, Workspace
+
+    if not queries:
+        return []
+    qs = _encode_queries(queries, model, config)
+    ws = Workspace.open(workspace_name)
+    store = Store(ws.config.root_dir, dim=model.dim, model_name=model.name)
+    _workspace_update(files, model, config, store)
+
     with stage("store_scan"):
-        ranked = store.search_line_embeddings(
-            query_embedding, list(files), config.top_k, config.max_distance
+        ranked = store.search_line_embeddings_batched(
+            qs, list(files), config.top_k, config.max_distance
         )
     store.close()
     return ranked

@@ -747,6 +747,39 @@ class Store:
             order = order[exact[order] < max_distance]
         return self._ranked_from_slots(self._valid_ranges_cached(), cand_slots, exact, order)
 
+    def _search_ann_batched(
+        self,
+        index,
+        slots: np.ndarray,
+        query_vecs: np.ndarray,
+        top_k: int,
+        max_distance: Optional[float],
+    ) -> List[List[RankedLine]]:
+        """Batched :meth:`_search_ann`: one probe call for all queries and
+        ONE mmap open for all re-ranks (the single-query path re-opens the
+        mmap per call)."""
+        qs = np.asarray(query_vecs, np.float32)
+        oversample = max(16 * top_k, 64)
+        nprobe = max(16, index.nlist // 16)
+        _, ids = index.search(qs, k=min(oversample, index.n), nprobe=nprobe)
+        ranges = self._valid_ranges_cached()
+        mm = self._mmap("r")
+        if mm is None:
+            return [[] for _ in range(qs.shape[0])]
+        out: List[List[RankedLine]] = []
+        for r in range(qs.shape[0]):
+            idr = ids[r]
+            idr = idr[idr >= 0]  # drop padding entries from under-filled probes
+            cand_slots = slots[idr]
+            rows = np.asarray(mm[cand_slots])
+            exact = 1.0 - (rows @ qs[r])
+            order = np.argsort(exact, kind="stable")[:top_k]
+            if max_distance is not None:
+                order = order[exact[order] < max_distance]
+            out.append(self._ranked_from_slots(ranges, cand_slots, exact, order))
+        del mm
+        return out
+
     # -- change detection --------------------------------------------------
 
     def analyze_document_states(self, file_paths: Sequence[str]) -> List[DocumentState]:
@@ -884,6 +917,85 @@ class Store:
         return self._ranked_from_scan_rows(
             ranges, np.asarray(idxs, np.int64), np.asarray(dists)
         )
+
+    def search_line_embeddings_batched(
+        self,
+        query_vecs: np.ndarray,
+        subset_paths: Sequence[str],
+        top_k: int,
+        max_distance: Optional[float] = None,
+    ) -> List[List[RankedLine]]:
+        """Batched :meth:`search_line_embeddings`: Q queries against the
+        same path subset in O(1) device dispatches (one matmul feeds every
+        query; candidate selection is per query row).
+
+        Per-query results match the single-query method's semantics on
+        every serving tier — threshold mode still truncates to ``top_k``
+        (store.rs:517,538-543). Serves multi-question workloads (eval
+        harnesses, agent fleets piping a query file) that would otherwise
+        pay Q dispatch round-trips.
+        """
+        qs = np.asarray(query_vecs, np.float32)
+        if qs.ndim == 1:
+            qs = qs[None]
+        qn = int(qs.shape[0])
+        if not subset_paths or top_k == 0 or qn == 0:
+            return [[] for _ in range(qn)]
+        ranges = self._subset_slots(subset_paths)
+        if not ranges:
+            return [[] for _ in range(qn)]
+
+        valid = self._valid_ranges_cached()
+        full_store = {r[0] for r in ranges} == {r[0] for r in valid}
+        if full_store:
+            ranges = valid
+        n_rows = sum(n for _, _, n in ranges)
+
+        if full_store and self._use_ann_tier(n_rows):
+            fresh = self._ann_fresh()
+            if fresh is not None:
+                return self._search_ann_batched(
+                    fresh[0], fresh[1], qs, top_k, max_distance
+                )
+
+        if full_store:
+            mesh = None
+            if _sharded_enabled(n_rows):
+                from semtools_tpu.parallel.mesh import corpus_mesh
+
+                mesh = corpus_mesh()
+            hits = self._search_slot_cached_batched(
+                qs, top_k, max_distance, n_rows, mesh
+            )
+            if hits is not None:
+                return hits
+
+        mm = self._mmap("r")
+        if mm is None:
+            return [[] for _ in range(qn)]
+        slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
+        corpus = np.asarray(mm[np.concatenate(slot_blocks)])
+        del mm
+
+        if max_distance is not None:
+            from semtools_tpu.ops.scan import batched_threshold_scan
+
+            per = batched_threshold_scan(qs, corpus, float(max_distance))
+            return [
+                self._ranked_from_scan_rows(
+                    ranges,
+                    np.asarray(idxs[:top_k], np.int64),
+                    np.asarray(dists[:top_k]),
+                )
+                for dists, idxs in per
+            ]
+        d, i = topk_scan(qs, corpus, top_k)
+        return [
+            self._ranked_from_scan_rows(
+                ranges, np.asarray(i[r], np.int64), np.asarray(d[r])
+            )
+            for r in range(qn)
+        ]
 
     @staticmethod
     def _scan_rows_to_slots(ranges, rows: np.ndarray):
@@ -1035,6 +1147,122 @@ class Store:
             RankedLine(sc.paths[int(ris[o])], int(lines[o]), float(exact[o]))
             for o in order
         ]
+
+    def _search_slot_cached_batched(
+        self, query_vecs: np.ndarray, top_k: int,
+        max_distance: Optional[float], n_rows: int, mesh=None,
+    ) -> Optional[List[List[RankedLine]]]:
+        """Batched :meth:`_search_slot_cached` — Q query rows through the
+        same tier ladder in O(1) dispatches. Returns None (caller falls
+        back to the exact compact path, for every query) when any query's
+        zero-slot slack is exhausted, mirroring the single-query guard."""
+        from semtools_tpu.store import patch_cache
+
+        kind, reduced_dim = self._device_kind(n_rows)
+        sc = patch_cache.get(self, kind, reduced_dim, mesh)
+        if sc is None:
+            return None
+        qs = np.asarray(query_vecs, np.float32)
+        qn = int(qs.shape[0])
+        need = min(top_k, n_rows)
+
+        def _ranked_rows(slots, dists) -> List[RankedLine]:
+            valid, ris, lines = sc.slot_owners(np.asarray(slots, np.int64))
+            return [
+                RankedLine(sc.paths[int(r)], int(line), float(dv))
+                for ok, r, line, dv in zip(valid, ris, lines, np.asarray(dists))
+                if ok
+            ]
+
+        def _topk(q_scan, k_scan):
+            if mesh is not None:
+                from semtools_tpu.parallel.scan import sharded_topk_scan_device
+
+                return sharded_topk_scan_device(
+                    q_scan, sc.corpus, sc.capacity, k_scan, mesh
+                )
+            return topk_scan(q_scan, sc.corpus, k_scan, n_true=sc.capacity)
+
+        if kind == "f32":
+            if max_distance is not None:
+                if mesh is not None:
+                    from semtools_tpu.parallel.scan import (
+                        sharded_batched_threshold_scan_device,
+                    )
+
+                    per = sharded_batched_threshold_scan_device(
+                        qs, sc.corpus, sc.capacity, float(max_distance), mesh
+                    )
+                else:
+                    from semtools_tpu.ops.scan import batched_threshold_scan
+
+                    per = batched_threshold_scan(
+                        qs, sc.corpus, float(max_distance), n_true=sc.capacity
+                    )
+                return [
+                    _ranked_rows(idxs, dists)[:top_k] for dists, idxs in per
+                ]
+            k_scan = min(top_k + patch_cache._SLACK, sc.capacity)
+            d, i = _topk(qs, k_scan)
+            out = []
+            for r in range(qn):
+                rows = _ranked_rows(i[r], d[r])
+                if len(rows) < need:
+                    return None  # zero-slot slack exhausted: exact fallback
+                out.append(rows[:top_k])
+            return out
+
+        oversample = self._int8_oversample(top_k, reduced_dim is not None, n_rows)
+        k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
+        if reduced_dim:
+            _, i = _topk(qs @ sc.rotation, k_sel)
+        elif k_sel <= 64 and qn <= 32:
+            # The fused int8 kernel's measured batch crossover matches the
+            # f32 one (_use_pallas): per-element selection cost scales
+            # with Q, so large batches take the XLA matmul+top_k path.
+            if mesh is not None:
+                from semtools_tpu.parallel.scan import (
+                    sharded_int8_topk_scan_device,
+                )
+
+                _, i = sharded_int8_topk_scan_device(
+                    qs, sc.corpus, sc.scale, k_sel, sc.capacity, mesh
+                )
+            else:
+                from semtools_tpu.ops.int8_scan import int8_topk_scan
+
+                _, i = int8_topk_scan(
+                    qs, sc.corpus, sc.scale, k_sel, n_true=sc.capacity
+                )
+        else:
+            _, i = _topk(qs, k_sel)
+
+        # One mmap open + one gather of the UNION of candidate slots, then
+        # per-query exact re-rank against the f32 originals.
+        i = np.asarray(i, np.int64)
+        mm = self._mmap("r")
+        if mm is None:
+            return None
+        uniq = np.unique(i.reshape(-1))
+        uniq_rows = np.asarray(mm[uniq])
+        del mm
+        out = []
+        for r in range(qn):
+            slots = i[r]
+            valid, ris, lines = sc.slot_owners(slots)
+            slots, ris, lines = slots[valid], ris[valid], lines[valid]
+            if len(slots) < need:
+                return None
+            rows = uniq_rows[np.searchsorted(uniq, slots)]
+            exact = 1.0 - rows @ qs[r]
+            order = np.argsort(exact, kind="stable")[:top_k]
+            if max_distance is not None:
+                order = order[exact[order] < max_distance]
+            out.append([
+                RankedLine(sc.paths[int(ris[o])], int(lines[o]), float(exact[o]))
+                for o in order
+            ])
+        return out
 
     def load_subset_matrix(
         self, subset_paths: Sequence[str]

@@ -50,6 +50,16 @@ def search_output(results: List[Dict]) -> Dict:
     return {"results": results}
 
 
+def batch_search_line(query: str, results: List[Dict]) -> str:
+    """One NDJSON line of ``search --queries-file -j`` output: the
+    single-query ``search_output`` schema plus the owning query, compact
+    (one query per line keeps the batch streamable through line-oriented
+    tools). A batch extension — the reference CLI has no multi-query mode."""
+    return json.dumps(
+        {"query": query, "results": results}, ensure_ascii=False
+    )
+
+
 def ask_output(query: str, response: str, files_searched: List[str]) -> Dict:
     return {"query": query, "response": response, "files_searched": files_searched}
 

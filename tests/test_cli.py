@@ -198,3 +198,115 @@ def test_workspace_prune_json_schema(corpus, tmp_path):
     assert r.returncode == 0, r.stderr
     data = json.loads(r.stdout)
     assert set(data) == {"files_removed", "files_remaining"}
+
+
+def test_search_queries_file_batch(corpus, tmp_path):
+    qf = tmp_path / "queries.txt"
+    qf.write_text("databases\n\nneural vision\n")  # blank line skipped
+    r = run_cli(
+        ["search", "--queries-file", str(qf), str(corpus / "a.txt"),
+         str(corpus / "b.txt"), "--top-k", "1", "-n", "0"],
+        stdin="", home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    assert "# query: databases" in out
+    assert "# query: neural vision" in out
+    assert out.index("databases") < out.index("neural vision")
+    assert "an essay about databases" in out
+    assert "neural networks for vision" in out
+
+
+def test_search_queries_file_ndjson(corpus, tmp_path):
+    qf = tmp_path / "queries.txt"
+    qf.write_text("databases\nneural vision\n")
+    r = run_cli(
+        ["search", "-Q", str(qf), str(corpus / "a.txt"), str(corpus / "b.txt"),
+         "--top-k", "2", "-j"],
+        stdin="", home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 2  # one NDJSON object per query
+    for ln, q in zip(lines, ["databases", "neural vision"]):
+        data = json.loads(ln)
+        assert data["query"] == q
+        assert len(data["results"]) == 2
+        assert set(data["results"][0]) == {
+            "filename", "start_line_number", "end_line_number",
+            "match_line_number", "distance", "content",
+        }
+
+
+def test_search_queries_file_stdin_docs(corpus, tmp_path):
+    qf = tmp_path / "queries.txt"
+    qf.write_text("beta\nalpha\n")
+    r = run_cli(
+        ["search", "-Q", str(qf), "-n", "0", "-j"],
+        stdin="alpha line\nbeta line\n", home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    first = json.loads(lines[0])
+    assert first["query"] == "beta"
+    assert first["results"][0]["filename"] == "<stdin>"
+
+
+def test_search_queries_file_workspace_batch(corpus, tmp_path):
+    env = {"SEMTOOLS_WORKSPACE": "qbatch"}
+    run_cli(["workspace", "use", "qbatch"], home=tmp_path)
+    qf = tmp_path / "queries.txt"
+    qf.write_text("databases\nneural vision\n")
+    r = run_cli(
+        ["search", "-Q", str(qf), str(corpus / "a.txt"), str(corpus / "b.txt"),
+         "--top-k", "1", "-j"],
+        stdin="", home=tmp_path, env_extra=env,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 2
+    d0 = json.loads(lines[0])
+    assert d0["query"] == "databases"
+    assert d0["results"][0]["filename"].endswith("a.txt")
+    # batched results identical to Q single-query invocations
+    for ln, q in zip(lines, ["databases", "neural vision"]):
+        r1 = run_cli(
+            ["search", q, str(corpus / "a.txt"), str(corpus / "b.txt"),
+             "--top-k", "1", "-j"],
+            stdin="", home=tmp_path, env_extra=env,
+        )
+        single = json.loads(r1.stdout)["results"]
+        got = json.loads(ln)["results"]
+        # identical hits; distances agree to f32 matmul-shape tolerance
+        assert [
+            {k: v for k, v in r.items() if k != "distance"} for r in got
+        ] == [{k: v for k, v in r.items() if k != "distance"} for r in single]
+        for g, s in zip(got, single):
+            assert abs(g["distance"] - s["distance"]) < 1e-5
+
+
+def test_search_queries_file_errors(corpus, tmp_path):
+    r = run_cli(["search"], stdin="", home=tmp_path)
+    assert r.returncode == 2
+    assert "QUERY" in r.stderr
+    qf = tmp_path / "empty.txt"
+    qf.write_text("\n\n")
+    r = run_cli(["search", "-Q", str(qf), str(corpus / "a.txt")],
+                stdin="", home=tmp_path)
+    assert r.returncode == 1
+    assert "no queries" in r.stderr
+    # '-' without document files: stdin cannot be both queries and document
+    r = run_cli(["search", "-Q", "-"], stdin="q1\n", home=tmp_path)
+    assert r.returncode == 1
+    assert "stdin" in r.stderr
+
+
+def test_search_queries_file_dash_reads_stdin(corpus, tmp_path):
+    r = run_cli(
+        ["search", "-Q", "-", str(corpus / "a.txt"), "--top-k", "1", "-j"],
+        stdin="databases\n", home=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout.splitlines()[0])
+    assert data["query"] == "databases"
+    assert "databases" in data["results"][0]["content"]

@@ -117,6 +117,48 @@ def test_sharded_threshold_no_hits():
     assert d.shape == (0,) and i.shape == (0,)
 
 
+def test_sharded_batched_threshold_matches_single_query():
+    from semtools_tpu.ops.scan import batched_threshold_scan
+    from semtools_tpu.parallel.scan import (
+        sharded_batched_threshold_scan,
+        sharded_threshold_scan,
+    )
+
+    mesh = corpus_mesh(4)
+    rng = np.random.default_rng(41)
+    n = 4 * 800 + 53  # ragged: shards get zero padding
+    e = rng.standard_normal((n, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    e[300] = e[700] = e[5]  # duplicates: tie-break by corpus order
+    q = np.stack([e[5], e[n - 2], e[1234]]) + 0.0
+    got = sharded_batched_threshold_scan(q, e, 0.4, mesh)
+    assert len(got) == 3
+    ref = batched_threshold_scan(q, e, 0.4)
+    for (d_b, i_b), (d_r, i_r) in zip(got, ref):
+        np.testing.assert_array_equal(i_b, i_r)
+        np.testing.assert_allclose(d_b, d_r, atol=1e-5)
+    # also agrees with the single-query sharded path row by row
+    for row in range(3):
+        d_1, i_1 = sharded_threshold_scan(q[row : row + 1], e, 0.4, mesh)
+        np.testing.assert_array_equal(got[row][1], i_1)
+        np.testing.assert_allclose(got[row][0], d_1, atol=1e-5)
+
+
+def test_sharded_batched_threshold_no_hits():
+    from semtools_tpu.parallel.scan import sharded_batched_threshold_scan
+
+    mesh = corpus_mesh(4)
+    rng = np.random.default_rng(42)
+    e = rng.standard_normal((4096, 16)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    got = sharded_batched_threshold_scan(q, e, 1e-9, mesh)
+    assert len(got) == 2
+    for d, i in got:
+        assert d.shape == (0,) and i.shape == (0,)
+
+
 def test_fused_pad_rows_cannot_crowd_out_negative_sims():
     """Review regression: with tile-scale zero padding on the tail shard
     and a corpus whose similarities are all NEGATIVE, the fused kernel
