@@ -177,6 +177,46 @@ def bench_workspace_warm(paths, model, results):
     })
 
 
+def bench_workspace_batched(paths, model, results, q=32):
+    """The --queries-file surface vs Q single-query calls on a warm
+    workspace: one encode + one batched store scan against Q× (encode +
+    change-detect + scan) round-trips."""
+    from semtools_tpu.search import (
+        SearchConfig,
+        search_with_workspace,
+        search_with_workspace_batched,
+    )
+    from semtools_tpu.store import Workspace, WorkspaceConfig
+
+    name = "bench_ws_batched"
+    ws = Workspace(WorkspaceConfig(name=name, root_dir=Workspace.root_path(name)))
+    ws.save()
+    files = [str(p) for p in paths]
+    cfg = SearchConfig(top_k=3, n_lines=3)
+    topics = [
+        "gradient descent convergence", "attention mechanisms", "graph theory",
+        "database index design", "reinforcement learning policies",
+        "convex optimization", "protein folding", "compiler optimization",
+    ]
+    queries = [f"{topics[i % len(topics)]} variant {i}" for i in range(q)]
+    search_with_workspace(files, queries[0], model, cfg, workspace_name=name)  # cold build
+    # warm both paths' executables before timing
+    search_with_workspace_batched(files, queries, model, cfg, workspace_name=name)
+    t0 = _now()
+    search_with_workspace_batched(files, queries, model, cfg, workspace_name=name)
+    batched_s = _now() - t0
+    t0 = _now()
+    for qq in queries:
+        search_with_workspace(files, qq, model, cfg, workspace_name=name)
+    loop_s = _now() - t0
+    results.append({
+        "config": "workspace_batched", "metric": "queries_per_sec",
+        "value": q / batched_s, "q": q, "files": len(files),
+        "single_query_loop_qps": q / loop_s,
+        "speedup_vs_loop": loop_s / max(batched_s, 1e-9),
+    })
+
+
 def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
     import numpy as np
 
@@ -365,7 +405,7 @@ def bench_tier_recall(results, n=200_000, d=256, n_queries=50, k=10):
 
 ALL = [
     "search_e2e", "batched_scan", "batched_threshold", "workspace_warm",
-    "ivfpq_recall", "sharded_scan", "tier_recall",
+    "workspace_batched", "ivfpq_recall", "sharded_scan", "tier_recall",
 ]
 
 
@@ -413,6 +453,8 @@ def main():
                 bench_batched_threshold(results)
         if "workspace_warm" in configs:
             bench_workspace_warm(paths, model, results)
+        if "workspace_batched" in configs:
+            bench_workspace_batched(paths, model, results, q=8 if args.small else 32)
         if "ivfpq_recall" in configs:
             if args.small:
                 bench_ivfpq(results, n=20_000, n_queries=20)
