@@ -172,6 +172,41 @@ def main():
             "int8_tier_agreement_at_10": agree, "seconds": dt,
         })
 
+    # Batched cross-check: all semantic questions through the
+    # --queries-file serving path (one encode + one batched store scan);
+    # tie-aware agreement with the single-query product path per question.
+    from collections import Counter as _Counter
+
+    from semtools_tpu.search import search_with_workspace_batched
+
+    sem_queries = [q for _, _, kind, q, _ in QUESTIONS if kind == "semantic"]
+    singles = {r["query"]: r for r in results if r["kind"] == "semantic"}
+    cfg_b = SearchConfig(top_k=TOP_K, n_lines=0)
+    search_with_workspace_batched(
+        files, sem_queries, model, cfg_b, "retrieval-eval"
+    )  # warm the batched executables (the compile keys on the batch shape)
+    t0 = time.perf_counter()
+    per_q = search_with_workspace_batched(
+        files, sem_queries, model, cfg_b, "retrieval-eval"
+    )
+    batch_s = time.perf_counter() - t0
+    single_again = {
+        q: search_with_workspace(files, q, model, cfg_b, "retrieval-eval")
+        for q in sem_queries
+    }
+    batch_agree = []
+    for q, rows in zip(sem_queries, per_q):
+        a = _Counter(round(h.distance, 5) for h in rows)
+        b = _Counter(round(h.distance, 5) for h in single_again[q])
+        batch_agree.append(sum((a & b).values()) / max(len(single_again[q]), 1))
+        singles[q]["batched_agreement_at_10"] = batch_agree[-1]
+    batched_summary = {
+        "queries": len(sem_queries),
+        "seconds_total": batch_s,
+        "queries_per_sec": len(sem_queries) / max(batch_s, 1e-9),
+        "mean_agreement_with_single_query": sum(batch_agree) / len(batch_agree),
+    }
+
     by_family: dict = {}
     for r in results:
         fam = by_family.setdefault(r["family"], {"n": 0, "seconds": 0.0})
@@ -196,6 +231,7 @@ def main():
         "workspace_build_seconds": build_s,
         "per_question": results,
         "per_family": by_family,
+        "batched_queries_file": batched_summary,
     }
     out_path.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload["per_family"], indent=1))
