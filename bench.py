@@ -33,6 +33,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DIM = 256
 N = 1 << 21  # 2M vectors (bf16 ride-along config)
@@ -137,23 +138,32 @@ def _bf16_bench(base: jax.Array) -> float:
 
 
 def _embed_bench() -> float:
-    """Lines embedded per second on device (gather + segment-mean + norm)."""
+    """Lines embedded per second on device (gather + segment-mean + norm).
+
+    Mirrors ops/embed.py's CURRENT program: per-text lengths expand to
+    segment ids + pad weights ON DEVICE (only ids cross host->device in
+    the product; the reconstruction rides next to the latency-bound
+    scatter)."""
     key = jax.random.PRNGKey(1)
     vocab = 1 << 16
     table = jax.random.normal(key, (vocab, DIM), dtype=jnp.float32)
     flat_ids = jax.random.randint(key, (EMBED_TOKENS,), 0, vocab, dtype=jnp.int32)
-    seg_ids = jnp.sort(
-        jax.random.randint(key, (EMBED_TOKENS,), 0, EMBED_LINES, dtype=jnp.int32)
-    )
-    weights = jnp.ones((EMBED_TOKENS,), jnp.float32)
+    counts = np.bincount(
+        np.sort(np.random.default_rng(1).integers(0, EMBED_LINES, EMBED_TOKENS)),
+        minlength=EMBED_LINES,
+    ).astype(np.int32)
+    seg_lengths = jnp.asarray(np.concatenate([counts, np.zeros(1, np.int32)]))
 
     @jax.jit
-    def run(fids, tab, segs, w):
+    def run(fids, tab, lens):
         def body(i, carry):
             acc, ids = carry
+            starts = jnp.cumsum(lens)[:-1]
+            marks = jnp.zeros(EMBED_TOKENS, jnp.int32).at[starts].add(1, mode="drop")
+            segs = jnp.cumsum(marks)
+            w = (segs < EMBED_LINES).astype(jnp.float32)
             rows = jnp.take(tab, ids, axis=0) * w[:, None]
-            # Mirrors ops/embed.py: single fused segment_sum (weights
-            # column carries the counts).
+            # single fused segment_sum (weights column carries the counts)
             aug = jnp.concatenate([rows, w[:, None]], axis=1)
             both = jax.ops.segment_sum(
                 aug, segs, num_segments=EMBED_LINES + 1, indices_are_sorted=True
@@ -168,7 +178,7 @@ def _embed_bench() -> float:
         acc, _ = jax.lax.fori_loop(0, 4, body, (jnp.float32(0), fids))
         return acc
 
-    args = (flat_ids, table, seg_ids, weights)
+    args = (flat_ids, table, seg_lengths)
     float(run(*args))  # compile + warm
     t0 = time.perf_counter()
     float(run(*args))

@@ -31,12 +31,52 @@ from semtools_tpu.utils.text import read_file_text, split_lines
 from semtools_tpu.utils.tracing import stage
 
 
+class _RowSlice:
+    """Lazy view of rows [start, stop) of a shared (device) embedding
+    matrix.
+
+    Splitting one batched encode's output into per-document arrays used
+    to issue one device slice per document — 100 files = 100 dispatches,
+    each paying the full round-trip on remote/tunneled accelerators —
+    only for the scan to concatenate them straight back. Documents now
+    hold views; :func:`_corpus_of` recognizes contiguous views of one
+    parent and hands the scan the parent matrix with ZERO device ops.
+    Materialization happens only if a caller actually indexes a single
+    document's rows.
+    """
+
+    __slots__ = ("parent", "start", "stop")
+
+    def __init__(self, parent, start: int, stop: int):
+        self.parent = parent
+        self.start = start
+        self.stop = stop
+
+    @property
+    def shape(self):
+        return (self.stop - self.start,) + tuple(self.parent.shape[1:])
+
+    def __len__(self) -> int:
+        return self.stop - self.start
+
+    def materialize(self):
+        return self.parent[self.start : self.stop]
+
+    def __getitem__(self, idx):
+        return self.materialize()[idx]
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self.materialize())
+        return out.astype(dtype) if dtype is not None else out
+
+
 @dataclass
 class Document:
     filename: str
     lines: List[str]
-    # [num_lines, dim] float32 unit-or-zero rows; usually a jax device
-    # array (host numpy when built via create_documents..(host=True))
+    # [num_lines, dim] float32 unit-or-zero rows; a _RowSlice view of the
+    # batched encode's device matrix (host numpy when built via
+    # create_documents..(host=True), a plain array when built directly)
     embeddings: "np.ndarray"
 
 
@@ -109,13 +149,17 @@ def create_documents_from_contents(
     if host and not isinstance(embeddings, np.ndarray):
         with stage("host_transfer"):  # fallback models without host=
             embeddings = np.asarray(embeddings)
+    host_rows = isinstance(embeddings, np.ndarray)
     docs: List[Document] = []
     offset = 0
     for filename, lines in per_doc_lines:
         docs.append(Document(
             filename=filename,
             lines=lines,
-            embeddings=embeddings[offset:offset + len(lines)],
+            # numpy slices are free views; device arrays get a lazy
+            # _RowSlice so the split issues no per-document dispatches
+            embeddings=embeddings[offset:offset + len(lines)] if host_rows
+            else _RowSlice(embeddings, offset, offset + len(lines)),
         ))
         offset += len(lines)
     return docs
@@ -150,6 +194,21 @@ def _corpus_of(documents: Sequence[Document]) -> Tuple[np.ndarray, List[Tuple[in
     if not mats:
         dim = documents[0].embeddings.shape[1] if documents else 0
         return np.zeros((0, dim), np.float32), owners
+
+    # Contiguous views of one batched-encode matrix: hand the scan the
+    # parent directly — zero device ops instead of one slice per document
+    # plus a concatenate (each a full dispatch round-trip on tunneled
+    # accelerators).
+    if all(isinstance(m, _RowSlice) for m in mats):
+        parent = mats[0].parent
+        if all(m.parent is parent for m in mats) and all(
+            a.stop == b.start for a, b in zip(mats, mats[1:])
+        ):
+            if mats[0].start == 0 and mats[-1].stop == parent.shape[0]:
+                return parent, owners
+            return parent[mats[0].start : mats[-1].stop], owners
+    mats = [m.materialize() if isinstance(m, _RowSlice) else m for m in mats]
+
     if len(mats) == 1:
         return mats[0], owners
     try:
