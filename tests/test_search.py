@@ -178,3 +178,35 @@ def test_duck_typed_model_without_host_kwarg(tmp_path):
     assert len(docs) == 1
     assert isinstance(docs[0].embeddings, np.ndarray)
     assert docs[0].embeddings.shape == (2, 4)
+
+
+def test_row_slice_views_share_one_parent(fallback_model):
+    """The per-document split of a batched encode must not issue one
+    device op per document: documents hold lazy _RowSlice views and the
+    corpus assembly hands the scan the parent matrix itself."""
+    from semtools_tpu.search import _RowSlice, _corpus_of, create_documents_from_contents
+
+    docs = create_documents_from_contents(
+        [("a", "l1\nl2\nl3"), ("b", "l4\nl5")], fallback_model, False
+    )
+    assert all(isinstance(d.embeddings, _RowSlice) for d in docs)
+    assert docs[0].embeddings.parent is docs[1].embeddings.parent
+    assert docs[0].embeddings.shape == (3, fallback_model.dim)
+    assert len(docs[1].embeddings) == 2
+
+    corpus, owners = _corpus_of(docs)
+    assert corpus is docs[0].embeddings.parent  # zero-copy full coverage
+    assert len(owners) == 5
+
+    # a filtered subset falls back to materialization, not the parent
+    corpus2, owners2 = _corpus_of([docs[1]])
+    assert corpus2.shape[0] == 2
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(corpus2), np.asarray(corpus)[3:5], atol=0
+    )
+    # __array__ protocol: np.asarray on a view materializes the rows
+    np.testing.assert_allclose(
+        np.asarray(docs[0].embeddings), np.asarray(corpus)[:3], atol=0
+    )
