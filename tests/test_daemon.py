@@ -156,3 +156,30 @@ def test_concurrent_clients(running_daemon, tmp_path):
         assert resp is not None and resp["exit"] == 0
         assert "semtools" in resp["stdout"]
         json.dumps(resp)  # reply was valid JSON end-to-end
+
+
+def test_forward_queries_file_batch(running_daemon, tmp_path, capsys):
+    f = tmp_path / "doc.txt"
+    f.write_text("first line about cats\nsecond line about databases\n")
+    qf = tmp_path / "q.txt"
+    qf.write_text("databases\ncats\n")
+    code = daemon.forward(
+        ["search", "-Q", str(qf), str(f), "--top-k", "1", "-n", "0"], None
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "# query: databases" in out and "# query: cats" in out
+
+
+def test_forward_queries_from_stdin_dash(running_daemon, tmp_path, capsys):
+    """-Q -: the query list rides the forwarded stdin_text through the
+    socket; the daemon replays it as the in-process sys.stdin."""
+    f = tmp_path / "doc.txt"
+    f.write_text("first line about cats\nsecond line about databases\n")
+    code = daemon.forward(
+        ["search", "-Q", "-", str(f), "--top-k", "1", "-n", "0"],
+        "databases\n",
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "# query: databases" in out and "databases" in out
