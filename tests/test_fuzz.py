@@ -166,6 +166,16 @@ def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
             expect = [(owner[j][0], owner[j][1]) for j in expect_order]
             assert [(rl.path, rl.line_number) for rl in got] == expect, (
                 step, tier_env, got, expect)
+            # batched serving must agree with brute force under the same
+            # mutation history and tier (first row = the single query)
+            qs = np.concatenate([q[None], _unit(rng, 2, 16)], axis=0)
+            per = s.search_line_embeddings_batched(qs, sorted(model), 3)
+            for row, rows in enumerate(per):
+                sims_r = all_rows @ qs[row]
+                order_r = np.argsort(1.0 - sims_r, kind="stable")[:3]
+                expect_r = [(owner[j][0], owner[j][1]) for j in order_r]
+                assert [(rl.path, rl.line_number) for rl in rows] == expect_r, (
+                    step, tier_env, row, rows, expect_r)
         assert s.count_line_embeddings() == sum(len(m2) for m2 in model.values())
     s.close()
     device_cache.invalidate()
