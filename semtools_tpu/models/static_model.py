@@ -228,10 +228,27 @@ class StaticModel:
             z = jnp.zeros((0, self.dim), dtype=jnp.float32)
             return np.asarray(z) if host else z
         token_lists = self.tokenizer.encode_batch(texts)
+        max_len = max_length if max_length is not None else 1 << 30
+        if host:
+            # Host-bound consumers (the store mmap) can be served by the
+            # CPU embedding-bag path when the measured link makes the
+            # device round-trip the bottleneck (ops/host_embed.py;
+            # SEMTOOLS_TPU_EMBED=device|host|auto overrides).
+            from semtools_tpu.ops.host_embed import (
+                choose_host_embed,
+                embed_token_lists_host,
+            )
+
+            n_tokens = sum(min(len(x), max_len) for x in token_lists)
+            if choose_host_embed(self.table_np, len(token_lists), n_tokens):
+                return embed_token_lists_host(
+                    self.table_np, token_lists,
+                    max_length=max_len, normalize=self.normalize,
+                )
         return embed_token_lists(
             self.table,
             token_lists,
-            max_length=max_length if max_length is not None else 1 << 30,
+            max_length=max_len,
             normalize=self.normalize,
             host=host,
         )

@@ -1,0 +1,172 @@
+"""Host-side embedding fallback: gather + mean + normalize on the CPU.
+
+The store's upsert path needs embedding rows ON HOST (they land in the
+mmap), so the device path computes on TPU and downloads ~1 KB/line
+(``ops.embed.embed_token_lists(host=True)``). On a co-located TPU that
+transfer is sub-second and the device wins by ~30x; behind a degraded
+link (the tunneled bench host has measured anywhere from 30 MB/s down
+to 0.1 MB/s) the download dominates and a CPU embed wins outright.
+
+This module provides the CPU op — torch ``embedding_bag`` (the same
+fused gather+reduce the reference's model2vec CPU path uses; measured
+60k lines/s/core vs 6.8k for a numpy materialize+reduceat) — and the
+measurement-driven policy that picks host vs device per encode call:
+probe the link once per process (re-probed after 5 minutes), calibrate
+the host rate once, route each call to the cheaper path. Override with
+``SEMTOOLS_TPU_EMBED=device|host|auto``.
+
+Parity: produces the same vectors as the device program (f32 gather,
+mean over real tokens, optional L2 normalize; empty texts embed to the
+zero vector) — see tests/test_host_embed.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _flatten(token_lists: Sequence[Sequence[int]], max_length: int):
+    from itertools import chain
+
+    b = len(token_lists)
+    clipped = [ids[:max_length] for ids in token_lists]
+    lengths = np.fromiter((len(ids) for ids in clipped), np.int64, count=b)
+    t = int(lengths.sum())
+    flat = np.fromiter(chain.from_iterable(clipped), np.int64, count=t)
+    offsets = np.zeros(b, np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    return flat, offsets, lengths
+
+
+def _torch_available() -> bool:
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def embed_token_lists_host(
+    table_np: np.ndarray,
+    token_lists: Sequence[Sequence[int]],
+    *,
+    max_length: int = 2048,
+    normalize: bool = True,
+) -> np.ndarray:
+    """CPU equivalent of ``ops.embed.embed_token_lists`` → host [N, D] f32."""
+    if len(token_lists) == 0:
+        return np.zeros((0, table_np.shape[1]), np.float32)
+    flat, offsets, lengths = _flatten(token_lists, max_length)
+
+    if _torch_available():
+        import torch
+
+        with torch.no_grad():
+            # mode="sum" then divide: embedding_bag's empty-bag semantics
+            # vary across versions for "mean"; sum is zeros everywhere.
+            sums = torch.nn.functional.embedding_bag(
+                torch.from_numpy(flat),
+                torch.from_numpy(table_np),
+                torch.from_numpy(offsets),
+                mode="sum",
+            ).numpy()
+    else:  # numpy fallback: materialize + reduceat (slower, no extra dep)
+        sums = np.zeros((len(token_lists), table_np.shape[1]), np.float32)
+        if len(flat):
+            nz = lengths > 0
+            red = np.add.reduceat(table_np[flat], offsets[nz], axis=0)
+            # reduceat with duplicate offsets (empty bags) never happens
+            # here: offsets are filtered to non-empty texts.
+            sums[nz] = red
+    mean = sums / np.maximum(lengths, 1)[:, None]
+    if normalize:
+        norms = np.linalg.norm(mean, axis=1, keepdims=True)
+        mean = np.where(norms > 0.0, mean / np.maximum(norms, 1e-30), mean)
+    return mean.astype(np.float32, copy=False)
+
+
+# -- host/device routing ------------------------------------------------------
+
+_PROBE_TTL_S = 300.0
+_probe_cache: dict = {}  # {"t": wall time, "down_Bps": float, "up_Bps": float}
+_host_rate_cache: list = []  # [lines_per_s]
+
+# Below this the decision doesn't matter — skip the probe and take the
+# device path (a probe costs two round-trips; tiny encodes are RTT-bound
+# either way).
+_MIN_LINES_FOR_PROBE = 5000
+
+
+def _link_bandwidth() -> Optional[dict]:
+    """Measured host->device / device->host bytes/s (256 kB probe, cached
+    for 5 min — link health on shared/tunneled hosts changes over time;
+    the probe stays small so a fully degraded link doesn't spend seconds
+    measuring itself)."""
+    now = time.monotonic()
+    if _probe_cache and now - _probe_cache["t"] < _PROBE_TTL_S:
+        return _probe_cache
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        payload = np.zeros(1 << 16, np.float32)  # 256 kB
+        t0 = time.monotonic()
+        dev = jnp.asarray(payload)
+        dev.block_until_ready()
+        up_s = max(time.monotonic() - t0, 1e-6)
+        t0 = time.monotonic()
+        np.asarray(dev)
+        down_s = max(time.monotonic() - t0, 1e-6)
+    except Exception:
+        return None
+    _probe_cache.update(
+        t=now, up_Bps=payload.nbytes / up_s, down_Bps=payload.nbytes / down_s
+    )
+    return _probe_cache
+
+
+def _host_rate(table_np: np.ndarray, tokens_per_line: float) -> float:
+    """Calibrated host lines/s (one ~1k-line measurement per process)."""
+    if _host_rate_cache:
+        return _host_rate_cache[0]
+    rng = np.random.default_rng(0)
+    n_tok = max(int(tokens_per_line), 1)
+    sample = [
+        rng.integers(0, table_np.shape[0], n_tok).tolist() for _ in range(1024)
+    ]
+    t0 = time.monotonic()
+    embed_token_lists_host(table_np, sample)
+    rate = 1024 / max(time.monotonic() - t0, 1e-6)
+    _host_rate_cache.append(rate)
+    return rate
+
+
+def choose_host_embed(
+    table_np: np.ndarray, n_lines: int, n_tokens: int
+) -> bool:
+    """True when the CPU path should serve a host-bound encode.
+
+    ``SEMTOOLS_TPU_EMBED`` forces the answer (``host`` / ``device``);
+    ``auto`` (default) compares the measured link cost of the device
+    path (ids up at 4 B/token + f32 rows down at 4*D B/line) against
+    the calibrated host rate. Device compute itself is ignored — it is
+    sub-second at any size that reaches this decision.
+    """
+    mode = os.environ.get("SEMTOOLS_TPU_EMBED", "auto").lower()
+    if mode == "host":
+        return True
+    if mode == "device" or n_lines < _MIN_LINES_FOR_PROBE:
+        return False
+    bw = _link_bandwidth()
+    if bw is None:
+        return True  # no device at all: the host path is the only path
+    device_s = (4.0 * n_tokens) / bw["up_Bps"] + (
+        4.0 * table_np.shape[1] * n_lines
+    ) / bw["down_Bps"]
+    host_s = n_lines / _host_rate(table_np, n_tokens / max(n_lines, 1))
+    return host_s < device_s

@@ -1,0 +1,122 @@
+"""CPU embedding-bag path + the measured host/device routing policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from semtools_tpu.ops import host_embed
+from semtools_tpu.ops.embed import embed_token_lists_reference
+from semtools_tpu.ops.host_embed import embed_token_lists_host
+
+
+@pytest.fixture(autouse=True)
+def _reset_policy_caches():
+    host_embed._probe_cache.clear()
+    host_embed._host_rate_cache.clear()
+    yield
+    host_embed._probe_cache.clear()
+    host_embed._host_rate_cache.clear()
+
+
+def _table(rng, v=500, d=32):
+    return rng.standard_normal((v, d)).astype(np.float32)
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_host_embed_matches_reference(rng, normalize):
+    table = _table(rng)
+    lists = [
+        rng.integers(0, 500, rng.integers(1, 40)).tolist() for _ in range(64)
+    ]
+    lists[3] = []  # empty text -> zero vector
+    lists[10] = rng.integers(0, 500, 100).tolist()  # truncated at max_length
+    got = embed_token_lists_host(table, lists, max_length=50, normalize=normalize)
+    want = embed_token_lists_reference(table, lists, max_length=50, normalize=normalize)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got[3], np.zeros(32, np.float32))
+
+
+def test_host_embed_numpy_fallback_matches(rng, monkeypatch):
+    monkeypatch.setattr(host_embed, "_torch_available", lambda: False)
+    table = _table(rng)
+    lists = [rng.integers(0, 500, rng.integers(0, 30)).tolist() for _ in range(40)]
+    got = embed_token_lists_host(table, lists)
+    want = embed_token_lists_reference(table, lists)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_host_embed_matches_device_program(rng):
+    from semtools_tpu.ops.embed import embed_token_lists
+
+    table = _table(rng)
+    lists = [rng.integers(0, 500, rng.integers(0, 30)).tolist() for _ in range(32)]
+    host_out = embed_token_lists_host(table, lists)
+    dev_out = np.asarray(embed_token_lists(table, lists))
+    np.testing.assert_allclose(host_out, dev_out, atol=1e-5)
+
+
+def test_encode_host_routing_env_override(fallback_model, monkeypatch):
+    texts = ["alpha beta", "gamma delta epsilon", ""]
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "device")
+    dev = fallback_model.encode(texts, host=True)
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "host")
+    hst = fallback_model.encode(texts, host=True)
+    assert isinstance(hst, np.ndarray)
+    np.testing.assert_allclose(hst, np.asarray(dev), atol=1e-5)
+
+
+def test_choose_host_embed_policy(monkeypatch, rng):
+    table = _table(rng)
+    # forced modes win regardless of measurements
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "host")
+    assert host_embed.choose_host_embed(table, 10, 100) is True
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "device")
+    assert host_embed.choose_host_embed(table, 10**7, 10**9) is False
+
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "auto")
+    # tiny encodes never probe
+    assert host_embed.choose_host_embed(table, 100, 1000) is False
+    # degraded link -> host; fast link -> device (host rate calibrated real)
+    monkeypatch.setattr(
+        host_embed, "_link_bandwidth",
+        lambda: {"t": 0, "up_Bps": 1e5, "down_Bps": 1e5},
+    )
+    assert host_embed.choose_host_embed(table, 500_000, 50_000_000) is True
+    monkeypatch.setattr(
+        host_embed, "_link_bandwidth",
+        lambda: {"t": 0, "up_Bps": 1e10, "down_Bps": 1e10},
+    )
+    assert host_embed.choose_host_embed(table, 500_000, 50_000_000) is False
+    # no device at all -> host path is the only path
+    monkeypatch.setattr(host_embed, "_link_bandwidth", lambda: None)
+    assert host_embed.choose_host_embed(table, 500_000, 50_000_000) is True
+
+
+def test_store_build_through_host_embed(tmp_path, fallback_model, monkeypatch):
+    """End-to-end: a workspace built with the host path serves searches
+    identical to one built with the device path."""
+    from semtools_tpu.search import SearchConfig, search_with_workspace
+    from semtools_tpu.store import Workspace
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    f = tmp_path / "doc.txt"
+    f.write_text("the quick brown fox\nan essay about databases\nneural nets\n")
+    cfg = SearchConfig(top_k=2, n_lines=0)
+
+    from semtools_tpu.store import WorkspaceConfig
+
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "host")
+    Workspace(WorkspaceConfig(name="hostws", root_dir=Workspace.root_path("hostws"))).save()
+    got_h = search_with_workspace([str(f)], "databases", fallback_model, cfg, "hostws")
+
+    monkeypatch.setenv("SEMTOOLS_TPU_EMBED", "device")
+    Workspace(WorkspaceConfig(name="devws", root_dir=Workspace.root_path("devws"))).save()
+    got_d = search_with_workspace([str(f)], "databases", fallback_model, cfg, "devws")
+
+    assert [(h.path, h.line_number) for h in got_h] == [
+        (h.path, h.line_number) for h in got_d
+    ]
+    for a, b in zip(got_h, got_d):
+        assert abs(a.distance - b.distance) < 1e-5
