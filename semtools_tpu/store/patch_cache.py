@@ -358,6 +358,18 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     return True
 
 
+def is_warm(
+    store, kind: str, reduced_dim: Optional[int] = None, mesh=None
+) -> bool:
+    """True when a device corpus for ``store`` is already resident (any
+    generation — patching a stale entry ships only the changed rows).
+    Never builds or uploads; the degraded-link serving policy uses this
+    to tell 'one cheap patch away' from 'full corpus upload ahead'."""
+    n_dev = int(mesh.devices.size) if mesh is not None else 0
+    key = (str(store.dir), "slot", kind, reduced_dim or 0, n_dev)
+    return isinstance(device_cache.peek(key), SlotCorpus)
+
+
 def get(
     store, kind: str, reduced_dim: Optional[int] = None, mesh=None
 ) -> Optional[SlotCorpus]:

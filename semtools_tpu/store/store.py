@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+import time as _time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -41,6 +42,8 @@ from semtools_tpu.utils.text import read_file_text
 
 CURRENT_EMBEDDING_VERSION = 2
 LINE_EMBEDDING_SIZE = 256
+
+_HOST_SCAN_BPS = None  # calibrated lazily by Store._host_scan_rate
 
 _VECTORS_FILE = "lines.f32"
 _DB_FILE = "store.sqlite"
@@ -897,17 +900,38 @@ class Store:
                 from semtools_tpu.parallel.mesh import corpus_mesh
 
                 mesh = corpus_mesh()
+            from semtools_tpu.store import patch_cache
+
+            kind, rd = self._device_kind(n_rows)
+            if self._prefer_host_scan(
+                n_rows, self._tier_bytes_per_row(kind, rd),
+                patch_cache.is_warm(self, kind, rd, mesh),
+            ):
+                hits = self._search_host(
+                    ranges, np.asarray(query_vec, np.float32).reshape(1, -1),
+                    top_k, max_distance,
+                )
+                if hits is not None:
+                    return hits[0]
             hits = self._search_slot_cached(
                 query_vec, top_k, max_distance, n_rows, mesh
             )
             if hits is not None:
                 return hits
 
+        q = np.asarray(query_vec, np.float32).reshape(1, -1)
+        if not full_store and self._prefer_host_scan(
+            n_rows, self.dim * 4, warm=False
+        ):
+            # Subset queries upload their gathered rows EVERY call (no
+            # cache) — the same link arithmetic applies per query.
+            hits = self._search_host(ranges, q, top_k, max_distance)
+            if hits is not None:
+                return hits[0]
+
         corpus = _gather()
         if corpus is None:
             return []
-
-        q = np.asarray(query_vec, np.float32).reshape(1, -1)
         if max_distance is not None:
             dists, idxs = threshold_scan(q, corpus, float(max_distance))
             dists, idxs = dists[:top_k], idxs[:top_k]
@@ -964,9 +988,26 @@ class Store:
                 from semtools_tpu.parallel.mesh import corpus_mesh
 
                 mesh = corpus_mesh()
+            from semtools_tpu.store import patch_cache
+
+            kind, rd = self._device_kind(n_rows)
+            if self._prefer_host_scan(
+                n_rows, self._tier_bytes_per_row(kind, rd),
+                patch_cache.is_warm(self, kind, rd, mesh),
+            ):
+                hits = self._search_host(ranges, qs, top_k, max_distance)
+                if hits is not None:
+                    return hits
             hits = self._search_slot_cached_batched(
                 qs, top_k, max_distance, n_rows, mesh
             )
+            if hits is not None:
+                return hits
+
+        if not full_store and self._prefer_host_scan(
+            n_rows, self.dim * 4, warm=False
+        ):
+            hits = self._search_host(ranges, qs, top_k, max_distance)
             if hits is not None:
                 return hits
 
@@ -1033,6 +1074,105 @@ class Store:
 
             return reduced_oversample(n, top_k)
         return min(max(4 * top_k, 16), n)
+
+    # -- degraded-link host serving ---------------------------------------
+    #
+    # A cold device query must first ship the corpus to the chip (f32
+    # 1 KB/row down to 64 B/row reduced). On a healthy co-located TPU
+    # that is milliseconds and amortizes over every later query; behind a
+    # degraded link (this host's tunnel has measured 0.1-30 MB/s) the
+    # upload can take minutes for a scan the host CPU finishes in tens of
+    # milliseconds. The policy below mirrors the adaptive embed
+    # (ops/host_embed.py): probe the link, compare the measured upload
+    # cost against a calibrated host matmul rate, and serve from the mmap
+    # when the device cannot pay for itself. A warm device cache always
+    # wins (patches ship only changed rows).
+
+    _HOST_SCAN_CHUNK = 1 << 18
+
+    def _tier_bytes_per_row(self, kind: str, reduced_dim: Optional[int]) -> int:
+        """Bytes/row the chosen device tier would upload for a cold build."""
+        if kind == "int8":
+            return reduced_dim or self.dim
+        return self.dim * 4
+
+    @staticmethod
+    def _host_scan_rate() -> float:
+        """Calibrated host scoring rate (bytes of corpus per second)."""
+        global _HOST_SCAN_BPS
+        if _HOST_SCAN_BPS is None:
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal((65536, 64)).astype(np.float32)
+            q = rng.standard_normal((64,)).astype(np.float32)
+            t0 = _time.monotonic()
+            x @ q
+            _HOST_SCAN_BPS = x.nbytes / max(_time.monotonic() - t0, 1e-6)
+        return _HOST_SCAN_BPS
+
+    def _prefer_host_scan(
+        self, n_rows: int, bytes_per_row: int, warm: bool
+    ) -> bool:
+        """True when this query should be scored on host (mmap rows).
+
+        ``SEMTOOLS_TPU_SCAN=device|host|auto`` overrides; auto serves
+        from host only when the device corpus is cold AND the measured
+        link would spend >2 s (and >4x the host scan) uploading it.
+        """
+        mode = os.environ.get("SEMTOOLS_TPU_SCAN", "auto").lower()
+        if mode == "host":
+            return True
+        if mode == "device" or warm:
+            return False
+        from semtools_tpu.ops.host_embed import _link_bandwidth
+
+        bw = _link_bandwidth()
+        if bw is None:
+            return True  # no device: the host path is the only path
+        upload_s = (n_rows * bytes_per_row) / bw["up_Bps"]
+        host_s = (n_rows * self.dim * 4) / self._host_scan_rate()
+        return upload_s > max(4.0 * host_s, 2.0)
+
+    def _search_host(
+        self,
+        ranges,
+        qs: np.ndarray,
+        top_k: int,
+        max_distance: Optional[float],
+    ) -> Optional[List[List[RankedLine]]]:
+        """Exact scoring straight off the mmap, chunked so a 10M-row
+        corpus never materializes in RAM. Same semantics as the device
+        tiers: top_k nearest per query (stable ties toward the lower
+        corpus position), then the strict threshold filter."""
+        mm = self._mmap("r")
+        if mm is None:
+            return None
+        qn = qs.shape[0]
+        need = min(top_k, sum(n for _, _, n in ranges))
+        cand_d = [[] for _ in range(qn)]
+        cand_r = [[] for _ in range(qn)]
+        slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
+        slots = np.concatenate(slot_blocks)
+        for start in range(0, len(slots), self._HOST_SCAN_CHUNK):
+            block = slots[start : start + self._HOST_SCAN_CHUNK]
+            rows = np.asarray(mm[block])
+            d = 1.0 - rows @ qs.T  # [block, Q]
+            take = min(need, d.shape[0])
+            for r in range(qn):
+                part = np.argpartition(d[:, r], take - 1)[:take]
+                cand_d[r].append(d[part, r])
+                cand_r[r].append(part + start)
+        del mm
+        out: List[List[RankedLine]] = []
+        for r in range(qn):
+            dd = np.concatenate(cand_d[r])
+            rr = np.concatenate(cand_r[r])
+            order = np.lexsort((rr, dd))[:top_k]
+            dd, rr = dd[order], rr[order]
+            if max_distance is not None:
+                keep = dd < max_distance
+                dd, rr = dd[keep], rr[keep]
+            out.append(self._ranked_from_scan_rows(ranges, rr, dd))
+        return out
 
     def _search_slot_cached(
         self, query_vec, top_k: int,
