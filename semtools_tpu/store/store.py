@@ -568,6 +568,8 @@ class Store:
         (``workspace status`` reports this)."""
         if n_rows is None:
             n_rows = self.count_line_embeddings()
+        if os.environ.get("SEMTOOLS_TPU_SCAN", "").lower() == "host":
+            return "host-mmap-scan"
         if self._use_ann_tier(n_rows) and self._ann_generation_matches():
             return "ivf-pq"
         kind, rd = self._device_kind(n_rows)

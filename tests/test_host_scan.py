@@ -120,3 +120,11 @@ def test_host_scan_after_mutation(filled, monkeypatch):
     got = s.search_line_embeddings(q, list(docs), 1)
     assert (got[0].path, got[0].line_number) == ("/a.txt", 5)
     assert got[0].distance < 1e-5
+
+
+def test_serving_tier_reports_forced_host_mode(filled, monkeypatch):
+    s, _ = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_SCAN", "host")
+    assert s.serving_tier() == "host-mmap-scan"
+    monkeypatch.delenv("SEMTOOLS_TPU_SCAN")
+    assert s.serving_tier() != "host-mmap-scan"
