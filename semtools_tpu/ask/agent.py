@@ -39,6 +39,89 @@ class AskOutput:
 # -- tool dispatch ----------------------------------------------------------
 
 
+def _parse_search_args(args: Dict):
+    from semtools_tpu.search import SearchConfig
+
+    query = args.get("query")
+    if query is None:
+        raise ValueError("Missing 'query' parameter")
+    cfg_json = args.get("config") or {}
+    config = SearchConfig(
+        n_lines=int(cfg_json.get("n_lines", 5)),
+        ignore_case=bool(cfg_json.get("ignore_case", False)),
+        max_distance=cfg_json.get("max_distance"),
+        top_k=int(cfg_json.get("top_k", 3)),
+    )
+    return query, config
+
+
+def _log_search(query: str, config) -> None:
+    print("\n[Tool Call: search]")
+    print(f'  query: "{query}"')
+    print("  config:")
+    print(f"    n_lines: {config.n_lines}")
+    print(f"    ignore_case: {str(config.ignore_case).lower()}")
+    if config.max_distance is not None:
+        print(f"    max_distance: {config.max_distance}")
+    else:
+        print(f"    top_k: {config.top_k}")
+
+
+def execute_tool_calls(
+    calls: List,
+    files: List[str],
+    model,
+    cur_output: "AskOutput",
+    workspace_name: Optional[str] = None,
+) -> List[str]:
+    """Execute one LLM turn's tool calls; outputs in call order.
+
+    Search calls that share a config are served by ONE batched scan
+    (tools.search_tool_batched) instead of Q sequential searches — LLMs
+    routinely fan out parallel search calls, and per-call execution pays
+    Q device dispatch round-trips. Logging stays per-call in the
+    original order (the reference's format, tool_calling.rs:46-56).
+    """
+    outputs: List[Optional[str]] = [None] * len(calls)
+
+    groups: Dict = {}
+    parsed: Dict[int, tuple] = {}
+    for i, (name, args_json) in enumerate(calls):
+        if name == "search":
+            query, config = _parse_search_args(json.loads(args_json))
+            parsed[i] = (query, config)
+            key = (config.n_lines, config.top_k, config.max_distance,
+                   config.ignore_case)
+            groups.setdefault(key, []).append(i)
+
+    from semtools_tpu.ask.tools import search_tool_batched
+
+    for idxs in groups.values():
+        if len(idxs) < 2:
+            continue  # single searches keep the plain path
+        config = parsed[idxs[0]][1]
+        batch_out = search_tool_batched(
+            files, [parsed[i][0] for i in idxs], model, config,
+            cur_output.files_searched, workspace_name,
+        )
+        for i, content in zip(idxs, batch_out):
+            outputs[i] = content
+
+    final: List[str] = []
+    for i, (name, args_json) in enumerate(calls):
+        if outputs[i] is not None:
+            query, config = parsed[i]
+            _log_search(query, config)
+            content = outputs[i]
+        else:
+            content = call_tool(
+                name, args_json, files, model, cur_output, workspace_name
+            )
+        print_tool_summary(content)
+        final.append(content)
+    return final
+
+
 def call_tool(
     name: str,
     args_json: str,
@@ -72,27 +155,8 @@ def call_tool(
         return grep_tool(files, pattern, file_paths, is_regex, case_sensitive, context_lines)
 
     if name == "search":
-        from semtools_tpu.search import SearchConfig
-
-        query = args.get("query")
-        if query is None:
-            raise ValueError("Missing 'query' parameter")
-        cfg_json = args.get("config") or {}
-        config = SearchConfig(
-            n_lines=int(cfg_json.get("n_lines", 5)),
-            ignore_case=bool(cfg_json.get("ignore_case", False)),
-            max_distance=cfg_json.get("max_distance"),
-            top_k=int(cfg_json.get("top_k", 3)),
-        )
-        print("\n[Tool Call: search]")
-        print(f'  query: "{query}"')
-        print("  config:")
-        print(f"    n_lines: {config.n_lines}")
-        print(f"    ignore_case: {str(config.ignore_case).lower()}")
-        if config.max_distance is not None:
-            print(f"    max_distance: {config.max_distance}")
-        else:
-            print(f"    top_k: {config.top_k}")
+        query, config = _parse_search_args(args)
+        _log_search(query, config)
         return search_tool(
             files, query, model, config, cur_output.files_searched, workspace_name
         )
@@ -159,17 +223,13 @@ def ask_agent_chat(
         tool_calls = message.get("tool_calls")
         if tool_calls:
             messages.append({"role": "assistant", "tool_calls": tool_calls, "content": None})
-            for tc in tool_calls:
-                fn = tc.get("function", {})
-                content = call_tool(
-                    fn.get("name", ""),
-                    fn.get("arguments", "{}"),
-                    files,
-                    model,
-                    result,
-                    workspace_name,
-                )
-                print_tool_summary(content)
+            calls = [
+                (tc.get("function", {}).get("name", ""),
+                 tc.get("function", {}).get("arguments", "{}"))
+                for tc in tool_calls
+            ]
+            contents = execute_tool_calls(calls, files, model, result, workspace_name)
+            for tc, content in zip(tool_calls, contents):
                 messages.append(
                     {"role": "tool", "tool_call_id": tc.get("id"), "content": content}
                 )
@@ -203,16 +263,12 @@ def ask_agent_responses(
 
         function_calls = [it for it in output if it.get("type") == "function_call"]
         if function_calls:
-            for fc in function_calls:
-                content = call_tool(
-                    fc.get("name", ""),
-                    fc.get("arguments", "{}"),
-                    files,
-                    model,
-                    result,
-                    workspace_name,
-                )
-                print_tool_summary(content)
+            calls = [
+                (fc.get("name", ""), fc.get("arguments", "{}"))
+                for fc in function_calls
+            ]
+            contents = execute_tool_calls(calls, files, model, result, workspace_name)
+            for fc, content in zip(function_calls, contents):
                 input_items.append(
                     {
                         "type": "function_call_output",

@@ -232,6 +232,58 @@ def search_tool(
     return format_search_results(results)
 
 
+def search_tool_batched(
+    files: Sequence[str],
+    queries: Sequence[str],
+    model,
+    config,
+    files_searched: List[str],
+    workspace_name: Optional[str] = None,
+) -> List[str]:
+    """Batched :func:`search_tool`: one tool response per query, served
+    by a single batched scan (search_*_batched). LLMs routinely issue
+    several search calls in one turn — executing them as one device
+    dispatch instead of Q sequential searches is the agent-loop analogue
+    of the CLI's ``--queries-file``."""
+    from semtools_tpu.search import (
+        search_files_batched,
+        search_with_workspace_batched,
+    )
+    from semtools_tpu.store import NoActiveWorkspace, Workspace
+
+    if not files:
+        raise ValueError(
+            "Error: No input provided. Either specify files as arguments or pipe input to stdin."
+        )
+
+    try:
+        Workspace.active(workspace_name)
+        ws_active = True
+    except NoActiveWorkspace:
+        ws_active = False
+
+    if ws_active:
+        per = search_with_workspace_batched(
+            files, list(queries), model, config, workspace_name
+        )
+        out = []
+        for ranked in per:
+            for rl in ranked:
+                if rl.path not in files_searched:
+                    files_searched.append(rl.path)
+            out.append(format_ranked_lines(ranked, config.n_lines))
+        return out
+
+    per = search_files_batched(files, list(queries), model, config)
+    out = []
+    for results in per:
+        for r in results:
+            if r.filename not in files_searched:
+                files_searched.append(r.filename)
+        out.append(format_search_results(results))
+    return out
+
+
 def read_tool(path: str, start_line: int, end_line: int) -> str:
     lines = split_lines(read_file_text(path))
     actual_end = min(end_line, len(lines))

@@ -281,3 +281,123 @@ def test_grep_escape_named_codepoints_route_to_python(tmp_path):
     assert "escape line" in out
     out = grep_tool([str(f)], r"café", is_regex=True, context_lines=0)
     assert "escape line" in out
+
+
+def _responses_multi_tool_call(calls):
+    return {
+        "output": [
+            {
+                "type": "function_call",
+                "name": name,
+                "arguments": json.dumps(args),
+                "call_id": f"call_{i}",
+                "id": f"fc_{i}",
+            }
+            for i, (name, args) in enumerate(calls)
+        ]
+    }
+
+
+def test_parallel_search_calls_served_batched(corpus, fallback_model, monkeypatch, capsys):
+    """Several search calls in ONE LLM turn run as one batched scan, with
+    per-call outputs/logs preserved in call order."""
+    import semtools_tpu.ask.agent as agent_mod
+    import semtools_tpu.ask.tools as tools_mod
+
+    batched_calls = []
+    real_batched = tools_mod.search_tool_batched
+
+    def spy_batched(files, queries, *a, **kw):
+        batched_calls.append(list(queries))
+        return real_batched(files, queries, *a, **kw)
+
+    monkeypatch.setattr(tools_mod, "search_tool_batched", spy_batched)
+
+    def forbid_single(*a, **kw):
+        raise AssertionError("single-query search_tool must not run for a parallel batch")
+
+    monkeypatch.setattr(agent_mod, "search_tool", forbid_single)
+
+    script = [
+        _responses_multi_tool_call([
+            ("search", {"query": "gamma target line"}),
+            ("search", {"query": "unrelated content"}),
+            ("read", {"path": corpus[0], "start_line": 0, "end_line": 1}),
+        ]),
+        responses_text("Done [1].\n\n## References\n[1] notes.txt:3"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q?", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert out.response.startswith("Done")
+    assert batched_calls == [["gamma target line", "unrelated content"]]
+    # every call got its own output, in order, with the right content
+    second = server.app.requests[1]["body"]
+    fco = [it for it in second["input"] if it.get("type") == "function_call_output"]
+    assert [o["call_id"] for o in fco] == ["call_0", "call_1", "call_2"]
+    assert "gamma target line" in fco[0]["output"]
+    assert "unrelated content" in fco[1]["output"]
+    assert fco[2]["output"].startswith(f"<chunk file={corpus[0]}")
+    logs = capsys.readouterr().out
+    assert logs.count("[Tool Call: search]") == 2
+    assert logs.index('query: "gamma target line"') < logs.index('query: "unrelated content"')
+
+
+def test_parallel_search_different_configs_stay_single(corpus, fallback_model, monkeypatch):
+    """Mismatched per-call configs fall back to per-call execution."""
+    import semtools_tpu.ask.tools as tools_mod
+
+    def forbid_batched(*a, **kw):
+        raise AssertionError("configs differ: must not batch")
+
+    monkeypatch.setattr(tools_mod, "search_tool_batched", forbid_batched)
+    script = [
+        _responses_multi_tool_call([
+            ("search", {"query": "gamma", "config": {"top_k": 1}}),
+            ("search", {"query": "alpha", "config": {"top_k": 2}}),
+        ]),
+        responses_text("ok [1].\n\n## References\n[1] notes.txt:1"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q?", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert out.response.startswith("ok")
+
+
+def test_parallel_search_calls_chat_mode(corpus, fallback_model):
+    script = [
+        {
+            "choices": [{
+                "message": {
+                    "role": "assistant", "content": None,
+                    "tool_calls": [
+                        {"id": f"c{i}", "type": "function",
+                         "function": {"name": "search",
+                                      "arguments": json.dumps({"query": q})}}
+                        for i, q in enumerate(["gamma target", "delta line"])
+                    ],
+                }
+            }]
+        },
+        chat_text_response("fine [1].\n\n## References\n[1] notes.txt:3"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q?", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.CHAT,
+        )
+    assert out.response.startswith("fine")
+    second = server.app.requests[1]["body"]
+    tool_msgs = [m for m in second["messages"] if m["role"] == "tool"]
+    assert [m["tool_call_id"] for m in tool_msgs] == ["c0", "c1"]
+    assert "gamma target" in tool_msgs[0]["content"]
