@@ -1157,12 +1157,16 @@ class Store:
         for start in range(0, len(slots), self._HOST_SCAN_CHUNK):
             block = slots[start : start + self._HOST_SCAN_CHUNK]
             rows = np.asarray(mm[block])
-            d = 1.0 - rows @ qs.T  # [block, Q]
-            take = min(need, d.shape[0])
-            for r in range(qn):
-                part = np.argpartition(d[:, r], take - 1)[:take]
-                cand_d[r].append(d[part, r])
-                cand_r[r].append(part + start)
+            # bound the [block, q_chunk] score matrix: a 1000-query batch
+            # against a 256k-row block would otherwise spike ~1 GB
+            for q0 in range(0, qn, 64):
+                d = 1.0 - rows @ qs[q0 : q0 + 64].T  # [block, <=64]
+                take = min(need, d.shape[0])
+                for rr in range(d.shape[1]):
+                    r = q0 + rr
+                    part = np.argpartition(d[:, rr], take - 1)[:take]
+                    cand_d[r].append(d[part, rr])
+                    cand_r[r].append(part + start)
         del mm
         out: List[List[RankedLine]] = []
         for r in range(qn):
