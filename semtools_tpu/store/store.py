@@ -930,11 +930,10 @@ class Store:
                 return hits
 
         q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        if not full_store and self._prefer_host_scan(
-            n_rows, self.dim * 4, warm=False
-        ):
-            # Subset queries upload their gathered rows EVERY call (no
-            # cache) — the same link arithmetic applies per query.
+        # The compact path uploads its gathered rows EVERY call (subset
+        # queries have no cache; a full-store query only lands here when
+        # the slot cache declined) — the same link arithmetic applies.
+        if self._prefer_host_scan(n_rows, self.dim * 4, warm=False):
             hits = self._search_host(ranges, q, top_k, max_distance)
             if hits is not None:
                 return hits[0]
@@ -1014,9 +1013,8 @@ class Store:
             if hits is not None:
                 return hits
 
-        if not full_store and self._prefer_host_scan(
-            n_rows, self.dim * 4, warm=False
-        ):
+        # compact path: per-call upload (see the single-query comment)
+        if self._prefer_host_scan(n_rows, self.dim * 4, warm=False):
             hits = self._search_host(ranges, qs, top_k, max_distance)
             if hits is not None:
                 return hits
