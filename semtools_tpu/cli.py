@@ -102,6 +102,8 @@ def _read_queries_file(path: str, files_given: bool) -> List[str]:
                 "--queries-file - needs document files as arguments "
                 "(stdin cannot be both the query list and the document)"
             )
+        if sys.stdin.isatty():
+            raise ValueError("--queries-file - expects queries piped on stdin")
         text = sys.stdin.read()
     else:
         text = read_file_text(path)
