@@ -36,7 +36,7 @@ SEMTOOLS_WORKSPACE=smoke python -m semtools_tpu.cli workspace prune </dev/null
 
 echo "== quantitative bench smoke (CPU, small) =="
 python benchmarks/quantitative/run_bench.py --small \
-  --configs search_e2e,batched_scan,workspace_warm
+  --configs search_e2e,batched_scan,workspace_warm,workspace_batched
 
 if [[ "${1:-}" == "--tpu" ]]; then
   echo "== headline bench (real chip) =="
