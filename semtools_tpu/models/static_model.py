@@ -241,10 +241,13 @@ class StaticModel:
 
             n_tokens = sum(min(len(x), max_len) for x in token_lists)
             if choose_host_embed(self.table_np, len(token_lists), n_tokens):
-                return embed_token_lists_host(
-                    self.table_np, token_lists,
-                    max_length=max_len, normalize=self.normalize,
-                )
+                from semtools_tpu.utils.tracing import stage
+
+                with stage("embed_host"):
+                    return embed_token_lists_host(
+                        self.table_np, token_lists,
+                        max_length=max_len, normalize=self.normalize,
+                    )
         return embed_token_lists(
             self.table,
             token_lists,

@@ -1151,40 +1151,43 @@ class Store:
         corpus never materializes in RAM. Same semantics as the device
         tiers: top_k nearest per query (stable ties toward the lower
         corpus position), then the strict threshold filter."""
+        from semtools_tpu.utils.tracing import stage
+
         mm = self._mmap("r")
         if mm is None:
             return None
-        qn = qs.shape[0]
-        need = min(top_k, sum(n for _, _, n in ranges))
-        cand_d = [[] for _ in range(qn)]
-        cand_r = [[] for _ in range(qn)]
-        slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
-        slots = np.concatenate(slot_blocks)
-        for start in range(0, len(slots), self._HOST_SCAN_CHUNK):
-            block = slots[start : start + self._HOST_SCAN_CHUNK]
-            rows = np.asarray(mm[block])
-            # bound the [block, q_chunk] score matrix: a 1000-query batch
-            # against a 256k-row block would otherwise spike ~1 GB
-            for q0 in range(0, qn, 64):
-                d = 1.0 - rows @ qs[q0 : q0 + 64].T  # [block, <=64]
-                take = min(need, d.shape[0])
-                for rr in range(d.shape[1]):
-                    r = q0 + rr
-                    part = np.argpartition(d[:, rr], take - 1)[:take]
-                    cand_d[r].append(d[part, rr])
-                    cand_r[r].append(part + start)
-        del mm
-        out: List[List[RankedLine]] = []
-        for r in range(qn):
-            dd = np.concatenate(cand_d[r])
-            rr = np.concatenate(cand_r[r])
-            order = np.lexsort((rr, dd))[:top_k]
-            dd, rr = dd[order], rr[order]
-            if max_distance is not None:
-                keep = dd < max_distance
-                dd, rr = dd[keep], rr[keep]
-            out.append(self._ranked_from_scan_rows(ranges, rr, dd))
-        return out
+        with stage("host_scan"):
+            qn = qs.shape[0]
+            need = min(top_k, sum(n for _, _, n in ranges))
+            cand_d = [[] for _ in range(qn)]
+            cand_r = [[] for _ in range(qn)]
+            slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
+            slots = np.concatenate(slot_blocks)
+            for start in range(0, len(slots), self._HOST_SCAN_CHUNK):
+                block = slots[start : start + self._HOST_SCAN_CHUNK]
+                rows = np.asarray(mm[block])
+                # bound the [block, q_chunk] score matrix: a 1000-query
+                # batch against a 256k-row block would otherwise spike ~1 GB
+                for q0 in range(0, qn, 64):
+                    d = 1.0 - rows @ qs[q0 : q0 + 64].T  # [block, <=64]
+                    take = min(need, d.shape[0])
+                    for rr in range(d.shape[1]):
+                        r = q0 + rr
+                        part = np.argpartition(d[:, rr], take - 1)[:take]
+                        cand_d[r].append(d[part, rr])
+                        cand_r[r].append(part + start)
+            del mm
+            out: List[List[RankedLine]] = []
+            for r in range(qn):
+                dd = np.concatenate(cand_d[r])
+                rr = np.concatenate(cand_r[r])
+                order = np.lexsort((rr, dd))[:top_k]
+                dd, rr = dd[order], rr[order]
+                if max_distance is not None:
+                    keep = dd < max_distance
+                    dd, rr = dd[keep], rr[keep]
+                out.append(self._ranked_from_scan_rows(ranges, rr, dd))
+            return out
 
     def _search_slot_cached(
         self, query_vec, top_k: int,
