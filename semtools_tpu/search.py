@@ -403,27 +403,75 @@ def search_with_workspace(
 
 def _workspace_update(files, model, config, store) -> None:
     """The incremental re-embed + upsert + ANN-refresh flow shared by the
-    single-query and batched workspace searches (src/search/mod.rs:164-207)."""
+    single-query and batched workspace searches (src/search/mod.rs:164-207).
+
+    LINE-LEVEL REUSE: a changed file re-embeds only the lines whose
+    content hash is not already present in its stored block (the store's
+    ``lines.h64`` sidecar) — a 1-line edit to a 50k-line file embeds one
+    line, not 50k. Embeddings depend only on the (case-folded) text, so
+    a hash hit can copy the stored f32 row verbatim; duplicate novel
+    lines across the whole batch embed once. Reuse is disabled when the
+    stored rows predate the current embedding version or model (the
+    store marks those docs version-mismatched)."""
     import sys
+
+    from semtools_tpu.store.store import CURRENT_EMBEDDING_VERSION
+    from semtools_tpu.utils.hashing import line_content_hash
 
     states = store.analyze_document_states(files)
 
     lines_upserted = 0
+    lines_reused = 0
+    unique_new = 0
     metas = []
     dirty = [s2.info for s2 in states if s2.kind in ("changed", "new")]
     if dirty:
-        docs = create_documents_from_contents(
-            [(info.filename, info.content) for info in dirty],
-            model, config.ignore_case, host=True,
-        )
-        by_name = {d.filename: d for d in docs}
-        bulk = []
+        prev_meta = store.get_existing_docs([i.filename for i in dirty])
+        plan = []  # (info, texts-to-embed hashes, per-doc old rows-by-hash)
+        novel: dict = {}  # hash -> text, first occurrence across the batch
         for info in dirty:
-            doc = by_name.get(info.filename)
-            if doc is not None:
-                bulk.append((info.filename, doc.embeddings))
-                lines_upserted += len(doc.lines)
-                metas.append(info.meta)
+            lines = split_lines(info.content)
+            if not lines:
+                continue  # empty docs are skipped (reference returns None)
+            texts = [ln.lower() for ln in lines] if config.ignore_case else lines
+            hashes = [line_content_hash(t) for t in texts]
+            old_rows: dict = {}
+            prev = prev_meta.get(info.filename)
+            if prev is not None and prev._version == CURRENT_EMBEDDING_VERSION:
+                old = store.get_doc_hash_rows(info.filename)
+                if old is not None:
+                    oh, orows = old
+                    for j, h in enumerate(oh.tolist()):
+                        if h and h not in old_rows:
+                            old_rows[h] = orows[j]
+            for h, t in zip(hashes, texts):
+                if h not in old_rows and h not in novel:
+                    novel[h] = t
+            plan.append((info, hashes, old_rows))
+
+        novel_rows: dict = {}
+        unique_new = len(novel)
+        if novel:
+            texts = list(novel.values())
+            with stage("embed"):
+                try:
+                    rows = model.encode(texts, max_length=2048, host=True)
+                except TypeError:
+                    rows = model.encode(texts, max_length=2048)
+            rows = np.asarray(rows, np.float32)
+            novel_rows = dict(zip(novel.keys(), rows))
+
+        bulk = []
+        for info, hashes, old_rows in plan:
+            mat = np.stack([
+                old_rows[h] if h in old_rows else novel_rows[h] for h in hashes
+            ]).astype(np.float32, copy=False)
+            bulk.append((
+                info.filename, mat, np.array(hashes, np.uint64)
+            ))
+            lines_upserted += len(hashes)
+            lines_reused += sum(1 for h in hashes if h in old_rows)
+            metas.append(info.meta)
         with stage("store_upsert"):
             store.upsert_documents_bulk(bulk)
 
@@ -432,6 +480,12 @@ def _workspace_update(files, model, config, store) -> None:
             f"Updating workspace with {lines_upserted} lines from new/changed docs...",
             file=sys.stderr,
         )
+        if lines_reused:
+            print(
+                f"  (reused {lines_reused} cached line embeddings; "
+                f"embedded {unique_new} unique new lines)",
+                file=sys.stderr,
+            )
     if metas:
         print(
             f"Updating workspace with {len(metas)} new/changed documents...",

@@ -46,6 +46,7 @@ LINE_EMBEDDING_SIZE = 256
 _HOST_SCAN_BPS = None  # calibrated lazily by Store._host_scan_rate
 
 _VECTORS_FILE = "lines.f32"
+_HASH_FILE = "lines.h64"
 _DB_FILE = "store.sqlite"
 _ANN_FILE = "ann.npz"
 _ANN_META_FILE = "ann_meta.npz"
@@ -205,6 +206,7 @@ class Store:
         self.dir = Path(workspace_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.vec_path = self.dir / _VECTORS_FILE
+        self.hash_path = self.dir / _HASH_FILE
         self.db = sqlite3.connect(self.dir / _DB_FILE)
         self.db.execute("PRAGMA journal_mode=WAL")
         self._init_schema()
@@ -278,12 +280,58 @@ class Store:
     def _grow_to(self, slots: int) -> None:
         with open(self.vec_path, "r+b") as f:
             f.truncate(slots * 4 * self.dim)
+        if self.hash_path.exists():
+            with open(self.hash_path, "r+b") as f:
+                f.truncate(slots * 8)
 
     def _mmap(self, mode: str = "r") -> Optional[np.ndarray]:
         cap = self._capacity()
         if cap == 0:
             return None
         return np.memmap(self.vec_path, dtype=np.float32, mode=mode, shape=(cap, self.dim))
+
+    # -- line-hash sidecar -------------------------------------------------
+    #
+    # ``lines.h64`` holds one uint64 content hash per slot (0 = unknown),
+    # written alongside the vectors on upsert. It funds LINE-LEVEL REUSE:
+    # when a changed file is re-embedded, lines whose hash already exists
+    # in the document's old block copy their stored vector instead of
+    # re-tokenizing + re-embedding (search._workspace_update). Metadata
+    # stays O(documents); the sidecar is slot-aligned bulk data like the
+    # vectors themselves (8 B/line).
+
+    def _hash_mmap(self, mode: str = "r") -> Optional[np.ndarray]:
+        cap = self._capacity()
+        if cap == 0:
+            return None
+        if not self.hash_path.exists() or self.hash_path.stat().st_size != cap * 8:
+            if mode == "r":
+                return None  # absent/stale sidecar (older store): no reuse
+            with open(self.hash_path, "ab+") as f:
+                f.truncate(cap * 8)  # sparse zeros = unknown
+        return np.memmap(self.hash_path, dtype=np.uint64, mode=mode, shape=(cap,))
+
+    def get_doc_hash_rows(
+        self, path: str
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(line hashes, stored f32 rows) for a document's CURRENT block,
+        or None when the doc has no vectors or the store predates the
+        hash sidecar. Callers read this BEFORE upserting the replacement
+        (copy-on-write keeps the old block intact until commit)."""
+        row = self.db.execute(
+            "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+        ).fetchone()
+        if row is None or row[0] is None or not row[1]:
+            return None
+        hm = self._hash_mmap("r")
+        mm = self._mmap("r")
+        if hm is None or mm is None:
+            return None
+        s, n = int(row[0]), int(row[1])
+        hashes = np.asarray(hm[s : s + n])
+        rows = np.asarray(mm[s : s + n])
+        del hm, mm
+        return hashes, rows
 
     # -- free-range allocator ---------------------------------------------
 
@@ -324,9 +372,11 @@ class Store:
 
     # -- upserts -----------------------------------------------------------
 
-    def upsert_document_lines(self, path: str, embeddings: np.ndarray) -> None:
+    def upsert_document_lines(
+        self, path: str, embeddings: np.ndarray, line_hashes=None
+    ) -> None:
         """Replace a document's line vectors with a new contiguous block."""
-        self.upsert_documents_bulk([(path, embeddings)])
+        self.upsert_documents_bulk([(path, embeddings, line_hashes)])
 
     def upsert_documents_bulk(
         self, items: Sequence[Tuple[str, np.ndarray]]
@@ -341,13 +391,14 @@ class Store:
             return
         # Last write wins for duplicate paths within one batch — staging
         # the same path twice would free its old range twice (the docs row
-        # only updates at commit).
-        deduped = {path: emb for path, emb in items}
+        # only updates at commit). Items are (path, embeddings) or
+        # (path, embeddings, line_hashes) — hashes feed the reuse sidecar.
+        deduped = {it[0]: it[1:] for it in items}
         # Validate and coerce EVERYTHING before mutating anything so the
         # write loop below cannot fail on caller input.
         checked = []
-        for path, embeddings in deduped.items():
-            embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+        for path, rest in deduped.items():
+            embeddings = np.ascontiguousarray(rest[0], dtype=np.float32)
             if embeddings.ndim != 2 or (
                 embeddings.shape[0] and embeddings.shape[1] != self.dim
             ):
@@ -355,7 +406,15 @@ class Store:
                     f"embeddings for {path!r} have shape {embeddings.shape}; "
                     f"expected [n, {self.dim}]"
                 )
-            checked.append((path, embeddings))
+            hashes = rest[1] if len(rest) > 1 and rest[1] is not None else None
+            if hashes is not None:
+                hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+                if hashes.shape != (embeddings.shape[0],):
+                    raise ValueError(
+                        f"line_hashes for {path!r} have shape {hashes.shape}; "
+                        f"expected ({embeddings.shape[0]},)"
+                    )
+            checked.append((path, embeddings, hashes))
 
         # Copy-on-write ordering: allocate fresh ranges WITHOUT freeing the
         # live ones, write+flush the mmap, commit the docs rows, and only
@@ -366,9 +425,9 @@ class Store:
         # commit free, which the next upsert batch re-merges). Freeing
         # before the commit could let one batch member's fresh allocation
         # overwrite another member's still-committed vectors.
-        staged = []  # (path, start, n, embeddings)
+        staged = []  # (path, start, n, embeddings, hashes)
         replaced = []  # (old_start, old_len) released only after commit
-        for path, embeddings in checked:
+        for path, embeddings, hashes in checked:
             n = embeddings.shape[0]
             row = self.db.execute(
                 "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
@@ -376,15 +435,24 @@ class Store:
             if row is not None and row[0] is not None:
                 replaced.append((int(row[0]), int(row[1])))
             start = self._alloc_range(n)
-            staged.append((path, start, n, embeddings))
+            staged.append((path, start, n, embeddings, hashes))
 
-        if any(n for _, _, n, _ in staged):
+        if any(n for _, _, n, _, _ in staged):
             mm = self._mmap("r+")
-            for _, start, n, embeddings in staged:
+            for _, start, n, embeddings, _ in staged:
                 if n:
                     mm[start : start + n] = embeddings
             mm.flush()
             del mm
+            hm = self._hash_mmap("r+")
+            if hm is not None:
+                for _, start, n, _, hashes in staged:
+                    if n:
+                        hm[start : start + n] = (
+                            hashes if hashes is not None else 0
+                        )
+                hm.flush()
+                del hm
         # vec_rev = the generation this write lands in: even if the
         # allocator hands a path the exact (start, n) range it held
         # before, the revision proves the bytes changed.
@@ -397,7 +465,7 @@ class Store:
             [
                 (_to_i64(doc_id(path)), path, start, n, next_rev,
                  start, n, next_rev)
-                for path, start, n, _ in staged
+                for path, start, n, _, _ in staged
             ],
         )
         self._bump_generation()

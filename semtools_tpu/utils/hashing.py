@@ -25,6 +25,22 @@ def doc_id(path: str) -> int:
     return fnv1a_64(path.encode("utf-8"))
 
 
+def line_content_hash(text: str) -> int:
+    """Nonzero 64-bit content hash of an (already case-folded) line.
+
+    Keys the store's line-reuse sidecar (store.py ``lines.h64``); 0 is
+    reserved for "unknown" so rows written without hashes never match.
+    blake2b runs in C at >1 GB/s — the per-byte Python FNV above would
+    dominate large updates.
+    """
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+    return h or 1
+
+
 def line_id(path: str, line_number: int) -> int:
     """Deterministic id for a (path, line) pair.
 
