@@ -217,6 +217,58 @@ def bench_workspace_batched(paths, model, results, q=32):
     })
 
 
+def bench_line_reuse(results, model, n_lines=50_000):
+    """1-line edit to a big file: update+query latency with the lines.h64
+    reuse sidecar vs with it removed (full re-embed)."""
+    import os
+    import time
+
+    from semtools_tpu.search import SearchConfig, search_with_workspace
+    from semtools_tpu.store import Workspace, WorkspaceConfig
+    from semtools_tpu.store.store import Store
+
+    name = "bench_line_reuse"
+    ws = Workspace(WorkspaceConfig(name=name, root_dir=Workspace.root_path(name)))
+    ws.save()
+    import tempfile
+
+    f = Path(tempfile.mkdtemp(prefix="line_reuse_")) / "big.txt"
+    lines = [f"stable piece of content number {i} with words" for i in range(n_lines)]
+    f.write_text("\n".join(lines) + "\n")
+    cfg = SearchConfig(top_k=3, n_lines=0)
+    t0 = _now()
+    search_with_workspace([str(f)], "content words", model, cfg, name)
+    cold = _now() - t0
+
+    def _edit(i, text, bump):
+        # distinct text LENGTHS + distinct integer mtimes: change
+        # detection compares size_bytes and int(mtime) (store.rs parity)
+        lines[i] = text
+        f.write_text("\n".join(lines) + "\n")
+        st = f.stat()
+        os.utime(f, (st.st_atime, st.st_mtime + bump))
+
+    _edit(n_lines // 2, "the edited needle line", 7)
+    t0 = _now()
+    hits = search_with_workspace([str(f)], "edited needle", model, cfg, name)
+    with_reuse = _now() - t0
+    assert hits and hits[0].line_number == n_lines // 2
+
+    with Store(Workspace.root_path(name), dim=model.dim) as s:
+        s.hash_path.unlink()  # pre-sidecar behavior: full re-embed
+    _edit(n_lines // 2, "the edited needle line but longer now", 14)
+    t0 = _now()
+    search_with_workspace([str(f)], "edited needle", model, cfg, name)
+    without_reuse = _now() - t0
+
+    results.append({
+        "config": "line_reuse_edit", "metric": "update_plus_query_seconds",
+        "value": with_reuse, "without_reuse_s": without_reuse,
+        "speedup": without_reuse / max(with_reuse, 1e-9),
+        "total_lines": n_lines, "cold_build_s": cold,
+    })
+
+
 def bench_ivfpq(results, n=200_000, d=256, n_queries=100, k=10):
     import numpy as np
 
@@ -405,7 +457,8 @@ def bench_tier_recall(results, n=200_000, d=256, n_queries=50, k=10):
 
 ALL = [
     "search_e2e", "batched_scan", "batched_threshold", "workspace_warm",
-    "workspace_batched", "ivfpq_recall", "sharded_scan", "tier_recall",
+    "workspace_batched", "line_reuse", "ivfpq_recall", "sharded_scan",
+    "tier_recall",
 ]
 
 
@@ -455,6 +508,8 @@ def main():
             bench_workspace_warm(paths, model, results)
         if "workspace_batched" in configs:
             bench_workspace_batched(paths, model, results, q=8 if args.small else 32)
+        if "line_reuse" in configs:
+            bench_line_reuse(results, model, n_lines=5_000 if args.small else 50_000)
         if "ivfpq_recall" in configs:
             if args.small:
                 bench_ivfpq(results, n=20_000, n_queries=20)
