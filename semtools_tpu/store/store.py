@@ -207,8 +207,15 @@ class Store:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.vec_path = self.dir / _VECTORS_FILE
         self.hash_path = self.dir / _HASH_FILE
+        # Cross-PROCESS writer lock (see _write_lock): sqlite's implicit
+        # per-statement transactions do not make the multi-statement
+        # allocator atomic, and the mmap writes sit outside sqlite
+        # entirely. flock releases on process death.
+        self._lock_fh = open(self.dir / ".write.lock", "a")
+        self._lock_depth = 0
         self.db = sqlite3.connect(self.dir / _DB_FILE)
         self.db.execute("PRAGMA journal_mode=WAL")
+        self.db.execute("PRAGMA busy_timeout=30000")
         self._init_schema()
         self.dim = self._resolve_dim(dim)
         self._check_model(model_name)
@@ -270,6 +277,39 @@ class Store:
                 "UPDATE meta SET value = ? WHERE key='model'", (model_name,)
             )
             self.db.commit()
+
+    # -- cross-process writer lock ----------------------------------------
+
+    def _write_lock(self):
+        """Reentrant EXCLUSIVE flock held across every mutation.
+
+        Two concurrent CLI processes updating one workspace could
+        otherwise both claim the same free range (_alloc_range's SELECT
+        then DELETE are separate implicit transactions) and clobber each
+        other's mmap bytes. Readers take no lock: copy-on-write upserts
+        keep committed ranges intact until after commit.
+        """
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _held():
+            if self._lock_depth:
+                self._lock_depth += 1
+                try:
+                    yield
+                finally:
+                    self._lock_depth -= 1
+                return
+            fcntl.flock(self._lock_fh, fcntl.LOCK_EX)
+            self._lock_depth = 1
+            try:
+                yield
+            finally:
+                self._lock_depth = 0
+                fcntl.flock(self._lock_fh, fcntl.LOCK_UN)
+
+        return _held()
 
     # -- vector file -------------------------------------------------------
 
@@ -425,55 +465,56 @@ class Store:
         # commit free, which the next upsert batch re-merges). Freeing
         # before the commit could let one batch member's fresh allocation
         # overwrite another member's still-committed vectors.
-        staged = []  # (path, start, n, embeddings, hashes)
-        replaced = []  # (old_start, old_len) released only after commit
-        for path, embeddings, hashes in checked:
-            n = embeddings.shape[0]
-            row = self.db.execute(
-                "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
-            ).fetchone()
-            if row is not None and row[0] is not None:
-                replaced.append((int(row[0]), int(row[1])))
-            start = self._alloc_range(n)
-            staged.append((path, start, n, embeddings, hashes))
+        with self._write_lock():
+            staged = []  # (path, start, n, embeddings, hashes)
+            replaced = []  # (old_start, old_len) released only after commit
+            for path, embeddings, hashes in checked:
+                n = embeddings.shape[0]
+                row = self.db.execute(
+                    "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+                ).fetchone()
+                if row is not None and row[0] is not None:
+                    replaced.append((int(row[0]), int(row[1])))
+                start = self._alloc_range(n)
+                staged.append((path, start, n, embeddings, hashes))
 
-        if any(n for _, _, n, _, _ in staged):
-            mm = self._mmap("r+")
-            for _, start, n, embeddings, _ in staged:
-                if n:
-                    mm[start : start + n] = embeddings
-            mm.flush()
-            del mm
-            hm = self._hash_mmap("r+")
-            if hm is not None:
-                for _, start, n, _, hashes in staged:
+            if any(n for _, _, n, _, _ in staged):
+                mm = self._mmap("r+")
+                for _, start, n, embeddings, _ in staged:
                     if n:
-                        hm[start : start + n] = (
-                            hashes if hashes is not None else 0
-                        )
-                hm.flush()
-                del hm
-        # vec_rev = the generation this write lands in: even if the
-        # allocator hands a path the exact (start, n) range it held
-        # before, the revision proves the bytes changed.
-        next_rev = self.generation() + 1
-        self.db.executemany(
-            """INSERT INTO docs (id, path, slot_start, n_lines, vec_rev)
-               VALUES (?, ?, ?, ?, ?)
-               ON CONFLICT(path) DO UPDATE SET
-                 slot_start = ?, n_lines = ?, vec_rev = ?""",
-            [
-                (_to_i64(doc_id(path)), path, start, n, next_rev,
-                 start, n, next_rev)
-                for path, start, n, _, _ in staged
-            ],
-        )
-        self._bump_generation()
-        self.db.commit()
-        for old_start, old_len in replaced:
-            self._free_range(old_start, old_len)
-        if replaced:
+                        mm[start : start + n] = embeddings
+                mm.flush()
+                del mm
+                hm = self._hash_mmap("r+")
+                if hm is not None:
+                    for _, start, n, _, hashes in staged:
+                        if n:
+                            hm[start : start + n] = (
+                                hashes if hashes is not None else 0
+                            )
+                    hm.flush()
+                    del hm
+            # vec_rev = the generation this write lands in: even if the
+            # allocator hands a path the exact (start, n) range it held
+            # before, the revision proves the bytes changed.
+            next_rev = self.generation() + 1
+            self.db.executemany(
+                """INSERT INTO docs (id, path, slot_start, n_lines, vec_rev)
+                   VALUES (?, ?, ?, ?, ?)
+                   ON CONFLICT(path) DO UPDATE SET
+                     slot_start = ?, n_lines = ?, vec_rev = ?""",
+                [
+                    (_to_i64(doc_id(path)), path, start, n, next_rev,
+                     start, n, next_rev)
+                    for path, start, n, _, _ in staged
+                ],
+            )
+            self._bump_generation()
             self.db.commit()
+            for old_start, old_len in replaced:
+                self._free_range(old_start, old_len)
+            if replaced:
+                self.db.commit()
 
     def upsert_line_embeddings(self, line_embeddings: Sequence[LineEmbedding]) -> None:
         """Group by path and replace each document's block (one bulk
@@ -499,24 +540,25 @@ class Store:
         self.upsert_documents_bulk(bulk)
 
     def upsert_document_metadata(self, metas: Sequence[DocMeta]) -> None:
-        for meta in metas:
-            self.db.execute(
-                """INSERT INTO docs (id, path, size_bytes, mtime, version)
-                   VALUES (?, ?, ?, ?, ?)
-                   ON CONFLICT(path) DO UPDATE SET
-                     size_bytes = ?, mtime = ?, version = ?""",
-                (
-                    _to_i64(meta.id()),
-                    meta.path,
-                    meta.size_bytes,
-                    meta.mtime,
-                    meta._version,
-                    meta.size_bytes,
-                    meta.mtime,
-                    meta._version,
-                ),
-            )
-        self.db.commit()
+        with self._write_lock():
+            for meta in metas:
+                self.db.execute(
+                    """INSERT INTO docs (id, path, size_bytes, mtime, version)
+                       VALUES (?, ?, ?, ?, ?)
+                       ON CONFLICT(path) DO UPDATE SET
+                         size_bytes = ?, mtime = ?, version = ?""",
+                    (
+                        _to_i64(meta.id()),
+                        meta.path,
+                        meta.size_bytes,
+                        meta.mtime,
+                        meta._version,
+                        meta.size_bytes,
+                        meta.mtime,
+                        meta._version,
+                    ),
+                )
+            self.db.commit()
 
     # -- reads -------------------------------------------------------------
 
@@ -1510,33 +1552,36 @@ class Store:
     # -- deletes -----------------------------------------------------------
 
     def delete_line_embeddings(self, paths: Sequence[str]) -> None:
-        for path in paths:
-            row = self.db.execute(
-                "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
-            ).fetchone()
-            if row and row[0] is not None:
-                self._free_range(row[0], row[1])
-                self.db.execute(
-                    "UPDATE docs SET slot_start = NULL, n_lines = NULL WHERE path = ?",
-                    (path,),
-                )
-        self._bump_generation()
-        self.db.commit()
-        self._drop_empty_rows()
+        with self._write_lock():
+            for path in paths:
+                row = self.db.execute(
+                    "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+                ).fetchone()
+                if row and row[0] is not None:
+                    self._free_range(row[0], row[1])
+                    self.db.execute(
+                        "UPDATE docs SET slot_start = NULL, n_lines = NULL WHERE path = ?",
+                        (path,),
+                    )
+            self._bump_generation()
+            self.db.commit()
+            self._drop_empty_rows()
 
     def delete_document_metadata(self, paths: Sequence[str]) -> None:
-        for path in paths:
-            self.db.execute(
-                """UPDATE docs SET size_bytes = NULL, mtime = NULL, version = NULL
-                   WHERE path = ?""",
-                (path,),
-            )
-        self.db.commit()
-        self._drop_empty_rows()
+        with self._write_lock():
+            for path in paths:
+                self.db.execute(
+                    """UPDATE docs SET size_bytes = NULL, mtime = NULL, version = NULL
+                       WHERE path = ?""",
+                    (path,),
+                )
+            self.db.commit()
+            self._drop_empty_rows()
 
     def delete_documents(self, paths: Sequence[str]) -> None:
-        self.delete_document_metadata(paths)
-        self.delete_line_embeddings(paths)
+        with self._write_lock():
+            self.delete_document_metadata(paths)
+            self.delete_line_embeddings(paths)
 
     def _drop_empty_rows(self) -> None:
         self.db.execute(
@@ -1552,6 +1597,10 @@ class Store:
     def close(self) -> None:
         self.db.commit()
         self.db.close()
+        try:
+            self._lock_fh.close()
+        except Exception:
+            pass
 
     def __enter__(self) -> "Store":
         return self
