@@ -122,6 +122,7 @@ def test_int8_selection_exact_over_quantized_random(seed):
         {"SEMTOOLS_TPU_SHARDED": "1", "SEMTOOLS_TPU_STORE_INT8": "1"},
         {"SEMTOOLS_TPU_REDUCED_DIM": "8",
          "SEMTOOLS_TPU_DEVICE_CACHE_BYTES": "4000"},
+        {"SEMTOOLS_TPU_SCAN": "host"},
     ],
 )
 def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
@@ -139,6 +140,7 @@ def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
     rng = np.random.default_rng(4242)
     s = Store(str(tmp_path / "fz_tier"), dim=16)
     model = {}
+    hash_model = {}
     paths = [f"/doc{i}.txt" for i in range(6)]
 
     for step in range(25):
@@ -146,12 +148,15 @@ def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
         p = paths[int(rng.integers(0, len(paths)))]
         if op < 0.55:
             m = _unit(rng, int(rng.integers(1, 30)), 16)
-            s.upsert_document_lines(p, m)
+            hashes = (rng.integers(1, 1 << 62, len(m))).astype(np.uint64)
+            s.upsert_document_lines(p, m, hashes)
             model[p] = m
+            hash_model[p] = hashes
         elif op < 0.75 and model:
             victim = list(model)[int(rng.integers(0, len(model)))]
             s.delete_line_embeddings([victim])
             del model[victim]
+            hash_model.pop(victim, None)
         else:
             if not model:
                 continue
@@ -166,6 +171,12 @@ def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
             expect = [(owner[j][0], owner[j][1]) for j in expect_order]
             assert [(rl.path, rl.line_number) for rl in got] == expect, (
                 step, tier_env, got, expect)
+            # hash sidecar stays consistent under allocator churn
+            probe = list(model)[int(rng.integers(0, len(model)))]
+            hr = s.get_doc_hash_rows(probe)
+            assert hr is not None
+            np.testing.assert_array_equal(hr[0], hash_model[probe])
+            np.testing.assert_allclose(hr[1], model[probe], atol=1e-6)
             # batched serving must agree with brute force under the same
             # mutation history and tier (first row = the single query)
             qs = np.concatenate([q[None], _unit(rng, 2, 16)], axis=0)
