@@ -113,6 +113,13 @@ def execute_tool_calls(
             query, config = parsed[i]
             _log_search(query, config)
             content = outputs[i]
+        elif i in parsed:  # lone search call: reuse the parsed args
+            query, config = parsed[i]
+            _log_search(query, config)
+            content = search_tool(
+                files, query, model, config,
+                cur_output.files_searched, workspace_name,
+            )
         else:
             content = call_tool(
                 name, args_json, files, model, cur_output, workspace_name

@@ -107,7 +107,9 @@ def _read_queries_file(path: str, files_given: bool) -> List[str]:
         text = sys.stdin.read()
     else:
         text = read_file_text(path)
-    return [ln for ln in text.split("\n") if ln.strip()]
+    # split_lines strips \r\n — a CRLF queries file must not leave a
+    # stray \r inside every query (it would embed into the query vector)
+    return [ln for ln in split_lines(text) if ln.strip()]
 
 
 def _print_batched(queries, per_query, printer, to_json) -> None:

@@ -426,7 +426,6 @@ def _workspace_update(files, model, config, store) -> None:
     metas = []
     dirty = [s2.info for s2 in states if s2.kind in ("changed", "new")]
     if dirty:
-        prev_meta = store.get_existing_docs([i.filename for i in dirty])
         plan = []  # (info, texts-to-embed hashes, per-doc old rows-by-hash)
         novel: dict = {}  # hash -> text, first occurrence across the batch
         for info in dirty:
@@ -436,8 +435,7 @@ def _workspace_update(files, model, config, store) -> None:
             texts = [ln.lower() for ln in lines] if config.ignore_case else lines
             hashes = [line_content_hash(t) for t in texts]
             old_rows: dict = {}
-            prev = prev_meta.get(info.filename)
-            if prev is not None and prev._version == CURRENT_EMBEDDING_VERSION:
+            if info.prev_version == CURRENT_EMBEDDING_VERSION:
                 old = store.get_doc_hash_rows(info.filename)
                 if old is not None:
                     oh, orows = old

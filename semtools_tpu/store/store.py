@@ -36,7 +36,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from semtools_tpu.ops.scan import threshold_scan, topk_scan
+from semtools_tpu.ops.scan import topk_scan
 from semtools_tpu.utils.hashing import doc_id
 from semtools_tpu.utils.text import read_file_text
 
@@ -149,6 +149,9 @@ class DocumentInfo:
     filename: str
     content: str
     meta: DocMeta
+    # stored rows' embedding version before this change (None for new
+    # docs) — the line-reuse path only trusts current-version rows
+    prev_version: Optional[int] = None
 
 
 @dataclass
@@ -311,6 +314,28 @@ class Store:
 
         return _held()
 
+    def _read_lock(self):
+        """SHARED flock for reads that must not observe a concurrent
+        writer's slot reuse mid-read. Ordinary searches skip this (a torn
+        read there is transient staleness); the line-reuse snapshot must
+        not be torn — copied rows are PERSISTED as the new embeddings.
+        No-op when this process already holds the exclusive lock."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _held():
+            if self._lock_depth:
+                yield
+                return
+            fcntl.flock(self._lock_fh, fcntl.LOCK_SH)
+            try:
+                yield
+            finally:
+                fcntl.flock(self._lock_fh, fcntl.LOCK_UN)
+
+        return _held()
+
     # -- vector file -------------------------------------------------------
 
     def _capacity(self) -> int:
@@ -358,20 +383,21 @@ class Store:
         or None when the doc has no vectors or the store predates the
         hash sidecar. Callers read this BEFORE upserting the replacement
         (copy-on-write keeps the old block intact until commit)."""
-        row = self.db.execute(
-            "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
-        ).fetchone()
-        if row is None or row[0] is None or not row[1]:
-            return None
-        hm = self._hash_mmap("r")
-        mm = self._mmap("r")
-        if hm is None or mm is None:
-            return None
-        s, n = int(row[0]), int(row[1])
-        hashes = np.asarray(hm[s : s + n])
-        rows = np.asarray(mm[s : s + n])
-        del hm, mm
-        return hashes, rows
+        with self._read_lock():
+            row = self.db.execute(
+                "SELECT slot_start, n_lines FROM docs WHERE path = ?", (path,)
+            ).fetchone()
+            if row is None or row[0] is None or not row[1]:
+                return None
+            hm = self._hash_mmap("r")
+            mm = self._mmap("r")
+            if hm is None or mm is None:
+                return None
+            s, n = int(row[0]), int(row[1])
+            hashes = np.asarray(hm[s : s + n])
+            rows = np.asarray(mm[s : s + n])
+            del hm, mm
+            return hashes, rows
 
     # -- free-range allocator ---------------------------------------------
 
@@ -837,35 +863,6 @@ class Store:
             )
         return out
 
-    def _search_ann(
-        self,
-        index,
-        slots: np.ndarray,
-        query_vec: np.ndarray,
-        top_k: int,
-        max_distance: Optional[float],
-    ) -> List[RankedLine]:
-        """ANN probe + exact re-rank against the mmap'd original vectors."""
-        q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        # 64x-k candidate depth: at 200k clustered rows the residual-PQ
-        # probe's candidate recall@10 is 0.94 at 16x but 1.000 at 64x —
-        # the exact re-rank of ~640 rows is noise next to the probe
-        # itself, so the deeper cut is effectively free.
-        oversample = max(64 * top_k, 256)
-        nprobe = max(16, index.nlist // 16)
-        _, ids = index.search(q, k=min(oversample, index.n), nprobe=nprobe)
-        ids = ids[0]
-        ids = ids[ids >= 0]  # drop padding entries from under-filled probes
-        cand_slots = slots[ids]
-        mm = self._mmap("r")
-        rows = np.asarray(mm[cand_slots])
-        del mm
-        exact = 1.0 - (rows @ q[0])
-        order = np.argsort(exact, kind="stable")[:top_k]
-        if max_distance is not None:
-            order = order[exact[order] < max_distance]
-        return self._ranked_from_slots(self._valid_ranges_cached(), cand_slots, exact, order)
-
     def _search_ann_batched(
         self,
         index,
@@ -930,7 +927,10 @@ class Store:
                 or prev._version != CURRENT_EMBEDDING_VERSION
             ):
                 states.append(
-                    DocumentState.changed(DocumentInfo(path, read_file_text(path), current))
+                    DocumentState.changed(DocumentInfo(
+                        path, read_file_text(path), current,
+                        prev_version=prev._version,
+                    ))
                 )
             else:
                 states.append(DocumentState.unchanged(path))
@@ -966,100 +966,18 @@ class Store:
         max_distance: Optional[float] = None,
     ) -> List[RankedLine]:
         """Exact filtered scan. Workspace-mode semantics: a score threshold
-        still truncates to top_k (store.rs:517,538-543)."""
+        still truncates to top_k (store.rs:517,538-543).
+
+        Delegates to the batched implementation with a batch of one —
+        the tier ladder lives in ONE place (a review found the earlier
+        single/batched copies already drifting)."""
         if not subset_paths or top_k == 0:
             return []
-        ranges = self._subset_slots(subset_paths)
-        if not ranges:
-            return []
-
-        valid = self._valid_ranges_cached()
-        full_store = {r[0] for r in ranges} == {r[0] for r in valid}
-        if full_store:
-            # Canonicalize full-store scans to SLOT order: the device cache
-            # key is (dir, generation), so the gathered row order must not
-            # depend on the caller's path order, and the slot-bisection
-            # mapping requires sorted starts.
-            ranges = valid
-
-        n_rows = sum(n for _, _, n in ranges)
-
-        def _gather():
-            mm = self._mmap("r")
-            if mm is None:
-                return None
-            slot_blocks = [np.arange(s, s + n, dtype=np.int64) for _, s, n in ranges]
-            slots = np.concatenate(slot_blocks)
-            corpus = np.asarray(mm[slots])  # gather subset into RAM then device
-            del mm
-            return corpus
-
-        # ANN capacity tier: only when the corpus cannot live on-device
-        # (or forced) AND a fresh IVF-PQ index exists, and only for
-        # whole-store queries. Subset queries keep the exact scan —
-        # filtered ANN would re-introduce the recall gap the reference's
-        # per-chunk limit had (store.rs:517).
-        if full_store and self._use_ann_tier(n_rows):
-            fresh = self._ann_fresh()
-            if fresh is not None:
-                return self._search_ann(
-                    fresh[0], fresh[1], query_vec, top_k, max_distance
-                )
-
-        if full_store:
-            # Device serving: the patchable slot-space corpus
-            # (store/patch_cache.py) — generation moves apply an
-            # O(changed-bytes) in-place patch instead of a full re-upload.
-            # On multi-device hosts the corpus is row-sharded over the
-            # mesh and per-device candidates merge over ICI
-            # (parallel/scan.py). Tier (f32 / int8 / reduced-int8) chosen
-            # by the size policy; None falls through to the exact compact
-            # path below.
-            mesh = None
-            if _sharded_enabled(n_rows):
-                from semtools_tpu.parallel.mesh import corpus_mesh
-
-                mesh = corpus_mesh()
-            from semtools_tpu.store import patch_cache
-
-            kind, rd = self._device_kind(n_rows)
-            if self._prefer_host_scan(
-                n_rows, self._tier_bytes_per_row(kind, rd),
-                patch_cache.is_warm(self, kind, rd, mesh),
-            ):
-                hits = self._search_host(
-                    ranges, np.asarray(query_vec, np.float32).reshape(1, -1),
-                    top_k, max_distance,
-                )
-                if hits is not None:
-                    return hits[0]
-            hits = self._search_slot_cached(
-                query_vec, top_k, max_distance, n_rows, mesh
-            )
-            if hits is not None:
-                return hits
-
-        q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        # The compact path uploads its gathered rows EVERY call (subset
-        # queries have no cache; a full-store query only lands here when
-        # the slot cache declined) — the same link arithmetic applies.
-        if self._prefer_host_scan(n_rows, self.dim * 4, warm=False):
-            hits = self._search_host(ranges, q, top_k, max_distance)
-            if hits is not None:
-                return hits[0]
-
-        corpus = _gather()
-        if corpus is None:
-            return []
-        if max_distance is not None:
-            dists, idxs = threshold_scan(q, corpus, float(max_distance))
-            dists, idxs = dists[:top_k], idxs[:top_k]
-        else:
-            d, i = topk_scan(q, corpus, top_k)
-            dists, idxs = d[0], i[0]
-        return self._ranked_from_scan_rows(
-            ranges, np.asarray(idxs, np.int64), np.asarray(dists)
+        per = self.search_line_embeddings_batched(
+            np.asarray(query_vec, np.float32).reshape(1, -1),
+            subset_paths, top_k, max_distance,
         )
+        return per[0] if per else []
 
     def search_line_embeddings_batched(
         self,
@@ -1093,6 +1011,15 @@ class Store:
         if full_store:
             ranges = valid
         n_rows = sum(n for _, _, n in ranges)
+
+        # A FORCED host mode (SEMTOOLS_TPU_SCAN=host) outranks every tier,
+        # including the approximate ANN fallback — `workspace status`
+        # reports "host-mmap-scan" and the exact mmap scan must be what
+        # actually serves (review finding: the ANN branch used to win).
+        if os.environ.get("SEMTOOLS_TPU_SCAN", "").lower() == "host":
+            hits = self._search_host(ranges, qs, top_k, max_distance)
+            if hits is not None:
+                return hits
 
         if full_store and self._use_ann_tier(n_rows):
             fresh = self._ann_fresh()
@@ -1298,120 +1225,6 @@ class Store:
                     dd, rr = dd[keep], rr[keep]
                 out.append(self._ranked_from_scan_rows(ranges, rr, dd))
             return out
-
-    def _search_slot_cached(
-        self, query_vec, top_k: int,
-        max_distance: Optional[float], n_rows: int, mesh=None,
-    ) -> Optional[List[RankedLine]]:
-        """Whole-store serving from the patchable slot-space device corpus
-        (store/patch_cache.py), row-sharded over ``mesh`` when given.
-
-        Scan row == mmap slot; freed slots are zero rows that can only
-        outrank rows with negative similarity, so top-k scans request a
-        small slack, drop invalid slots host-side, and return None (exact
-        compact fallback) in the rare case the slack was not enough.
-        Compressed kinds re-rank an oversampled candidate set exactly
-        against the f32 originals, which also gives threshold queries an
-        exact boundary on 1-4 bytes/dim of streamed corpus.
-        """
-        from semtools_tpu.store import patch_cache
-
-        kind, reduced_dim = self._device_kind(n_rows)
-        sc = patch_cache.get(self, kind, reduced_dim, mesh)
-        if sc is None:
-            return None
-        q = np.asarray(query_vec, np.float32).reshape(1, -1)
-        need = min(top_k, n_rows)
-
-        def _ranked(slots, dists):
-            valid, ris, lines = sc.slot_owners(np.asarray(slots, np.int64))
-            out = [
-                RankedLine(sc.paths[int(r)], int(line), float(dv))
-                for ok, r, line, dv in zip(valid, ris, lines, np.asarray(dists))
-                if ok
-            ]
-            return out
-
-        def _topk(q_scan, k_scan):
-            """Top-k over the slot corpus — mesh-sharded or single-device.
-            Mixed f32-query x int8-rows works on both (XLA promotes)."""
-            if mesh is not None:
-                from semtools_tpu.parallel.scan import sharded_topk_scan_device
-
-                return sharded_topk_scan_device(
-                    q_scan, sc.corpus, sc.capacity, k_scan, mesh
-                )
-            return topk_scan(q_scan, sc.corpus, k_scan, n_true=sc.capacity)
-
-        if kind == "f32":
-            if max_distance is not None:
-                if mesh is not None:
-                    from semtools_tpu.parallel.scan import (
-                        sharded_threshold_scan_device,
-                    )
-
-                    dists, slots = sharded_threshold_scan_device(
-                        q, sc.corpus, sc.capacity, float(max_distance), mesh
-                    )
-                else:
-                    dists, slots = threshold_scan(
-                        q, sc.corpus, float(max_distance), n_true=sc.capacity
-                    )
-                return _ranked(slots, dists)[:top_k]
-            k_scan = min(top_k + patch_cache._SLACK, sc.capacity)
-            d, i = _topk(q, k_scan)
-            out = _ranked(i[0], d[0])
-            if len(out) < need:
-                return None  # zero-slot slack exhausted: exact fallback
-            return out[:top_k]
-
-        oversample = self._int8_oversample(top_k, reduced_dim is not None, n_rows)
-        k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
-        if reduced_dim:
-            # Deep candidate set over the reduced int8 corpus: f32 query x
-            # int8 rows on the chunked (or per-device) matmul+top_k path
-            # (selection depth past the fused kernel's k ceiling; the scan
-            # still streams only reduced_dim bytes/row).
-            _, i = _topk(q @ sc.rotation, k_sel)
-        elif k_sel <= 64:
-            if mesh is not None:
-                from semtools_tpu.parallel.scan import (
-                    sharded_int8_topk_scan_device,
-                )
-
-                _, i = sharded_int8_topk_scan_device(
-                    q, sc.corpus, sc.scale, k_sel, sc.capacity, mesh
-                )
-            else:
-                from semtools_tpu.ops.int8_scan import int8_topk_scan
-
-                _, i = int8_topk_scan(
-                    q, sc.corpus, sc.scale, k_sel, n_true=sc.capacity
-                )
-        else:
-            # Selection depth past the fused kernel's ceiling (large
-            # top_k): matmul + top_k over the same int8 corpus — int8
-            # serves every k, so the reported tier never silently falls
-            # back to an over-budget f32 corpus.
-            _, i = _topk(q, k_sel)
-        slots = np.asarray(i[0], np.int64)
-        valid, ris, lines = sc.slot_owners(slots)
-        slots, ris, lines = slots[valid], ris[valid], lines[valid]
-        if len(slots) < need:
-            return None
-        mm = self._mmap("r")
-        if mm is None:
-            return None
-        rows = np.asarray(mm[slots])
-        del mm
-        exact = 1.0 - rows @ q[0]
-        order = np.argsort(exact, kind="stable")[:top_k]
-        if max_distance is not None:
-            order = order[exact[order] < max_distance]
-        return [
-            RankedLine(sc.paths[int(ris[o])], int(lines[o]), float(exact[o]))
-            for o in order
-        ]
 
     def _search_slot_cached_batched(
         self, query_vecs: np.ndarray, top_k: int,

@@ -128,3 +128,24 @@ def test_serving_tier_reports_forced_host_mode(filled, monkeypatch):
     assert s.serving_tier() == "host-mmap-scan"
     monkeypatch.delenv("SEMTOOLS_TPU_SCAN")
     assert s.serving_tier() != "host-mmap-scan"
+
+
+def test_forced_host_outranks_ann_tier(filled, monkeypatch):
+    """SEMTOOLS_TPU_SCAN=host must serve the exact mmap scan even when a
+    fresh ANN index would otherwise take the query (review regression)."""
+    s, docs = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+    s.build_ann_index(force=True)
+    q = docs["/m.txt"][7]
+
+    monkeypatch.setenv("SEMTOOLS_TPU_SCAN", "host")
+    assert s.serving_tier() == "host-mmap-scan"
+
+    def _boom(*a, **kw):
+        raise AssertionError("ANN tier must not serve under forced host mode")
+
+    monkeypatch.setattr(Store, "_search_ann_batched", _boom)
+    got = s.search_line_embeddings(q, list(docs), 3)
+    assert (got[0].path, got[0].line_number) == ("/m.txt", 7)
+    got_b = s.search_line_embeddings_batched(q[None], list(docs), 3)
+    assert (got_b[0][0].path, got_b[0][0].line_number) == ("/m.txt", 7)
