@@ -33,7 +33,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 DIM = 256
 N = 1 << 21  # 2M vectors (bf16 ride-along config)
@@ -148,11 +147,14 @@ def _embed_bench() -> float:
     vocab = 1 << 16
     table = jax.random.normal(key, (vocab, DIM), dtype=jnp.float32)
     flat_ids = jax.random.randint(key, (EMBED_TOKENS,), 0, vocab, dtype=jnp.int32)
-    counts = np.bincount(
-        np.sort(np.random.default_rng(1).integers(0, EMBED_LINES, EMBED_TOKENS)),
-        minlength=EMBED_LINES,
-    ).astype(np.int32)
-    seg_lengths = jnp.asarray(np.concatenate([counts, np.zeros(1, np.int32)]))
+    # Per-text token counts, generated ON DEVICE: even this 512 kB vector
+    # can stall for minutes when the stdio tunnel is at its measured
+    # floor (0.05 MB/s days) — bench.py must not ship anything bulky.
+    assign = jax.random.randint(
+        jax.random.PRNGKey(2), (EMBED_TOKENS,), 0, EMBED_LINES, dtype=jnp.int32
+    )
+    counts = jnp.zeros(EMBED_LINES, jnp.int32).at[assign].add(1)
+    seg_lengths = jnp.concatenate([counts, jnp.zeros(1, jnp.int32)])
 
     @jax.jit
     def run(fids, tab, lens):
