@@ -202,34 +202,11 @@ def search_tool(
     files_searched: List[str],
     workspace_name: Optional[str] = None,
 ) -> str:
-    from semtools_tpu.search import search_files, search_with_workspace
-    from semtools_tpu.store import NoActiveWorkspace, Workspace
-
-    if config.ignore_case:
-        query = query.lower()
-    if not files:
-        raise ValueError(
-            "Error: No input provided. Either specify files as arguments or pipe input to stdin."
-        )
-
-    try:
-        Workspace.active(workspace_name)
-        ws_active = True
-    except NoActiveWorkspace:
-        ws_active = False
-
-    if ws_active:
-        ranked = search_with_workspace(files, query, model, config, workspace_name)
-        for rl in ranked:
-            if rl.path not in files_searched:
-                files_searched.append(rl.path)
-        return format_ranked_lines(ranked, config.n_lines)
-
-    results = search_files(files, query, model, config)
-    for r in results:
-        if r.filename not in files_searched:
-            files_searched.append(r.filename)
-    return format_search_results(results)
+    """Single-query tool call — a batch of one through
+    :func:`search_tool_batched` (one dispatch path to maintain)."""
+    return search_tool_batched(
+        files, [query], model, config, files_searched, workspace_name
+    )[0]
 
 
 def search_tool_batched(
