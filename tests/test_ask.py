@@ -348,13 +348,18 @@ def test_parallel_search_calls_served_batched(corpus, fallback_model, monkeypatc
 
 
 def test_parallel_search_different_configs_stay_single(corpus, fallback_model, monkeypatch):
-    """Mismatched per-call configs fall back to per-call execution."""
+    """Mismatched per-call configs fall back to per-call execution
+    (search_tool itself is a batch of ONE through the batched impl, so
+    only multi-query batches are forbidden here)."""
     import semtools_tpu.ask.tools as tools_mod
 
-    def forbid_batched(*a, **kw):
-        raise AssertionError("configs differ: must not batch")
+    real_batched = tools_mod.search_tool_batched
 
-    monkeypatch.setattr(tools_mod, "search_tool_batched", forbid_batched)
+    def forbid_multi(files, queries, *a, **kw):
+        assert len(queries) == 1, "configs differ: must not batch together"
+        return real_batched(files, queries, *a, **kw)
+
+    monkeypatch.setattr(tools_mod, "search_tool_batched", forbid_multi)
     script = [
         _responses_multi_tool_call([
             ("search", {"query": "gamma", "config": {"top_k": 1}}),
