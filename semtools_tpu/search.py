@@ -26,7 +26,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from semtools_tpu.models.static_model import StaticModel
-from semtools_tpu.ops.scan import cosine_distances, threshold_scan, topk_scan
+from semtools_tpu.ops.scan import cosine_distances, topk_scan
 from semtools_tpu.utils.text import read_file_text, split_lines
 from semtools_tpu.utils.tracing import stage
 
@@ -228,47 +228,11 @@ def search_documents(
     query_embedding: np.ndarray,
     config: SearchConfig,
 ) -> List[SearchResult]:
-    if not documents:
-        return []
-    corpus, owners = _corpus_of(documents)
-    if corpus.shape[0] == 0:
-        return []
+    """Single-query scan — a batch of one through
+    :func:`search_documents_batched` (one tier dispatch to maintain)."""
     q = np.asarray(query_embedding, dtype=np.float32).reshape(1, -1)
-
-    with stage("scan"):
-        from semtools_tpu.store.store import _sharded_enabled
-
-        if _sharded_enabled(int(corpus.shape[0])):
-            # Multi-device host: shard the freshly embedded corpus over
-            # the mesh and merge per-device candidates over ICI — the
-            # same serving layer workspace scans use (parallel/scan.py).
-            from semtools_tpu.parallel.scan import (
-                sharded_threshold_scan,
-                sharded_topk_scan,
-            )
-
-            # corpus may be a device array (the embed op keeps it there);
-            # shard_corpus pads + reshards on device, no host bounce.
-            if config.max_distance is not None:
-                dists, idxs = sharded_threshold_scan(
-                    q, corpus, float(config.max_distance)
-                )
-            else:
-                d, i = sharded_topk_scan(q, corpus, config.top_k)
-                dists, idxs = d[0], i[0]
-        elif config.max_distance is not None:
-            dists, idxs = threshold_scan(q, corpus, float(config.max_distance))
-        else:
-            # Default threshold 100.0 admits every line; top-k over the corpus
-            # is equivalent to the reference's collect-sort-truncate.
-            dists, idxs = topk_scan(q, corpus, config.top_k)
-            dists, idxs = dists[0], idxs[0]
-
-    results = []
-    for dist, flat in zip(dists, idxs):
-        di, li = owners[int(flat)]
-        results.append(_result_for_line(documents[di], li, dist, config.n_lines))
-    return results
+    per = search_documents_batched(documents, q, config)
+    return per[0] if per else []
 
 
 def search_documents_batched(
