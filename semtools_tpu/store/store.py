@@ -1291,33 +1291,55 @@ class Store:
             return out
 
         oversample = self._int8_oversample(top_k, reduced_dim is not None, n_rows)
-        k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
-        if reduced_dim:
-            _, i = _topk(qs @ sc.rotation, k_sel)
-        elif k_sel <= 64 and qn <= 32:
-            # The fused int8 kernel's measured batch crossover matches the
-            # f32 one (_use_pallas): per-element selection cost scales
-            # with Q, so large batches take the XLA matmul+top_k path.
-            if mesh is not None:
-                from semtools_tpu.parallel.scan import (
-                    sharded_int8_topk_scan_device,
-                )
 
-                _, i = sharded_int8_topk_scan_device(
-                    qs, sc.corpus, sc.scale, k_sel, sc.capacity, mesh
-                )
+        def _candidates(k_sel: int) -> np.ndarray:
+            if reduced_dim:
+                _, i = _topk(qs @ sc.rotation, k_sel)
+            elif k_sel <= 64 and qn <= 32:
+                # The fused int8 kernel's measured batch crossover matches
+                # the f32 one (_use_pallas): per-element selection cost
+                # scales with Q, so large batches take the XLA path.
+                if mesh is not None:
+                    from semtools_tpu.parallel.scan import (
+                        sharded_int8_topk_scan_device,
+                    )
+
+                    _, i = sharded_int8_topk_scan_device(
+                        qs, sc.corpus, sc.scale, k_sel, sc.capacity, mesh
+                    )
+                else:
+                    from semtools_tpu.ops.int8_scan import int8_topk_scan
+
+                    _, i = int8_topk_scan(
+                        qs, sc.corpus, sc.scale, k_sel, n_true=sc.capacity
+                    )
             else:
-                from semtools_tpu.ops.int8_scan import int8_topk_scan
+                _, i = _topk(qs, k_sel)
+            return np.asarray(i, np.int64)
 
-                _, i = int8_topk_scan(
-                    qs, sc.corpus, sc.scale, k_sel, n_true=sc.capacity
-                )
-        else:
-            _, i = _topk(qs, k_sel)
+        # Freed (zeroed) slots score a compressed similarity of exactly 0,
+        # so on a fragmented store they can CROWD real rows with negative
+        # compressed sims out of a fixed-size candidate window (found by
+        # the randomized soak: a within-threshold hit vanished from the
+        # reduced tier's candidates). Grow the window until it holds the
+        # intended number of REAL candidates per query — zeros only cost
+        # ranks when they actually intrude, so the loop rarely iterates.
+        k_target = min(oversample, n_rows)
+        k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
+        while True:
+            i = _candidates(k_sel)
+            min_valid = min(
+                int(sc.slot_owners(i[r])[0].sum()) for r in range(qn)
+            )
+            if min_valid >= k_target or k_sel >= sc.capacity:
+                break
+            k_sel = min(
+                max(2 * k_sel, k_sel + (k_target - min_valid) + patch_cache._SLACK),
+                sc.capacity,
+            )
 
         # One mmap open + one gather of the UNION of candidate slots, then
         # per-query exact re-rank against the f32 originals.
-        i = np.asarray(i, np.int64)
         mm = self._mmap("r")
         if mm is None:
             return None

@@ -219,3 +219,45 @@ def test_search_files_batched_ignore_case(tmp_path, fallback_model):
     per = search_files_batched([str(f)], ["databases essay"], fallback_model, config)
     assert per[0][0].match_line == 0
     assert per[0][0].lines[0] == "DATABASES ESSAY"  # original text reported
+
+
+def test_zero_slots_cannot_crowd_compressed_candidates(tmp_path, monkeypatch):
+    """Soak-found regression: freed (zeroed) slots score compressed sim 0
+    and used to crowd real rows with ~0/negative compressed sims out of
+    the fixed oversample window on fragmented stores. The candidate
+    window must grow until it holds the intended number of REAL rows."""
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    rng = np.random.default_rng(0)
+    s = Store(str(tmp_path / "ws"), dim=16)
+
+    # 200 junk rows -> deleted -> 200 zeroed slots
+    s.upsert_document_lines("/junk.txt", _unit(rng, 200, 16))
+    s.delete_line_embeddings(["/junk.txt"])
+
+    # live corpus: variance lives in dims 0-7 (PCA keeps them)...
+    live = np.zeros((49, 16), np.float32)
+    live[:, :8] = rng.standard_normal((49, 8))
+    live /= np.linalg.norm(live, axis=1, keepdims=True)
+    # ...except the needle, which lives entirely in the DISCARDED dims:
+    # its compressed sim is ~0, ranking at/below the 200 zero slots.
+    needle = np.zeros(16, np.float32)
+    needle[8:] = rng.standard_normal(8)
+    needle /= np.linalg.norm(needle)
+    s.upsert_document_lines("/live.txt", live)
+    s.upsert_document_lines("/needle.txt", needle[None, :])
+
+    # budget forces the reduced tier on this fragmented capacity:
+    # slot_rows * 16 dims > budget, slot_rows * 8 fits
+    monkeypatch.setenv(
+        "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(s._slot_rows(50) * 12)
+    )
+    assert "reduced" in s.serving_tier()
+    got = s.search_line_embeddings(needle, ["/live.txt", "/needle.txt"], 1)
+    assert (got[0].path, got[0].line_number) == ("/needle.txt", 0)
+    assert got[0].distance < 1e-5
+    got_t = s.search_line_embeddings(
+        needle, ["/live.txt", "/needle.txt"], 3, max_distance=0.5
+    )
+    assert (got_t[0].path, got_t[0].line_number) == ("/needle.txt", 0)
+    s.close()
