@@ -148,6 +148,14 @@ def test_store_random_sequences_all_tiers(tmp_path, monkeypatch, tier_env):
         p = paths[int(rng.integers(0, len(paths)))]
         if op < 0.55:
             m = _unit(rng, int(rng.integers(1, 30)), 16)
+            # degenerate shapes the soak found productive: zero rows
+            # (empty lines) and duplicates (ties)
+            for i in range(len(m)):
+                r2 = rng.random()
+                if r2 < 0.08:
+                    m[i] = 0.0
+                elif r2 < 0.2 and i > 0:
+                    m[i] = m[int(rng.integers(0, i))]
             hashes = (rng.integers(1, 1 << 62, len(m))).astype(np.uint64)
             s.upsert_document_lines(p, m, hashes)
             model[p] = m
