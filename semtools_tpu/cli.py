@@ -465,9 +465,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("parse", help="Parse documents using various backends")
     p.add_argument("-c", "--config", default=None, help="Path to the config file")
     p.add_argument("-b", "--backend", default="llama-parse", help="Backend type")
-    p.add_argument("-v", "--verbose", action="store_true")
-    p.add_argument("-j", "--json", action="store_true")
-    p.add_argument("files", nargs="+")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Verbose output while parsing")
+    p.add_argument("-j", "--json", action="store_true",
+                   help="Output results in JSON format")
+    p.add_argument("files", nargs="+", help="Files to parse")
     p.set_defaults(func=parse_cmd)
 
     s = sub.add_parser("search", help="Fast semantic keyword search")
@@ -478,26 +480,39 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run every non-empty line of FILE as a query in one "
                    "batched scan ('-' reads queries from stdin when files "
                    "are given); output is per-query blocks, or NDJSON with -j")
-    s.add_argument("-n", "--n-lines", "--context", dest="n_lines", type=int, default=3)
-    s.add_argument("--top-k", dest="top_k", type=int, default=3)
+    s.add_argument("-n", "--n-lines", "--context", dest="n_lines", type=int, default=3,
+                   help="How many lines before/after to return as context")
+    s.add_argument("--top-k", dest="top_k", type=int, default=3,
+                   help="The top-k files or texts to return (ignored if max_distance is set)")
     s.add_argument("-m", "--max-distance", "--threshold", dest="max_distance",
-                   type=float, default=None)
-    s.add_argument("-i", "--ignore-case", action="store_true")
-    s.add_argument("-j", "--json", action="store_true")
-    s.add_argument("-w", "--workspace", default=None)
+                   type=float, default=None,
+                   help="Return all results with distance below this threshold (0.0+)")
+    s.add_argument("-i", "--ignore-case", action="store_true",
+                   help="Perform case-insensitive search (default is false)")
+    s.add_argument("-j", "--json", action="store_true",
+                   help="Output results in JSON format")
+    s.add_argument("-w", "--workspace", default=None,
+                   help="Use a specific workspace")
     s.add_argument("--model-path", default=None, help="Embedding model name or directory")
     s.set_defaults(func=search_cmd)
 
     a = sub.add_parser("ask", help="Document-based question answering agent")
-    a.add_argument("query")
+    a.add_argument("query", help="Query to prompt the agent with")
     a.add_argument("files", nargs="*", help="Files to search, optional if using stdin")
-    a.add_argument("-c", "--config", default=None)
-    a.add_argument("--api-key", default=None)
-    a.add_argument("--base-url", default=None)
-    a.add_argument("-m", "--model", default=None)
-    a.add_argument("--api-mode", default=None, choices=["chat", "responses"])
-    a.add_argument("-j", "--json", action="store_true")
-    a.add_argument("-w", "--workspace", default=None)
+    a.add_argument("-c", "--config", default=None,
+                   help="Path to the config file. Defaults to ~/.semtools_config.json")
+    a.add_argument("--api-key", default=None,
+                   help="OpenAI API key (overrides config file and env var)")
+    a.add_argument("--base-url", default=None,
+                   help="OpenAI base URL (overrides config file)")
+    a.add_argument("-m", "--model", default=None,
+                   help="Model to use for the agent (overrides config file)")
+    a.add_argument("--api-mode", default=None, choices=["chat", "responses"],
+                   help="API mode to use (overrides config file)")
+    a.add_argument("-j", "--json", action="store_true",
+                   help="Output results in JSON or text format")
+    a.add_argument("-w", "--workspace", default=None,
+                   help="Use a specific workspace")
     a.set_defaults(func=ask_cmd)
 
     w = sub.add_parser("workspace", help="Manage semtools workspaces")
