@@ -357,59 +357,8 @@ def sharded_int8_topk_scan_device(
 #      on host.
 
 
-def _local_threshold_dists(q, e_local, t, n_true, *, n_local: int,
-                           axis: str):
-    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
-                   precision=_PRECISION)
-    d = 1.0 - sims[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)[0]
-    gcol = col + jax.lax.axis_index(axis) * n_local
-    d = jnp.where(gcol < n_true, d, jnp.inf)
-    local = jnp.sum(d < t)
-    return d[None], jnp.max(jax.lax.all_gather(local, axis))
-
-
-def _local_threshold_extract(d, t, n_true, *, n_local: int, cap: int,
-                             axis: str):
-    d = d[0]
-    hit = d < t
-    idx = jnp.where(hit, size=cap, fill_value=n_local)[0]
-    vals = jnp.where(idx < n_local, d[jnp.minimum(idx, n_local - 1)], jnp.inf)
-    gidx = jnp.where(idx < n_local,
-                     idx + jax.lax.axis_index(axis) * n_local,
-                     n_true)  # sentinel for fills
-    vals_all = jax.lax.all_gather(vals, axis, axis=0, tiled=True)  # [d*cap]
-    idx_all = jax.lax.all_gather(gidx, axis, axis=0, tiled=True)
-    return vals_all, idx_all
-
-
-_threshold_fn_cache: dict = {}
-
-
-def _threshold_fns(mesh: Mesh, axis: str, n_local: int, cap: int):
-    """Jitted shard_map wrappers, cached so repeated queries against the
-    same sharded corpus reuse compiled executables. The threshold AND
-    n_true are traced operands; only shapes (n_local, cap) are static."""
-    key = (tuple(mesh.devices.flat), axis, n_local, cap)
-    if key in _threshold_fn_cache:
-        return _threshold_fn_cache[key]
-    dist_fn = jax.jit(jax.shard_map(
-        functools.partial(_local_threshold_dists, n_local=n_local, axis=axis),
-        mesh=mesh, in_specs=(P(None, None), P(axis, None), P(), P()),
-        out_specs=(P(None, axis), P()),
-        check_vma=False,
-    ))
-    extract_fn = None
-    if cap:
-        extract_fn = jax.jit(jax.shard_map(
-            functools.partial(_local_threshold_extract, n_local=n_local,
-                              cap=cap, axis=axis),
-            mesh=mesh, in_specs=(P(None, axis), P(), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        ))
-    _threshold_fn_cache[key] = (dist_fn, extract_fn)
-    return dist_fn, extract_fn
+_threshold_fn_cache: dict = {}  # jitted shard_map wrappers, keyed by
+# (tag, mesh devices, axis, n_local, cap) — threshold/n_true stay traced
 
 
 def _local_batched_threshold_dists(q, e_local, t, n_true, *, n_local: int,
@@ -443,8 +392,8 @@ def _local_batched_threshold_extract(d, t, n_true, *, n_local: int, cap: int,
 
 
 def _batched_threshold_fns(mesh: Mesh, axis: str, n_local: int, cap: int):
-    """Jitted shard_map wrappers for the batched threshold phases, cached
-    like :func:`_threshold_fns` (threshold/n_true traced; Q keyed by jit)."""
+    """Jitted shard_map wrappers for the batched threshold phases, cached per
+    (mesh, shapes); threshold/n_true stay traced and Q is keyed by jit."""
     key = ("batched", tuple(mesh.devices.flat), axis, n_local, cap)
     if key in _threshold_fn_cache:
         return _threshold_fn_cache[key]
@@ -570,30 +519,13 @@ def sharded_threshold_scan_device(
     mesh: Mesh,
     axis: str = SHARD_AXIS,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Like :func:`sharded_threshold_scan` but over an already mesh-sharded
-    device array; rows at global index >= ``n_true`` never match."""
+    """Single-query threshold collection over an already mesh-sharded
+    device array — a batch of one through
+    :func:`sharded_batched_threshold_scan_device` (one distributed
+    collection path to maintain; the store serves Q=1 through the same
+    code). Rows at global index >= ``n_true`` never match."""
     assert q.shape[0] == 1, "sharded_threshold_scan expects a single query row"
-    n = n_true
-    if n == 0:
-        return np.zeros(0, np.float32), np.zeros(0, np.int64)
-    n_dev = int(mesh.devices.size)
-    n_local = e_sharded.shape[0] // n_dev
-    qd = jnp.asarray(q, jnp.float32)
-    t = jnp.float32(max_distance)
-
-    nt = jnp.int32(n)
-    dist_fn, _ = _threshold_fns(mesh, axis, n_local, cap=0)
-    d_sharded, max_local = dist_fn(qd, e_sharded, t, nt)
-    max_local = int(max_local)
-    if max_local == 0:
-        return np.zeros(0, np.float32), np.zeros(0, np.int64)
-    cap = min(1 << (max_local - 1).bit_length(), n_local)
-
-    _, extract_fn = _threshold_fns(mesh, axis, n_local, cap=cap)
-    vals, idx = extract_fn(d_sharded, t, nt)
-    vals = np.asarray(vals)
-    idx = np.asarray(idx)
-    keep = np.isfinite(vals)
-    vals, idx = vals[keep], idx[keep]
-    order = np.lexsort((idx, vals))  # distance asc, index asc on ties
-    return vals[order], idx[order].astype(np.int64)
+    per = sharded_batched_threshold_scan_device(
+        q, e_sharded, n_true, max_distance, mesh, axis
+    )
+    return per[0]
