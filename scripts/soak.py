@@ -1,0 +1,235 @@
+"""Randomized serving-stack soak: store tiers + workspace layer vs brute force.
+
+Bigger, slower cousin of tests/test_fuzz.py — run it after serving-path
+changes (it caught the zero-slot candidate-crowding bug the fixed-seed
+fuzz missed). Three campaigns:
+
+1. store: random upsert/delete/search op sequences across every serving
+   tier, random top_k/threshold/subset/batch shapes, degenerate rows
+   (zeros, duplicates), odd dims;
+2. workspace: random file writes/edits/deletes + searches through
+   search_with_workspace (line reuse + change detection + ignore_case),
+   verified against ground truth recomputed from file contents;
+
+Usage:
+    python scripts/soak.py [--steps 120] [--seeds 4]
+
+Exit code 1 on any mismatch. CPU-only (forces the cpu platform).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/semtools_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+TIERS = [
+    {},
+    {"SEMTOOLS_TPU_STORE_INT8": "1"},
+    {"SEMTOOLS_TPU_SHARDED": "1"},
+    {"SEMTOOLS_TPU_SHARDED": "1", "SEMTOOLS_TPU_STORE_INT8": "1"},
+    {"SEMTOOLS_TPU_REDUCED_DIM": "8", "SEMTOOLS_TPU_DEVICE_CACHE_BYTES": "6000"},
+    {"SEMTOOLS_TPU_SCAN": "host"},
+]
+CLEAR = [
+    "SEMTOOLS_TPU_STORE_INT8", "SEMTOOLS_TPU_SHARDED", "SEMTOOLS_TPU_REDUCED_DIM",
+    "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "SEMTOOLS_TPU_SCAN",
+]
+
+
+def make_rows(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    nn = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(nn > 0, nn, 1)
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            x[i] = 0.0
+        elif r < 0.2 and i > 0:
+            x[i] = x[int(rng.integers(0, i))]
+    return x
+
+
+def check_rows(got, dist, owner, order, t):
+    """Tie-aware: positionwise distances agree (f32-path tolerance) and
+    every returned hit's reported distance is its true distance."""
+    if len(got) != len(order):
+        return False
+    for r, j in zip(got, order):
+        if abs(r.distance - float(dist[j])) > 3e-4:
+            return False
+        jj = owner.index((r.path, r.line_number))
+        if abs(float(dist[jj]) - r.distance) > 3e-4:
+            return False
+        if t is not None and not (r.distance < t + 3e-4):
+            return False
+    return True
+
+
+def soak_store(steps, seeds):
+    from semtools_tpu.store import device_cache
+    from semtools_tpu.store.store import Store
+
+    fails = checks = 0
+    for seed, tier, d in itertools.product(range(seeds), TIERS, (13, 16)):
+        for k in CLEAR:
+            os.environ.pop(k, None)
+        os.environ.update(tier)
+        device_cache.invalidate()
+        rng = np.random.default_rng(7000 + seed)
+        s = Store(tempfile.mkdtemp() + "/ws", dim=d)
+        model = {}
+        paths = [f"/doc{i}.txt" for i in range(6)]
+        for step in range(steps):
+            op = rng.random()
+            p = paths[int(rng.integers(0, len(paths)))]
+            if op < 0.5:
+                m = make_rows(rng, int(rng.integers(1, 50)), d)
+                h = rng.integers(1, 1 << 62, len(m)).astype(np.uint64)
+                s.upsert_document_lines(p, m, h)
+                model[p] = m
+            elif op < 0.65 and model:
+                victim = list(model)[int(rng.integers(0, len(model)))]
+                s.delete_line_embeddings([victim])
+                del model[victim]
+            elif model:
+                keys = sorted(model)
+                rows = np.concatenate([model[k2] for k2 in keys], axis=0)
+                owner = [(k2, i) for k2 in keys for i in range(len(model[k2]))]
+                top_k = int(rng.choice([1, 3, 70, len(owner) + 5]))
+                t = float(rng.uniform(0.3, 1.6)) if rng.random() < 0.5 else None
+                nq = int(rng.choice([1, 2, 40]))
+                qrows = make_rows(rng, nq, d)
+                per = s.search_line_embeddings_batched(qrows, keys, top_k, t)
+                for r in range(nq):
+                    dist = 1.0 - rows @ qrows[r]
+                    order = np.argsort(dist, kind="stable")[:top_k]
+                    if t is not None:
+                        order = order[dist[order] < t]
+                    checks += 1
+                    if not check_rows(per[r], dist, owner, order, t):
+                        fails += 1
+                        print(f"STORE MISMATCH seed={seed} tier={tier} d={d} "
+                              f"step={step} k={top_k} t={t} q={r}")
+        s.close()
+    return checks, fails
+
+
+def soak_workspace(steps):
+    os.environ["HOME"] = tempfile.mkdtemp()
+    for k in CLEAR:
+        os.environ.pop(k, None)
+    from semtools_tpu.models.static_model import StaticModel
+    from semtools_tpu.search import SearchConfig, search_with_workspace
+    from semtools_tpu.store import Workspace, WorkspaceConfig
+    from semtools_tpu.store.store import Store
+
+    model = StaticModel.fallback()
+    Workspace(WorkspaceConfig(name="fz", root_dir=Workspace.root_path("fz"))).save()
+    root = tempfile.mkdtemp()
+    WORDS = ["alpha", "beta", "gamma", "delta", "engine", "matrix", "tensor",
+             "kernel", "fox", "jumps", "database", "index", "line", "search"]
+    rng = np.random.default_rng(123)
+    tick = [time.time()]
+
+    def write(path, lines):
+        path.write_text("\n".join(lines) + ("\n" if lines else ""))
+        tick[0] += 11
+        os.utime(path, (tick[0], tick[0]))
+
+    def rand_line():
+        return " ".join(rng.choice(WORDS, rng.integers(1, 8)).tolist())
+
+    files = {}
+    fails = checks = 0
+    for step in range(steps):
+        op = rng.random()
+        p = Path(root) / f"f{int(rng.integers(0, 5))}.txt"
+        if op < 0.35 or not files:
+            lines = [rand_line() for _ in range(int(rng.integers(1, 30)))]
+            write(p, lines)
+            files[str(p)] = lines
+        elif op < 0.55 and str(p) in files:
+            lines = files[str(p)]
+            r2 = rng.random()
+            if r2 < 0.4 and lines:
+                lines[int(rng.integers(0, len(lines)))] = rand_line()
+            elif r2 < 0.7:
+                lines.insert(int(rng.integers(0, len(lines) + 1)), rand_line())
+            elif len(lines) > 1:
+                lines.pop(int(rng.integers(0, len(lines))))
+            write(p, lines)
+        elif op < 0.65 and str(p) in files:
+            p.unlink()
+            del files[str(p)]
+            with Store(Workspace.root_path("fz"), dim=model.dim) as s:
+                s.delete_documents([str(p)])
+        else:
+            if not files:
+                continue
+            q = rand_line()
+            cfg = SearchConfig(
+                top_k=int(rng.integers(1, 5)), n_lines=0,
+                ignore_case=bool(rng.random() < 0.3),
+                max_distance=float(rng.uniform(0.4, 1.2))
+                if rng.random() < 0.4 else None,
+            )
+            paths = sorted(files)
+            qq = q.lower() if cfg.ignore_case else q
+            got = search_with_workspace(paths, qq, model, cfg, "fz")
+            all_lines, owner = [], []
+            for pp in paths:
+                for i, ln in enumerate(files[pp]):
+                    all_lines.append(ln.lower() if cfg.ignore_case else ln)
+                    owner.append((pp, i))
+            emb = np.asarray(model.encode(all_lines, max_length=2048))
+            qe = np.asarray(model.encode_single(qq))
+            dist = 1.0 - emb @ qe
+            order = np.argsort(dist, kind="stable")[:cfg.top_k]
+            if cfg.max_distance is not None:
+                order = order[dist[order] < cfg.max_distance]
+            checks += 1
+            ok = len(got) == len(order) and all(
+                abs(r.distance - float(dist[j])) < 3e-4
+                for r, j in zip(got, order)
+            )
+            if not ok:
+                fails += 1
+                print(f"WORKSPACE MISMATCH step={step} cfg={cfg}")
+    return checks, fails
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--seeds", type=int, default=2)
+    args = ap.parse_args()
+
+    c1, f1 = soak_store(args.steps, args.seeds)
+    c2, f2 = soak_workspace(args.steps)
+    print(f"store soak: {c1} checks, {f1} failures")
+    print(f"workspace soak: {c2} checks, {f2} failures")
+    sys.exit(1 if (f1 or f2) else 0)
+
+
+if __name__ == "__main__":
+    main()
