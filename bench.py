@@ -31,6 +31,13 @@ from __future__ import annotations
 import json
 import time
 
+from semtools_tpu.utils.platform import configure_jax
+
+# Persistent XLA compile cache: without it every bench run recompiles
+# all executables, and compile round-trips over the tunnel can blow the
+# driver's timeout on degraded days (first observed 2026-08-17).
+configure_jax()
+
 import jax
 import jax.numpy as jnp
 
