@@ -35,6 +35,11 @@ def _unit(rng, n):
     return x / np.linalg.norm(x, axis=1, keepdims=True)
 
 
+from semtools_tpu.utils.platform import configure_jax
+
+configure_jax()  # persistent compile cache: tunnel compiles are the slow part
+
+
 def main() -> None:
     from semtools_tpu.store import patch_cache
     from semtools_tpu.store.store import Store

@@ -27,6 +27,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 REPO = Path(__file__).resolve().parents[2]
 
 
+from semtools_tpu.utils.platform import configure_jax
+
+configure_jax()  # persistent compile cache: tunnel compiles are the slow part
+
+
 def main() -> None:
     n_papers = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
 
