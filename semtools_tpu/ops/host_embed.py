@@ -92,7 +92,7 @@ def embed_token_lists_host(
 
 # -- host/device routing ------------------------------------------------------
 
-_PROBE_TTL_S = 300.0
+_PROBE_TTL_S = 120.0
 _probe_cache: dict = {}  # {"t": wall time, "down_Bps": float, "up_Bps": float}
 _host_rate_cache: list = []  # [lines_per_s]
 
@@ -104,9 +104,15 @@ _MIN_LINES_FOR_PROBE = 5000
 
 def _link_bandwidth() -> Optional[dict]:
     """Measured host->device / device->host bytes/s (256 kB probe, cached
-    for 5 min — link health on shared/tunneled hosts changes over time;
+    2 min — link health on shared/tunneled hosts changes by the minute;
     the probe stays small so a fully degraded link doesn't spend seconds
-    measuring itself)."""
+    measuring itself).
+
+    Two samples, keep the WORSE of each direction: a single lucky sample
+    on a congested link once committed a 62k-line build to a device path
+    that then crawled for minutes — the cost of wrongly choosing host is
+    seconds, the cost of wrongly choosing device is unbounded.
+    """
     now = time.monotonic()
     if _probe_cache and now - _probe_cache["t"] < _PROBE_TTL_S:
         return _probe_cache
@@ -114,14 +120,16 @@ def _link_bandwidth() -> Optional[dict]:
         import jax
         import jax.numpy as jnp
 
+        up_s = down_s = 0.0
         payload = np.zeros(1 << 16, np.float32)  # 256 kB
-        t0 = time.monotonic()
-        dev = jnp.asarray(payload)
-        dev.block_until_ready()
-        up_s = max(time.monotonic() - t0, 1e-6)
-        t0 = time.monotonic()
-        np.asarray(dev)
-        down_s = max(time.monotonic() - t0, 1e-6)
+        for _ in range(2):
+            t0 = time.monotonic()
+            dev = jnp.asarray(payload.copy())
+            dev.block_until_ready()
+            up_s = max(up_s, time.monotonic() - t0, 1e-6)
+            t0 = time.monotonic()
+            np.asarray(dev)
+            down_s = max(down_s, time.monotonic() - t0, 1e-6)
     except Exception:
         return None
     _probe_cache.update(
