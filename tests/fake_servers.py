@@ -93,6 +93,20 @@ class FakeLlamaParse(FakeApp):
         self.upload_attempts = 0
         self.poll_counts: Dict[str, int] = {}
         self.next_job = 0
+        self.configurations: List[Dict] = []  # parsed `configuration` form fields
+
+    @staticmethod
+    def _multipart_field(body: bytes, name: str) -> Optional[bytes]:
+        """Value of a form field in a multipart body (None if absent)."""
+        marker = f'name="{name}"'.encode()
+        at = body.find(marker)
+        if at < 0:
+            return None
+        start = body.find(b"\r\n\r\n", at)
+        if start < 0:
+            return None
+        end = body.find(b"\r\n--", start)
+        return body[start + 4 : end if end >= 0 else len(body)]
 
     def handle(self, method, path, headers, body):
         self.requests.append({"method": method, "path": path})
@@ -100,6 +114,12 @@ class FakeLlamaParse(FakeApp):
             self.upload_attempts += 1
             if self.upload_attempts <= self.fail_uploads:
                 return 500, {"error": "transient"}
+            raw = self._multipart_field(body, "configuration")
+            if raw is not None:
+                try:
+                    self.configurations.append(json.loads(raw))
+                except ValueError:
+                    pass
             self.next_job += 1
             job_id = f"job-{self.next_job}"
             self.poll_counts[job_id] = 0

@@ -162,3 +162,47 @@ class TestBackend:
             results = backend.parse(files)
         assert len(results) == 7
         assert app.next_job == 7
+
+
+class TestExampleConfig:
+    """The shipped example_semtools_config.json must load through both
+    config loaders and carry the full parse_kwargs surface into the
+    upload configuration (reference example_semtools_config.json)."""
+
+    def test_example_config_loads(self):
+        import json
+        from pathlib import Path
+
+        from semtools_tpu.ask.config import ApiMode, load_ask_config
+        from semtools_tpu.parse.config import load_parse_config
+
+        example = Path(__file__).resolve().parents[1] / "example_semtools_config.json"
+        pc = load_parse_config(str(example))
+        assert pc.num_ongoing_requests == 10
+        assert pc.base_url == "https://api.cloud.llamaindex.ai"
+        assert pc.parse_kwargs["tier"] == "cost_effective"
+        assert pc.parse_kwargs["processing_options"]["ocr_parameters"]["languages"] == ["en", "de"]
+        assert pc.parse_kwargs["output_options"]["markdown"]["tables"]["output_tables_as_markdown"] is True
+        assert pc.parse_kwargs["processing_control"]["job_failure_conditions"]["allowed_page_failure_ratio"] == 0.05
+        ac = load_ask_config(str(example))
+        assert ac.model == "gpt-4o-mini"
+        assert ac.max_iterations == 20
+        assert ac.api_mode == ApiMode.RESPONSES
+        # the raw file is valid JSON with exactly the two documented sections
+        data = json.loads(example.read_text())
+        assert set(data) == {"parse", "ask"}
+
+    def test_example_parse_kwargs_reach_the_upload(self, tmp_path, pdf):
+        from pathlib import Path
+
+        from semtools_tpu.parse.config import load_parse_config
+
+        example = Path(__file__).resolve().parents[1] / "example_semtools_config.json"
+        kw = load_parse_config(str(example)).parse_kwargs
+        app = FakeLlamaParse()
+        server, backend = backend_for(app, tmp_path, parse_kwargs=kw)
+        with server:
+            backend.parse([pdf])
+        sent = app.configurations[0]
+        assert sent["tier"] == "cost_effective"
+        assert sent["processing_options"]["ocr_parameters"]["languages"] == ["en", "de"]
