@@ -53,6 +53,7 @@ TIERS = [
 CLEAR = [
     "SEMTOOLS_TPU_STORE_INT8", "SEMTOOLS_TPU_SHARDED", "SEMTOOLS_TPU_REDUCED_DIM",
     "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "SEMTOOLS_TPU_SCAN",
+    "SEMTOOLS_TPU_SUBSET_DEVICE",
 ]
 
 
@@ -113,6 +114,19 @@ def soak_store(steps, seeds):
                 del model[victim]
             elif model:
                 keys = sorted(model)
+                if rng.random() < 0.5 and len(keys) > 1:
+                    # Path-subset query: exercises the masked device
+                    # serving path (forced half the time so it also runs
+                    # cold) against subset-restricted ground truth.
+                    take = int(rng.integers(1, len(keys)))
+                    keys = sorted(
+                        rng.choice(keys, size=take, replace=False).tolist()
+                    )
+                    os.environ["SEMTOOLS_TPU_SUBSET_DEVICE"] = (
+                        "1" if rng.random() < 0.5 else "auto"
+                    )
+                else:
+                    os.environ.pop("SEMTOOLS_TPU_SUBSET_DEVICE", None)
                 rows = np.concatenate([model[k2] for k2 in keys], axis=0)
                 owner = [(k2, i) for k2 in keys for i in range(len(model[k2]))]
                 top_k = int(rng.choice([1, 3, 70, len(owner) + 5]))

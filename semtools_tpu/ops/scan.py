@@ -121,6 +121,52 @@ def _topk_chunk_blocked(q, e, base: int, n_true, *, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def _topk_chunk_masked(q, e, base: int, n_true, mask, *, k: int):
+    """:func:`_topk_chunk` with a per-row keep mask (subset serving).
+
+    ``mask`` is a [chunk_rows] bool device array aligned with ``e``; rows
+    where it is False are demoted to -inf similarity and never selected.
+    Funds path-subset queries against the full warm slot corpus: the
+    mask costs 1 byte/row of HBM next to the 256-1024 B/row the corpus
+    itself streams (<0.4% overhead), so a masked scan runs at full-store
+    speed without re-gathering or re-uploading the subset rows.
+    """
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, e.shape[0]), 1) + base
+    keep = (col < n_true) & mask[None, :]
+    sims = jnp.where(keep, sims, -jnp.inf)
+    neg_dist, idx = jax.lax.top_k(sims, k)
+    return 1.0 - neg_dist, idx + base
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_chunk_blocked_masked(q, e, base: int, n_true, mask, *, k: int):
+    """Masked variant of :func:`_topk_chunk_blocked` (same exactness
+    argument: masked entries are -inf, a block's rank is its best
+    element's rank, candidate blocks are visited in ascending order)."""
+    qn = q.shape[0]
+    n = e.shape[0]
+    nb = n // _XLA_BLOCK
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) + base
+    keep = (col < n_true) & mask[None, :]
+    sims = jnp.where(keep, sims, -jnp.inf)
+    blocks = sims.reshape(qn, nb, _XLA_BLOCK)
+
+    k_blocks = min(k, nb)
+    _, bids = jax.lax.top_k(jnp.max(blocks, axis=2), k_blocks)
+    bids = jnp.sort(bids, axis=1)
+    cand = jnp.take_along_axis(blocks, bids[:, :, None], axis=1)
+    cand_flat = cand.reshape(qn, k_blocks * _XLA_BLOCK)
+    neg_dist, pos = jax.lax.top_k(cand_flat, k)
+    idx = (
+        jnp.take_along_axis(bids, pos // _XLA_BLOCK, axis=1) * _XLA_BLOCK
+        + pos % _XLA_BLOCK
+    )
+    return 1.0 - neg_dist, idx + base
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def _merge_topk(dists, idxs, *, k: int):
     """Merge per-chunk candidates [Q, C*k] -> global top-k [Q, k].
 
@@ -161,24 +207,32 @@ def _use_pallas(n: int, k: int, qn: int) -> bool:
     return n >= 2 * TILE_N
 
 
-def chunk_for_shape(n_rows: int):
+def chunk_for_shape(n_rows: int, masked: bool = False):
     """The per-chunk top-k callable for a corpus of ``n_rows`` rows:
     blocked two-phase when the chunk is big enough that ``lax.top_k``
     over the full row dominates (batched queries, large k) AND
     512-aligned (unaligned shapes would pay a full sims-pad copy);
-    otherwise the plain matmul+top_k chunk."""
+    otherwise the plain matmul+top_k chunk. ``masked=True`` selects the
+    variants taking a per-row keep mask (subset serving)."""
     if n_rows >= _XLA_BLOCKED_MIN_ROWS and n_rows % _XLA_BLOCK == 0:
-        return _topk_chunk_blocked
-    return _topk_chunk
+        return _topk_chunk_blocked_masked if masked else _topk_chunk_blocked
+    return _topk_chunk_masked if masked else _topk_chunk
 
 
-def topk_scan(q, e, k: int, n_true: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+def topk_scan(
+    q, e, k: int, n_true: Optional[int] = None, mask=None
+) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k nearest lines for each query row.
 
     q: [Q, D] float32 (unit-or-zero rows)
     e: [N, D] float32 (unit-or-zero rows); rows at index >= ``n_true``
        (default: all rows are real) are padding and never selected —
        pre-padded device-cached corpora avoid a per-query re-pad copy.
+    mask: optional [N] bool (device) array; rows where it is False are
+       never selected (path-subset serving). Fewer than k selectable
+       rows surface as +inf-distance entries — callers drop non-finite
+       results. Masked scans take the XLA path (the fused Pallas kernels
+       have no mask operand; the mask costs <0.4% extra HBM traffic).
     Returns (distances [Q, k'], indices [Q, k']) with k' = min(k, n_true),
     sorted ascending by distance; ties keep corpus order.
     """
@@ -188,13 +242,15 @@ def topk_scan(q, e, k: int, n_true: Optional[int] = None) -> Tuple[np.ndarray, n
         qn = np.shape(q)[0]
         return (np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64))
 
-    if _use_pallas(n, k_eff, int(np.shape(q)[0])):
+    if mask is None and _use_pallas(n, k_eff, int(np.shape(q)[0])):
         from semtools_tpu.ops.pallas_scan import pallas_topk_scan
 
         return pallas_topk_scan(q, e, k_eff, n_true=n)
 
     if e.shape[0] <= SCAN_CHUNK:
-        d, i = chunk_for_shape(e.shape[0])(q, e, 0, n, k=k_eff)
+        fn = chunk_for_shape(e.shape[0], masked=mask is not None)
+        args = (q, e, 0, n) if mask is None else (q, e, 0, n, mask)
+        d, i = fn(*args, k=k_eff)
         return np.asarray(d), np.asarray(i)
 
     parts_d = []
@@ -202,7 +258,11 @@ def topk_scan(q, e, k: int, n_true: Optional[int] = None) -> Tuple[np.ndarray, n
     for start in range(0, e.shape[0], SCAN_CHUNK):
         chunk = e[start : start + SCAN_CHUNK]
         kk = min(k_eff, chunk.shape[0])
-        d, i = chunk_for_shape(chunk.shape[0])(q, chunk, start, n, k=kk)
+        fn = chunk_for_shape(chunk.shape[0], masked=mask is not None)
+        if mask is None:
+            d, i = fn(q, chunk, start, n, k=kk)
+        else:
+            d, i = fn(q, chunk, start, n, mask[start : start + chunk.shape[0]], k=kk)
         parts_d.append(d)
         parts_i.append(i)
     dists = jnp.concatenate(parts_d, axis=1)
@@ -258,8 +318,23 @@ def _batched_threshold_extract(q, e, t, n_true, *, size: int):
     return counts, -neg, idx
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _batched_threshold_extract_masked(q, e, t, n_true, mask, *, size: int):
+    """:func:`_batched_threshold_extract` with a per-row keep mask —
+    excluded rows read as +inf distance, so they neither count as hits
+    nor surface in the extraction (path-subset serving)."""
+    sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    d = 1.0 - sims
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, e.shape[0]), 1)
+    keep = (col < n_true) & mask[None, :]
+    d = jnp.where(keep, d, jnp.inf)
+    counts = jnp.sum(d < t, axis=1)
+    neg, idx = jax.lax.top_k(-d, size)
+    return counts, -neg, idx
+
+
 def batched_threshold_scan(
-    q, e, max_distance: float, n_true: Optional[int] = None
+    q, e, max_distance: float, n_true: Optional[int] = None, mask=None
 ):
     """Threshold mode for a BATCH of queries in O(1) device dispatches.
 
@@ -273,6 +348,8 @@ def batched_threshold_scan(
     nearby workloads share executables), sliced per row on host. Serves
     the batched-agent / daemon use the single-query
     :func:`threshold_scan` would pay Q dispatch round-trips for.
+    ``mask`` (optional [N] bool device array) excludes rows from both the
+    hit count and the extraction — path-subset serving.
     """
     q = jnp.asarray(q, jnp.float32)
     e = jnp.asarray(e)
@@ -284,9 +361,14 @@ def batched_threshold_scan(
     size = 64
     while True:
         size = min(size, e.shape[0])
-        counts, dists, idxs = _batched_threshold_extract(
-            q, e, float(max_distance), n, size=size
-        )
+        if mask is None:
+            counts, dists, idxs = _batched_threshold_extract(
+                q, e, float(max_distance), n, size=size
+            )
+        else:
+            counts, dists, idxs = _batched_threshold_extract_masked(
+                q, e, float(max_distance), n, mask, size=size
+            )
         counts = np.asarray(counts)
         if counts.max(initial=0) <= size or size >= e.shape[0]:
             break

@@ -86,6 +86,54 @@ def _local_then_global_topk(
     return 1.0 - best_vals, best_idx
 
 
+def _local_then_global_topk_masked(
+    q, e_local, n_true, mask_local, *, k: int, n_local: int, n_shards: int,
+    axis: str
+):
+    """Masked sibling of :func:`_local_then_global_topk` (non-fused XLA
+    path only — the fused kernels have no mask operand): rows whose
+    ``mask_local`` entry is False are demoted to -inf similarity before
+    the local top-k, so the all-gather merge only ever sees subset rows.
+    Funds path-subset queries against the warm mesh-sharded slot corpus;
+    the mask is row-sharded with the same spec as the corpus."""
+    k_local = min(k, n_local)
+    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
+    global_col = col + jax.lax.axis_index(axis) * n_local
+    keep = (global_col < n_true) & mask_local[None, :]
+    sims = jnp.where(keep, sims, -jnp.inf)
+    vals, idx = jax.lax.top_k(sims, k_local)
+    idx = idx + jax.lax.axis_index(axis) * n_local
+    # Demote masked/-inf winners' indices to the pad sentinel so the
+    # caller's `idx < n_true` filter drops them uniformly.
+    idx = jnp.where(jnp.isfinite(vals), idx, n_local * n_shards)
+
+    vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+    idx_all = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+    best_vals, pos = jax.lax.top_k(vals_all, min(k, n_shards * k_local))
+    best_idx = jnp.take_along_axis(idx_all, pos, axis=1)
+    return 1.0 - best_vals, best_idx
+
+
+@functools.lru_cache(maxsize=128)
+def _topk_fn_cached_masked(mesh: Mesh, k: int, n_local: int, axis: str):
+    fn = jax.shard_map(
+        functools.partial(
+            _local_then_global_topk_masked,
+            k=k,
+            n_local=n_local,
+            n_shards=int(mesh.devices.size),
+            axis=axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(), P(axis)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def _use_fused_local(n_local: int, n_shards: int, k: int) -> bool:
     """Fused per-device scan: TPU backend, CLI-scale k (pad rows are
     handled by the traced n_true mask after the kernel)."""
@@ -172,10 +220,13 @@ def sharded_topk_scan_device(
     k: int,
     mesh: Mesh,
     axis: str = SHARD_AXIS,
+    mask=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Like :func:`sharded_topk_scan` but over an already mesh-sharded
     device array (e.g. the store's device cache); rows at global index
-    >= ``n_true`` are zero padding and never selected."""
+    >= ``n_true`` are zero padding and never selected. ``mask`` is an
+    optional row-sharded [padded_N] bool device array; rows where it is
+    False are never selected (path-subset serving)."""
     k_eff = min(k, n_true)
     if k_eff == 0:
         return (
@@ -183,8 +234,12 @@ def sharded_topk_scan_device(
             np.zeros((q.shape[0], 0), np.int64),
         )
     n_local = e_sharded.shape[0] // mesh.devices.size
-    fn = sharded_topk_fn(mesh, k_eff, n_local, axis)
-    d, i = fn(jnp.asarray(q, jnp.float32), e_sharded, jnp.int32(n_true))
+    if mask is not None:
+        fn = _topk_fn_cached_masked(mesh, k_eff, n_local, axis)
+        d, i = fn(jnp.asarray(q, jnp.float32), e_sharded, jnp.int32(n_true), mask)
+    else:
+        fn = sharded_topk_fn(mesh, k_eff, n_local, axis)
+        d, i = fn(jnp.asarray(q, jnp.float32), e_sharded, jnp.int32(n_true))
     d = np.asarray(d)
     i = np.asarray(i)
 
@@ -375,6 +430,23 @@ def _local_batched_threshold_dists(q, e_local, t, n_true, *, n_local: int,
     return d, jnp.max(jax.lax.all_gather(local, axis))
 
 
+def _local_batched_threshold_dists_masked(q, e_local, t, n_true, mask_local,
+                                          *, n_local: int, axis: str):
+    """Masked sibling of :func:`_local_batched_threshold_dists`: rows
+    whose ``mask_local`` entry is False read as +inf distance, so they
+    neither count as hits nor survive phase 2 (which re-reads this same
+    distance block)."""
+    sims = jnp.dot(q, e_local.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+    d = 1.0 - sims
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
+    gcol = col + jax.lax.axis_index(axis) * n_local
+    keep = (gcol < n_true) & mask_local[None, :]
+    d = jnp.where(keep, d, jnp.inf)
+    local = jnp.max(jnp.sum(d < t, axis=1))
+    return d, jnp.max(jax.lax.all_gather(local, axis))
+
+
 def _local_batched_threshold_extract(d, t, n_true, *, n_local: int, cap: int,
                                      axis: str):
     """Each device's ``cap`` nearest rows per query (ascending, ties to the
@@ -391,19 +463,33 @@ def _local_batched_threshold_extract(d, t, n_true, *, n_local: int, cap: int,
     return vals_all, idx_all
 
 
-def _batched_threshold_fns(mesh: Mesh, axis: str, n_local: int, cap: int):
+def _batched_threshold_fns(
+    mesh: Mesh, axis: str, n_local: int, cap: int, masked: bool = False
+):
     """Jitted shard_map wrappers for the batched threshold phases, cached per
-    (mesh, shapes); threshold/n_true stay traced and Q is keyed by jit."""
-    key = ("batched", tuple(mesh.devices.flat), axis, n_local, cap)
+    (mesh, shapes); threshold/n_true stay traced and Q is keyed by jit.
+    ``masked`` selects the phase-1 variant taking a row-sharded keep mask
+    (phase 2 is mask-agnostic: it re-reads the masked distance block)."""
+    key = ("batched", tuple(mesh.devices.flat), axis, n_local, cap, masked)
     if key in _threshold_fn_cache:
         return _threshold_fn_cache[key]
-    dist_fn = jax.jit(jax.shard_map(
-        functools.partial(_local_batched_threshold_dists, n_local=n_local,
-                          axis=axis),
-        mesh=mesh, in_specs=(P(None, None), P(axis, None), P(), P()),
-        out_specs=(P(None, axis), P()),
-        check_vma=False,
-    ))
+    if masked:
+        dist_fn = jax.jit(jax.shard_map(
+            functools.partial(_local_batched_threshold_dists_masked,
+                              n_local=n_local, axis=axis),
+            mesh=mesh,
+            in_specs=(P(None, None), P(axis, None), P(), P(), P(axis)),
+            out_specs=(P(None, axis), P()),
+            check_vma=False,
+        ))
+    else:
+        dist_fn = jax.jit(jax.shard_map(
+            functools.partial(_local_batched_threshold_dists, n_local=n_local,
+                              axis=axis),
+            mesh=mesh, in_specs=(P(None, None), P(axis, None), P(), P()),
+            out_specs=(P(None, axis), P()),
+            check_vma=False,
+        ))
     extract_fn = None
     if cap:
         extract_fn = jax.jit(jax.shard_map(
@@ -424,6 +510,7 @@ def sharded_batched_threshold_scan_device(
     max_distance: float,
     mesh: Mesh,
     axis: str = SHARD_AXIS,
+    mask=None,
 ):
     """Threshold mode for a BATCH of queries over a mesh-sharded corpus in
     O(1) device dispatches (two phases: sharded distances + hit-count max,
@@ -433,6 +520,8 @@ def sharded_batched_threshold_scan_device(
     ``ops.scan.batched_threshold_scan``: returns a list of
     (distances [M_i], global indices [M_i]) pairs, ascending by distance,
     ties toward the lower corpus index; rows >= ``n_true`` never match.
+    ``mask`` is an optional row-sharded [padded_N] bool device array;
+    rows where it is False never match (path-subset serving).
     """
     qn = int(q.shape[0])
     empty = (np.zeros(0, np.float32), np.zeros(0, np.int64))
@@ -444,8 +533,13 @@ def sharded_batched_threshold_scan_device(
     t = jnp.float32(max_distance)
     nt = jnp.int32(n_true)
 
-    dist_fn, _ = _batched_threshold_fns(mesh, axis, n_local, cap=0)
-    d_sharded, max_local = dist_fn(qd, e_sharded, t, nt)
+    dist_fn, _ = _batched_threshold_fns(
+        mesh, axis, n_local, cap=0, masked=mask is not None
+    )
+    if mask is not None:
+        d_sharded, max_local = dist_fn(qd, e_sharded, t, nt, mask)
+    else:
+        d_sharded, max_local = dist_fn(qd, e_sharded, t, nt)
     max_local = int(max_local)
     if max_local == 0:
         return [empty] * qn
