@@ -12,12 +12,19 @@ Model resolution order for ``StaticModel.from_pretrained(name)``:
 
 1. ``name`` is a local directory with model2vec artifacts
    (``model.safetensors`` + ``tokenizer.json`` [+ ``config.json``]);
-2. the HuggingFace hub cache (``~/.cache/huggingface/hub``) already holds a
-   snapshot of ``name`` (no network fetch is ever attempted);
-3. the ``SEMTOOLS_TPU_MODEL_DIR`` environment variable points at artifacts;
-4. fallback: the built-in deterministic hashed n-gram model
+2. the ``SEMTOOLS_TPU_MODEL_DIR`` environment variable points at artifacts;
+3. the HuggingFace hub cache (``~/.cache/huggingface/hub``) already holds a
+   snapshot of ``name``;
+4. first-run hub download via ``huggingface_hub`` when it is installed and
+   the network is reachable — the same first-use fetch the reference
+   performs (src/cmds/search.rs:123-128; model2vec ``from_pretrained``
+   with an ``hf_token``). Disable with ``SEMTOOLS_TPU_NO_FETCH=1``;
+5. fallback: the built-in deterministic hashed n-gram model
    (:class:`semtools_tpu.models.tokenizer.HashTokenizer` over a seeded
-   Gaussian table), so every command works hermetically offline.
+   Gaussian table), so every command still works fully offline — but the
+   semantics DEGRADE to surface similarity, so the fallback announces
+   itself with a prominent warning (acknowledge with
+   ``SEMTOOLS_TPU_ALLOW_FALLBACK=1`` to silence it).
 """
 
 from __future__ import annotations
@@ -107,6 +114,84 @@ def _find_artifact_dir(name_or_path: str) -> Optional[str]:
     return None
 
 
+def _fetch_from_hub(name: str, hf_token: Optional[str]) -> Optional[str]:
+    """First-run hub download (reference parity: model2vec's
+    ``from_pretrained`` fetches on first use, src/cmds/search.rs:123-128).
+
+    Returns the local snapshot directory, or None when fetching is
+    disabled (``SEMTOOLS_TPU_NO_FETCH=1``), ``name`` is not a hub repo id,
+    huggingface_hub is not installed, or the network is unreachable —
+    each failure mode is reported once on stderr, never raised.
+    """
+    if os.environ.get("SEMTOOLS_TPU_NO_FETCH") == "1":
+        return None
+    if "/" not in name or Path(name).expanduser().is_absolute():
+        return None  # a path, not a hub repo id
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError:
+        print(
+            f"semtools: '{name}' is not cached and huggingface_hub is not "
+            "installed; skipping download",
+            file=sys.stderr,
+        )
+        return None
+    try:
+        print(f"semtools: downloading '{name}' from the HuggingFace hub...",
+              file=sys.stderr)
+        return snapshot_download(
+            repo_id=name,
+            token=hf_token,
+            allow_patterns=["model.safetensors", "tokenizer.json", "config.json"],
+        )
+    except Exception as exc:  # offline, auth, missing repo: fall back
+        print(
+            f"semtools: could not download '{name}' "
+            f"({type(exc).__name__}: {exc})",
+            file=sys.stderr,
+        )
+        return None
+
+
+_FALLBACK_WARNED = [False]
+
+
+def _warn_fallback(name: str) -> None:
+    """One prominent per-process notice that search semantics degraded.
+
+    The round-2 review found the single quiet stderr line too easy to
+    miss: a user on a fresh machine would get surface-similarity search
+    where the reference gives real semantic search, without noticing.
+    ``SEMTOOLS_TPU_ALLOW_FALLBACK=1`` acknowledges the degradation and
+    restores the one-line notice.
+    """
+    if os.environ.get("SEMTOOLS_TPU_ALLOW_FALLBACK") == "1":
+        print(
+            f"semtools: model '{name}' unavailable; using built-in "
+            f"deterministic embedder ({FALLBACK_NAME})",
+            file=sys.stderr,
+        )
+        return
+    if _FALLBACK_WARNED[0]:
+        return
+    _FALLBACK_WARNED[0] = True
+    print(
+        "\n".join([
+            "semtools: " + "=" * 64,
+            f"semtools: WARNING: embedding model '{name}' is unavailable.",
+            f"semtools: Falling back to the built-in {FALLBACK_NAME}",
+            "semtools: embedder: search will match SURFACE similarity",
+            "semtools: (shared words/character n-grams), not meaning.",
+            "semtools: To restore semantic search, connect to the network",
+            "semtools: (the model downloads automatically) or point",
+            "semtools: SEMTOOLS_TPU_MODEL_DIR at model2vec artifacts.",
+            "semtools: Set SEMTOOLS_TPU_ALLOW_FALLBACK=1 to silence this.",
+            "semtools: " + "=" * 64,
+        ]),
+        file=sys.stderr,
+    )
+
+
 def _fallback_table() -> np.ndarray:
     """Deterministic Gaussian embedding table for the hashed fallback model."""
     rng = np.random.Generator(np.random.Philox(FALLBACK_SEED))
@@ -141,11 +226,10 @@ class StaticModel:
     def from_pretrained(
         cls,
         name_or_path: str = MODEL_NAME,
-        hf_token: Optional[str] = None,  # parity arg; private-model fetch unsupported offline
+        hf_token: Optional[str] = None,  # forwarded to the hub fetch (private models)
         normalize_override: Optional[bool] = None,
         subfolder: Optional[str] = None,
     ) -> "StaticModel":
-        del hf_token
         # Process-level memo: long-lived processes (the daemon, test runs)
         # must not re-read artifacts and re-upload the embedding table on
         # every command. Models are immutable after load.
@@ -154,7 +238,8 @@ class StaticModel:
         if cached is not None:
             return cached
         model = cls._from_pretrained_uncached(
-            name_or_path, normalize_override=normalize_override, subfolder=subfolder
+            name_or_path, hf_token=hf_token,
+            normalize_override=normalize_override, subfolder=subfolder,
         )
         _MODEL_CACHE[key] = model
         return model
@@ -163,17 +248,19 @@ class StaticModel:
     def _from_pretrained_uncached(
         cls,
         name_or_path: str,
+        hf_token: Optional[str] = None,
         normalize_override: Optional[bool] = None,
         subfolder: Optional[str] = None,
     ) -> "StaticModel":
         target = name_or_path if subfolder is None else str(Path(name_or_path) / subfolder)
         art_dir = _find_artifact_dir(target)
         if art_dir is None:
-            print(
-                f"semtools: model '{name_or_path}' not found locally; "
-                f"using built-in deterministic embedder ({FALLBACK_NAME})",
-                file=sys.stderr,
-            )
+            fetched = _fetch_from_hub(name_or_path, hf_token)
+            if fetched is not None:
+                sub = fetched if subfolder is None else str(Path(fetched) / subfolder)
+                art_dir = _find_artifact_dir(sub)
+        if art_dir is None:
+            _warn_fallback(name_or_path)
             return cls.fallback(normalize_override=normalize_override)
 
         tensors = _read_safetensors(str(Path(art_dir) / "model.safetensors"))

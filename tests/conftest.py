@@ -9,6 +9,11 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic: never attempt a hub download, and acknowledge the fallback
+# embedder (tests use it deliberately; the loud degradation warning is
+# exercised explicitly in test_model.py).
+os.environ.setdefault("SEMTOOLS_TPU_NO_FETCH", "1")
+os.environ.setdefault("SEMTOOLS_TPU_ALLOW_FALLBACK", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -119,3 +119,103 @@ def test_missing_model_falls_back(tmp_path, capsys):
     model = StaticModel.from_pretrained("no/such-model-xyz")
     assert model.name.startswith("semtools-tpu/")
     assert "built-in deterministic embedder" in capsys.readouterr().err
+
+
+class TestHubFetch:
+    """First-run hub download (reference parity: model2vec from_pretrained
+    fetches minishlab/potion-multilingual-128M on first use,
+    src/cmds/search.rs:123-128) and the loud fallback degradation notice."""
+
+    def _install_fake_hub(self, monkeypatch, tmp_path, fail=None, record=None):
+        import sys
+        import types
+
+        snap = tmp_path / "snapshot"
+
+        def snapshot_download(repo_id, token=None, allow_patterns=None, **kw):
+            if record is not None:
+                record.append({"repo_id": repo_id, "token": token,
+                               "allow_patterns": allow_patterns})
+            if fail is not None:
+                raise fail
+            snap.mkdir(exist_ok=True)
+            vocab = {"[UNK]": 0, "hub": 1}
+            table = np.zeros((2, 4), dtype=np.float32)
+            table[1] = [1, 0, 0, 0]
+            _write_safetensors(snap / "model.safetensors", {"embeddings": table})
+            _write_word_level_tokenizer(snap / "tokenizer.json", vocab)
+            return str(snap)
+
+        mod = types.ModuleType("huggingface_hub")
+        mod.snapshot_download = snapshot_download
+        monkeypatch.setitem(sys.modules, "huggingface_hub", mod)
+        return snap
+
+    def test_fetch_used_when_not_cached(self, monkeypatch, tmp_path, capsys):
+        from semtools_tpu.models import static_model as sm
+
+        record = []
+        self._install_fake_hub(monkeypatch, tmp_path, record=record)
+        monkeypatch.delenv("SEMTOOLS_TPU_NO_FETCH", raising=False)
+        monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_cache"))
+        model = sm.StaticModel._from_pretrained_uncached(
+            "acme/test-model", hf_token="tok-123"
+        )
+        assert model.name == "acme/test-model"
+        got = model.encode_single("hub")
+        np.testing.assert_allclose(got, [1, 0, 0, 0], atol=1e-6)
+        assert record == [{
+            "repo_id": "acme/test-model", "token": "tok-123",
+            "allow_patterns": ["model.safetensors", "tokenizer.json", "config.json"],
+        }]
+
+    def test_no_fetch_env_disables(self, monkeypatch, tmp_path, capsys):
+        from semtools_tpu.models import static_model as sm
+
+        record = []
+        self._install_fake_hub(monkeypatch, tmp_path, record=record)
+        monkeypatch.setenv("SEMTOOLS_TPU_NO_FETCH", "1")
+        model = sm.StaticModel._from_pretrained_uncached("acme/test-model")
+        assert model.name.startswith("semtools-tpu/")
+        assert record == []
+
+    def test_fetch_failure_falls_back_loudly(self, monkeypatch, tmp_path, capsys):
+        from semtools_tpu.models import static_model as sm
+
+        self._install_fake_hub(
+            monkeypatch, tmp_path, fail=ConnectionError("no route to host")
+        )
+        monkeypatch.delenv("SEMTOOLS_TPU_NO_FETCH", raising=False)
+        monkeypatch.delenv("SEMTOOLS_TPU_ALLOW_FALLBACK", raising=False)
+        monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_cache"))
+        monkeypatch.setattr(sm, "_FALLBACK_WARNED", [False])
+        model = sm.StaticModel._from_pretrained_uncached("acme/test-model")
+        assert model.name.startswith("semtools-tpu/")
+        err = capsys.readouterr().err
+        assert "no route to host" in err
+        assert "WARNING" in err and "SURFACE similarity" in err
+        # one-time: a second fallback in the same process stays quiet
+        sm.StaticModel._from_pretrained_uncached("acme/test-model")
+        assert "WARNING" not in capsys.readouterr().err
+
+    def test_allow_fallback_acknowledges(self, monkeypatch, tmp_path, capsys):
+        from semtools_tpu.models import static_model as sm
+
+        monkeypatch.setenv("SEMTOOLS_TPU_NO_FETCH", "1")
+        monkeypatch.setenv("SEMTOOLS_TPU_ALLOW_FALLBACK", "1")
+        monkeypatch.setattr(sm, "_FALLBACK_WARNED", [False])
+        model = sm.StaticModel._from_pretrained_uncached("no/such-model-xyz")
+        assert model.name.startswith("semtools-tpu/")
+        err = capsys.readouterr().err
+        assert "WARNING" not in err
+        assert "built-in deterministic embedder" in err
+
+    def test_local_paths_never_fetch(self, monkeypatch, tmp_path):
+        from semtools_tpu.models import static_model as sm
+
+        record = []
+        self._install_fake_hub(monkeypatch, tmp_path, record=record)
+        monkeypatch.delenv("SEMTOOLS_TPU_NO_FETCH", raising=False)
+        assert sm._fetch_from_hub(str(tmp_path / "some/dir"), None) is None
+        assert sm._fetch_from_hub("bare-name", None) is None
+        assert record == []
