@@ -268,6 +268,171 @@ def soak_workspace(steps):
     return checks, fails
 
 
+def soak_daemon(steps):
+    """Daemon-forwarded commands racing direct-CLI writer processes.
+
+    Three processes touch one workspace: the resident daemon (serving
+    forwarded searches from its device cache), direct-CLI writer
+    subprocesses (SEMTOOLS_TPU_DAEMON=off — they embed changed files and
+    mutate the store under the flock themselves), and this soak process
+    (ground truth). Forwarded searches fired WHILE a writer runs must
+    complete without error (transient staleness is allowed); once
+    quiescent, a forwarded search must match ground truth recomputed from
+    file contents — the daemon's generation-keyed device cache has to
+    pick up every cross-process mutation.
+    """
+    import json as _json
+    import socket as _socket
+    import subprocess
+
+    home = tempfile.mkdtemp()
+    dmn_dir = tempfile.mkdtemp()
+    env = dict(os.environ)
+    for k in CLEAR:
+        env.pop(k, None)
+    env.update(
+        HOME=home,
+        SEMTOOLS_TPU_PLATFORM="cpu",
+        JAX_PLATFORMS="cpu",
+        SEMTOOLS_TPU_DAEMON_DIR=dmn_dir,
+        SEMTOOLS_WORKSPACE="dz",
+        SEMTOOLS_TPU_NO_FETCH="1",
+        SEMTOOLS_TPU_ALLOW_FALLBACK="1",
+    )
+
+    def run_cli(argv, extra_env=None, wait=True):
+        e = dict(env)
+        if extra_env:
+            e.update(extra_env)
+        p = subprocess.Popen(
+            [sys.executable, "-m", "semtools_tpu.cli"] + argv,
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        if not wait:
+            return p
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (argv, err)
+        return out
+
+    run_cli(["workspace", "use", "dz"])
+    daemon = subprocess.Popen(
+        [sys.executable, "-m", "semtools_tpu.cli", "daemon", "run"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    sock = Path(dmn_dir) / "daemon.sock"
+    for _ in range(240):
+        if sock.exists():
+            break
+        time.sleep(0.5)
+    assert sock.exists(), "daemon never came up"
+
+    fwd_env = {
+        k: v for k, v in env.items()
+        if k.startswith("SEMTOOLS_")
+        and k not in ("SEMTOOLS_TPU_DAEMON", "SEMTOOLS_TPU_DAEMON_DIR")
+    }
+    fwd_env["HOME"] = home
+
+    def forwarded(argv):
+        payload = {"argv": argv, "stdin": None, "cwd": home, "env": fwd_env}
+        with _socket.socket(_socket.AF_UNIX) as s:
+            s.settimeout(600)
+            s.connect(str(sock))
+            s.sendall(_json.dumps(payload).encode() + b"\n")
+            buf = b""
+            while not buf.endswith(b"\n"):
+                c = s.recv(1 << 20)
+                if not c:
+                    break
+                buf += c
+        return _json.loads(buf)
+
+    from semtools_tpu.models.static_model import StaticModel
+
+    model = StaticModel.fallback()  # deterministic across processes
+    WORDS = ["alpha", "beta", "gamma", "delta", "engine", "matrix",
+             "tensor", "kernel", "fox", "jumps", "database", "index"]
+    rng = np.random.default_rng(321)
+    tick = [time.time()]
+    root = tempfile.mkdtemp()
+    files = {}
+
+    def write(path, lines):
+        path.write_text("\n".join(lines) + ("\n" if lines else ""))
+        tick[0] += 11
+        os.utime(path, (tick[0], tick[0]))
+
+    def rand_line():
+        return " ".join(rng.choice(WORDS, rng.integers(1, 7)).tolist())
+
+    fails = checks = 0
+    try:
+        for step in range(steps):
+            # mutate 1-3 files
+            for _ in range(int(rng.integers(1, 4))):
+                p = Path(root) / f"f{int(rng.integers(0, 5))}.txt"
+                lines = [rand_line() for _ in range(int(rng.integers(1, 25)))]
+                write(p, lines)
+                files[str(p)] = lines
+            paths = sorted(files)
+            q = rand_line()
+            # direct-CLI writer (embeds the changes, mutates the store)
+            writer = run_cli(
+                ["search", q, *paths, "-n", "0"],
+                extra_env={"SEMTOOLS_TPU_DAEMON": "off"}, wait=False,
+            )
+            # forwarded reads racing the writer: must not error
+            for _ in range(2):
+                resp = forwarded(["search", rand_line(), *paths, "-n", "0", "-j"])
+                assert resp.get("exit") == 0, resp.get("stderr")
+            out, err = writer.communicate(timeout=600)
+            assert writer.returncode == 0, err
+            # quiescent: forwarded search (it performs any pending update
+            # itself) must match ground truth from file contents
+            q2 = rand_line()
+            resp = forwarded(
+                ["search", q2, *paths, "-n", "0", "--top-k", "3", "-j"]
+            )
+            assert resp.get("exit") == 0, resp.get("stderr")
+            got = _json.loads(resp["stdout"])["results"]
+            all_lines, owner = [], []
+            for pp in paths:
+                for i, ln in enumerate(files[pp]):
+                    all_lines.append(ln)
+                    owner.append((pp, i))
+            emb = np.asarray(model.encode(all_lines, max_length=2048))
+            qe = np.asarray(model.encode_single(q2))
+            dist = 1.0 - emb @ qe
+            order = np.argsort(dist, kind="stable")[:3]
+            checks += 1
+            ok = len(got) == len(order) and all(
+                abs(r["distance"] - float(dist[j])) < 3e-4
+                for r, j in zip(got, order)
+            )
+            if not ok:
+                fails += 1
+                print(f"DAEMON MISMATCH step={step} q={q2!r}")
+    finally:
+        with contextlib_suppress():
+            forwarded_stop = {"op": "stop"}
+            with _socket.socket(_socket.AF_UNIX) as s:
+                s.settimeout(10)
+                s.connect(str(sock))
+                s.sendall(_json.dumps(forwarded_stop).encode() + b"\n")
+                s.recv(1 << 16)
+        try:
+            daemon.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            daemon.kill()
+    return checks, fails
+
+
+def contextlib_suppress():
+    import contextlib
+
+    return contextlib.suppress(Exception)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=80)
@@ -276,9 +441,11 @@ def main():
 
     c1, f1 = soak_store(args.steps, args.seeds)
     c2, f2 = soak_workspace(args.steps)
+    c3, f3 = soak_daemon(min(args.steps, 12))
     print(f"store soak: {c1} checks, {f1} failures")
     print(f"workspace soak: {c2} checks, {f2} failures")
-    sys.exit(1 if (f1 or f2) else 0)
+    print(f"daemon soak: {c3} checks, {f3} failures")
+    sys.exit(1 if (f1 or f2 or f3) else 0)
 
 
 if __name__ == "__main__":
