@@ -335,6 +335,17 @@ class StaticModel:
                         self.table_np, token_lists,
                         max_length=max_len, normalize=self.normalize,
                     )
+            # Device path chosen: guard multi-chunk builds with the
+            # first-chunk viability check (the probe is a point sample;
+            # the link can degrade mid-build — ops/host_embed.py).
+            from semtools_tpu.ops.host_embed import mid_flight_embed
+
+            res = mid_flight_embed(
+                self.table, self.table_np, token_lists,
+                max_length=max_len, normalize=self.normalize,
+            )
+            if res is not None:
+                return res
         return embed_token_lists(
             self.table,
             token_lists,
