@@ -133,7 +133,7 @@ def _topk_chunk_masked(q, e, base: int, n_true, mask, *, k: int):
     """
     sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, e.shape[0]), 1) + base
-    keep = (col < n_true) & mask[None, :]
+    keep = (col < n_true) & (mask[None, :] != 0)
     sims = jnp.where(keep, sims, -jnp.inf)
     neg_dist, idx = jax.lax.top_k(sims, k)
     return 1.0 - neg_dist, idx + base
@@ -149,7 +149,7 @@ def _topk_chunk_blocked_masked(q, e, base: int, n_true, mask, *, k: int):
     nb = n // _XLA_BLOCK
     sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) + base
-    keep = (col < n_true) & mask[None, :]
+    keep = (col < n_true) & (mask[None, :] != 0)
     sims = jnp.where(keep, sims, -jnp.inf)
     blocks = sims.reshape(qn, nb, _XLA_BLOCK)
 
@@ -326,7 +326,7 @@ def _batched_threshold_extract_masked(q, e, t, n_true, mask, *, size: int):
     sims = jnp.dot(q, e.T, preferred_element_type=jnp.float32, precision=_PRECISION)
     d = 1.0 - sims
     col = jax.lax.broadcasted_iota(jnp.int32, (1, e.shape[0]), 1)
-    keep = (col < n_true) & mask[None, :]
+    keep = (col < n_true) & (mask[None, :] != 0)
     d = jnp.where(keep, d, jnp.inf)
     counts = jnp.sum(d < t, axis=1)
     neg, idx = jax.lax.top_k(-d, size)

@@ -101,7 +101,7 @@ def _local_then_global_topk_masked(
                    precision=_PRECISION)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
     global_col = col + jax.lax.axis_index(axis) * n_local
-    keep = (global_col < n_true) & mask_local[None, :]
+    keep = (global_col < n_true) & (mask_local[None, :] != 0)
     sims = jnp.where(keep, sims, -jnp.inf)
     vals, idx = jax.lax.top_k(sims, k_local)
     idx = idx + jax.lax.axis_index(axis) * n_local
@@ -441,7 +441,7 @@ def _local_batched_threshold_dists_masked(q, e_local, t, n_true, mask_local,
     d = 1.0 - sims
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
     gcol = col + jax.lax.axis_index(axis) * n_local
-    keep = (gcol < n_true) & mask_local[None, :]
+    keep = (gcol < n_true) & (mask_local[None, :] != 0)
     d = jnp.where(keep, d, jnp.inf)
     local = jnp.max(jnp.sum(d < t, axis=1))
     return d, jnp.max(jax.lax.all_gather(local, axis))

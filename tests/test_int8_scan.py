@@ -90,3 +90,57 @@ def test_k_exceeds_n():
     d, i = int8_topk_scan(rows[:1], e8, es, 20, interpret=True)
     assert d.shape == (1, 5)
     assert sorted(map(int, i[0])) == [0, 1, 2, 3, 4]
+
+
+def test_int8_masked_matches_numpy(rng):
+    """Fused masked two-phase (path-subset serving): selection over the
+    masked quantized sims must equal the numpy reference, ties to the
+    lower corpus index."""
+    import jax.numpy as jnp
+
+    from semtools_tpu.ops.int8_scan import int8_topk_scan, quantize_global
+
+    n, d, k = 1500, 32, 7
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    e8, scale = quantize_global(e)
+    mask_np = (rng.random(n) < 0.4).astype(np.int8)
+    mask_np[:k] = 1  # guarantee >= k selectable rows
+
+    d_got, i_got = int8_topk_scan(
+        q, e8, scale, k, mask=jnp.asarray(mask_np)
+    )
+    q8, q_scale = quantize_global(q)
+    int_sims = (q8.astype(np.int64) @ e8.astype(np.int64).T).astype(np.float64)
+    for r in range(3):
+        s = int_sims[r].copy()
+        s[mask_np == 0] = -np.inf
+        order = np.lexsort((np.arange(n), -s))[:k]
+        assert list(i_got[r]) == list(order), r
+        np.testing.assert_allclose(
+            d_got[r], 1.0 - s[order] * (q_scale * scale), rtol=1e-5
+        )
+
+
+def test_int8_masked_fewer_rows_than_k(rng):
+    """A mask with fewer than k live rows: filler entries are non-finite
+    and carry out-of-mask indices (callers drop by validity)."""
+    import jax.numpy as jnp
+
+    from semtools_tpu.ops.int8_scan import int8_topk_scan, quantize_global
+
+    n, d, k = 600, 16, 10
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = e[:1]
+    e8, scale = quantize_global(e)
+    mask_np = np.zeros(n, np.int8)
+    live = [3, 77, 500]
+    mask_np[live] = 1
+    d_got, i_got = int8_topk_scan(q, e8, scale, k, mask=jnp.asarray(mask_np))
+    finite = np.isfinite(d_got[0])
+    assert sorted(i_got[0][finite][:3].tolist()) == live or set(
+        i_got[0][finite]
+    ) >= set(live)
