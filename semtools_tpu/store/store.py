@@ -1570,13 +1570,21 @@ class Store:
         # ranks when they actually intrude, so the loop rarely iterates.
         # (Masked subset scans exclude freed slots by construction, so
         # their first pass always satisfies the target.)
+        def _unique_valid(slots) -> int:
+            """Count DISTINCT owned slots. The masked fused kernel's
+            K-round extraction can emit filler entries whose column is an
+            already-extracted real slot (extracted entries read -inf, and
+            the filler argmax lands on the first -inf column), so a raw
+            valid-count would double-count (soak finding: a 3-row subset
+            at top_k=8 returned 8 rows with duplicates)."""
+            valid, _, _ = owners(slots)
+            return len(np.unique(slots[valid]))
+
         k_target = min(oversample, sel_rows)
         k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
         while True:
             i = _candidates(k_sel)
-            min_valid = min(
-                int(owners(i[r])[0].sum()) for r in range(qn)
-            )
+            min_valid = min(_unique_valid(i[r]) for r in range(qn))
             if min_valid >= k_target or k_sel >= sc.capacity:
                 break
             k_sel = min(
@@ -1601,6 +1609,12 @@ class Store:
             slots = i[r]
             valid, ris, lines = owners(slots)
             slots, ris, lines = slots[valid], ris[valid], lines[valid]
+            # Drop duplicate candidates, keeping the first (best-ranked)
+            # occurrence — see _unique_valid for why they exist.
+            _, first = np.unique(slots, return_index=True)
+            keep = np.zeros(len(slots), bool)
+            keep[first] = True
+            slots, ris, lines = slots[keep], ris[keep], lines[keep]
             if len(slots) < need:
                 return None
             rows = uniq_rows[np.searchsorted(uniq, slots)]

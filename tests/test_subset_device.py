@@ -208,3 +208,24 @@ def test_masked_batched_threshold_scan_matches_numpy(rng):
         dists, idxs = per[r]
         assert list(idxs) == list(order)
         np.testing.assert_allclose(dists, dd[order], atol=1e-5)
+
+
+def test_int8_masked_filler_does_not_duplicate(filled, monkeypatch):
+    """Soak finding: the fused masked kernel's K-round extraction emits
+    filler entries on the first -inf column — which is an already-
+    extracted real slot when the subset's block opens the sub-tile. A
+    3-row subset at top_k > rows must return each row exactly once."""
+    s, docs = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT8", "1")
+    monkeypatch.setenv("SEMTOOLS_TPU_SUBSET_DEVICE", "1")
+    q = _unit(np.random.default_rng(10), 2)
+    # /a.txt occupies the store's first slots (upserted first)
+    got = s.search_line_embeddings_batched(q, ["/c.txt"], 20)
+    for per in got:
+        keys = [(r.path, r.line_number) for r in per]
+        assert len(keys) == len(set(keys)) == 7, keys
+    # and the exact trigger: subset whose block starts at slot 0
+    got = s.search_line_embeddings_batched(q, ["/a.txt"], 350)
+    for per in got:
+        keys = [(r.path, r.line_number) for r in per]
+        assert len(keys) == len(set(keys)) == 300, keys
