@@ -122,10 +122,12 @@ def main():
     truth_s = time.perf_counter() - t0
 
     # the store's exact parameters (store.py build_ann_index /
-    # _search_ann_batched)
+    # _search_ann_batched / _ann_candidate_depth)
+    from semtools_tpu.store.store import Store
+
     nlist = int(min(4096, max(16, 1 << int(np.log2(max(4 * np.sqrt(n), 16))))))
     nprobe = max(16, nlist // 16)
-    oversample = max(64 * k, 256)
+    oversample = Store._ann_candidate_depth(k, n, nlist, nprobe)
 
     t0 = time.perf_counter()
     index = IvfPqIndex.build(mm, nlist=nlist, m=32, keep_vectors=False)

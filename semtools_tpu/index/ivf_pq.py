@@ -64,20 +64,25 @@ class IvfPqIndex:
         # PQ codebooks converge on ~64 points/centroid; training on all
         # rows made a 500k-row build take minutes for no recall gain. The
         # full corpus still gets one exact assignment + encode pass below.
-        # Fixed cap keeps the Lloyd-loop executable shape identical across
-        # corpora (compile reuse via the persistent cache); ~46 points per
-        # centroid at nlist=2828 is still above FAISS's warning floor.
-        train_rows = min(n, 1 << 17)
+        # The sample SCALES with nlist (pow2 so the Lloyd-loop executable
+        # shapes stay shared across similarly-sized corpora): the old
+        # fixed 2^17 cap starved nlist=4096 at 31 points/centroid — under
+        # FAISS's ~39 warning floor — and measured candidate recall@10
+        # sagged 1.0 -> 0.87 between 1M and 10M rows (bench_ann_scale).
+        # 64 points/centroid restores it without touching probe depth.
+        train_rows = min(n, max(1 << 17, 64 * nlist))
+        train_rows = min(n, 1 << (train_rows - 1).bit_length())
         if train_rows < n:
             rng = np.random.default_rng(seed)
-            sample = x[rng.choice(n, train_rows, replace=False)]
+            sample = np.asarray(x[np.sort(rng.choice(n, train_rows, replace=False))])
         else:
-            sample = x
+            sample = np.asarray(x)
         centroids, _ = kmeans_fit(sample, nlist, iters=train_iters, seed=seed, mesh=mesh)
         # Exact nearest-centroid assignment of every row (argmax of
         # x.c - |c|^2/2), chunked so the [chunk, nlist] sims intermediate
         # stays ~128 MB regardless of nlist (a fixed 1M-row chunk at
-        # nlist=4096 would materialize 16 GB and OOM the chip).
+        # nlist=4096 would materialize 16 GB and OOM the chip). ``x`` may
+        # be an mmap: only one chunk is ever resident.
         import jax as _jax
         import jax.numpy as _jnp
 
@@ -86,11 +91,10 @@ class IvfPqIndex:
         assign_jit = _jax.jit(_assign)
         cj = _jnp.asarray(centroids)  # upload once, not per chunk
         chunk_rows = max(8192, (1 << 25) // max(nlist, 1))
-        assign_parts = []
+        assign = np.empty(n, np.int64)
         for start in range(0, n, chunk_rows):
-            chunk = _jnp.asarray(x[start:start + chunk_rows])
-            assign_parts.append(np.asarray(assign_jit(chunk, cj)))
-        assign = np.concatenate(assign_parts)
+            chunk = _jnp.asarray(np.asarray(x[start:start + chunk_rows], np.float32))
+            assign[start:start + chunk_rows] = np.asarray(assign_jit(chunk, cj))
         # RESIDUAL PQ (classic IVFADC): quantize x - centroid[assign], not
         # x. On clustered data the raw vectors' variance is dominated by
         # the cluster centers, so raw-vector PQ wastes its dynamic range
@@ -102,14 +106,18 @@ class IvfPqIndex:
         #   q . x = q . c_list + q . residual
         # — the first term is the coarse similarity, the second the
         # residual table sum; no per-list tables needed.
-        residuals = x - centroids[assign]
-        # PQ codebooks also train on a sample; every row is still encoded.
+        #
+        # Residuals are never materialized corpus-wide: the PQ trains on a
+        # sampled-residual matrix and every row is encoded CHUNKED below,
+        # so peak extra memory is O(chunk + codes), not O(n x D) — at 10M
+        # rows the old full-residual copy alone was 10 GB.
         pq_train_rows = min(n, 65_536)
         if pq_train_rows < n:
             rng_pq = np.random.default_rng(seed + 7)
-            pq_train = residuals[rng_pq.choice(n, pq_train_rows, replace=False)]
+            sel = np.sort(rng_pq.choice(n, pq_train_rows, replace=False))
+            pq_train = np.asarray(x[sel], np.float32) - centroids[assign[sel]]
         else:
-            pq_train = residuals
+            pq_train = np.asarray(x, np.float32) - centroids[assign]
         pq = pq_fit(pq_train, m=m, iters=max(4, train_iters // 2), seed=seed + 1)
 
         perm = np.argsort(assign, kind="stable")
@@ -117,8 +125,15 @@ class IvfPqIndex:
         offsets = np.zeros(nlist + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
 
-        codes = pq_encode(np.ascontiguousarray(residuals[perm]), pq)
-        vectors = np.ascontiguousarray(x[perm], dtype=np.float32) if keep_vectors else None
+        codes = np.empty((n, m), np.uint8)
+        for start in range(0, n, chunk_rows):
+            res = (
+                np.asarray(x[start:start + chunk_rows], np.float32)
+                - centroids[assign[start:start + chunk_rows]]
+            )
+            codes[start:start + chunk_rows] = pq_encode(res, pq)
+        codes = np.ascontiguousarray(codes[perm])
+        vectors = np.ascontiguousarray(np.asarray(x)[perm], dtype=np.float32) if keep_vectors else None
         return cls(
             centroids=centroids.astype(np.float32),
             pq=pq,

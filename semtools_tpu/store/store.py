@@ -958,6 +958,26 @@ class Store:
             )
         return out
 
+    @staticmethod
+    def _ann_candidate_depth(top_k: int, n: int, nlist: int, nprobe: int) -> int:
+        """ADC-cut depth for the exact re-rank, scaled with the PROBED
+        candidate pool.
+
+        The 64x-k floor was tuned at 200k clustered rows (candidate
+        recall@10 0.94 at 16x, 1.000 at 64x). But the cut competes
+        against everything the probe visits: with nlist capped at 4096,
+        the probed pool grows linearly with the corpus (~625k rows at
+        10M), and a FIXED 640-row cut sagged to recall 0.86 — deeper
+        probing cannot help, it only grows the pool (measured,
+        bench_ann_scale: every miss at 10M was an ADC-cut victim inside
+        a probed list; pool/73 recovered 1.000 at 3M). Keeping the cut
+        at >= pool/64 holds the cut fraction constant as the corpus
+        scales; the extra exact re-rank (~10k rows at 10M) stays
+        hundreds of times cheaper than the exact scan the tier replaces.
+        """
+        pool = n * nprobe // max(nlist, 1)
+        return max(64 * top_k, 256, pool // 64)
+
     def _search_ann_batched(
         self,
         index,
@@ -970,12 +990,8 @@ class Store:
         ONE mmap open for all re-ranks (the single-query path re-opens the
         mmap per call)."""
         qs = np.asarray(query_vecs, np.float32)
-        # 64x-k candidate depth: at 200k clustered rows the residual-PQ
-        # probe's candidate recall@10 is 0.94 at 16x but 1.000 at 64x —
-        # the exact re-rank of ~640 rows is noise next to the probe
-        # itself, so the deeper cut is effectively free.
-        oversample = max(64 * top_k, 256)
         nprobe = max(16, index.nlist // 16)
+        oversample = self._ann_candidate_depth(top_k, index.n, index.nlist, nprobe)
         _, ids = index.search(qs, k=min(oversample, index.n), nprobe=nprobe)
         ranges = self._valid_ranges_cached()
         mm = self._mmap("r")
