@@ -1381,6 +1381,11 @@ class Store:
         total_rows = sum(n for _, _, n in valid_ranges)
         if total_rows == 0:
             return None
+        if self._use_ann_tier(total_rows):
+            # ANN-scale store: no device tier fits the budget, so there
+            # is no whole-store corpus to mask — the compact path serves
+            # subsets (the full-store path serves IVF-PQ).
+            return None
         mesh = None
         if _sharded_enabled(total_rows):
             from semtools_tpu.parallel.mesh import corpus_mesh

@@ -229,3 +229,16 @@ def test_int8_masked_filler_does_not_duplicate(filled, monkeypatch):
     for per in got:
         keys = [(r.path, r.line_number) for r in per]
         assert len(keys) == len(set(keys)) == 300, keys
+
+
+def test_ann_scale_store_subset_stays_compact(filled, monkeypatch):
+    """On a store served by the ANN tier (nothing fits the device
+    budget), a subset query must NOT build an over-budget device corpus
+    — the compact path serves it."""
+    s, docs = filled
+    monkeypatch.setenv("SEMTOOLS_TPU_SUBSET_DEVICE", "1")
+    monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+    q = _unit(np.random.default_rng(11), 1)
+    got = s.search_line_embeddings_batched(q, ["/c.txt"], 3)
+    assert len(got[0]) == 3
+    assert not patch_cache.is_warm(s, *s._device_kind(s.count_line_embeddings()))
