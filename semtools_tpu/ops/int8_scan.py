@@ -338,7 +338,6 @@ def int8_topk_scan(
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
     tile_n = tile_for_rows(n)
-    rows_before = e8.shape[0]
     e8 = bucket_pad_rows(
         jnp.asarray(e8), tile_n, n_true=None if n_true is None else n
     )
@@ -357,5 +356,4 @@ def int8_topk_scan(
             jnp.asarray(q8), e8, n, mask, k=k_eff, interpret=interpret,
             tile_n=tile_n,
         )
-    del rows_before
     return np.asarray(1.0 - np.asarray(sims) * (q_scale * e_scale)), np.asarray(i)
