@@ -49,11 +49,17 @@ TIERS = [
     {"SEMTOOLS_TPU_SHARDED": "1", "SEMTOOLS_TPU_STORE_INT8": "1"},
     {"SEMTOOLS_TPU_REDUCED_DIM": "8", "SEMTOOLS_TPU_DEVICE_CACHE_BYTES": "6000"},
     {"SEMTOOLS_TPU_SCAN": "host"},
+    # IVF-PQ tier under mutation churn: the soak rebuilds the index after
+    # every write (see soak_store), so full-store queries serve from the
+    # probe; at soak scale the pool-scaled candidate depth covers every
+    # row, making the exact re-rank brute-force-equal. Subset queries and
+    # stale-generation windows fall through to exact paths — also checked.
+    {"SEMTOOLS_TPU_FORCE_ANN": "1"},
 ]
 CLEAR = [
     "SEMTOOLS_TPU_STORE_INT8", "SEMTOOLS_TPU_SHARDED", "SEMTOOLS_TPU_REDUCED_DIM",
     "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "SEMTOOLS_TPU_SCAN",
-    "SEMTOOLS_TPU_SUBSET_DEVICE",
+    "SEMTOOLS_TPU_SUBSET_DEVICE", "SEMTOOLS_TPU_FORCE_ANN",
 ]
 
 
@@ -144,6 +150,10 @@ def soak_store(steps, seeds):
                     m = make_rows(rng, int(rng.integers(1, 50)), d)
                 s.upsert_document_lines(p, m, content_hashes(m))
                 model[p] = m
+                if tier.get("SEMTOOLS_TPU_FORCE_ANN") and rng.random() < 0.7:
+                    # 30% of writes leave the index stale: queries must
+                    # detect the generation mismatch and fall through
+                    s.build_ann_index(force=True)
             elif op < 0.65 and model:
                 victim = list(model)[int(rng.integers(0, len(model)))]
                 s.delete_line_embeddings([victim])

@@ -927,13 +927,17 @@ class Store:
         # jitted executables (and their persistent-cache entries) are
         # shared across similarly-sized corpora.
         nlist = int(min(4096, max(16, 1 << int(np.log2(max(4 * np.sqrt(n), 16))))))
+        # PQ subspaces must divide the dim: 32 at the production dim 256
+        # (8 dims/byte); odd custom dims take their largest divisor <= 32
+        # (the soak found the hardcoded 32 crashing a dim-13 store).
+        m = max(x for x in range(1, min(32, self.dim) + 1) if self.dim % x == 0)
         if backend == "cpu":
             import jax
 
             with jax.default_device(jax.devices("cpu")[0]):
-                index = IvfPqIndex.build(x, nlist=nlist, m=32, keep_vectors=False)
+                index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
         else:
-            index = IvfPqIndex.build(x, nlist=nlist, m=32, keep_vectors=False)
+            index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
         del mm
         ann_path, meta_path = self._ann_paths()
         index.save(str(ann_path))
@@ -990,7 +994,17 @@ class Store:
         ONE mmap open for all re-ranks (the single-query path re-opens the
         mmap per call)."""
         qs = np.asarray(query_vecs, np.float32)
-        nprobe = max(16, index.nlist // 16)
+        # Probe enough lists that the EXPECTED pool holds 64x-k rows: the
+        # nlist/16 floor alone visits a fixed fraction of the corpus, so a
+        # top_k comparable to the corpus (tiny stores with FORCE_ANN, or
+        # huge k) would miss rows in unprobed lists outright (soak
+        # finding: k=70 over 165 rows probed half the corpus). At serving
+        # scale the floor dominates and nothing changes.
+        avg_list = max(index.n // max(index.nlist, 1), 1)
+        nprobe = min(
+            max(16, index.nlist // 16, -(-64 * top_k // avg_list)),
+            index.nlist,
+        )
         oversample = self._ann_candidate_depth(top_k, index.n, index.nlist, nprobe)
         _, ids = index.search(qs, k=min(oversample, index.n), nprobe=nprobe)
         ranges = self._valid_ranges_cached()

@@ -224,3 +224,42 @@ def test_ann_candidate_depth_scales_with_pool():
     d1 = depth(10, 4_000_000, 4096, 256)
     d2 = depth(10, 8_000_000, 4096, 256)
     assert abs(d2 - 2 * d1) <= 2
+
+
+def test_ann_build_dim_not_divisible_by_32(tmp_path, rng):
+    """PQ subspaces must divide the store dim (soak finding: the
+    hardcoded m=32 crashed a dim-13 store's index build)."""
+    s = Store(str(tmp_path / "ws"), dim=13)
+    x = rng.standard_normal((120, 13)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    s.upsert_document_lines("/a.txt", x)
+    idx = s.build_ann_index(force=True)
+    assert idx is not None
+    assert 13 % idx.pq.m == 0
+    s.close()
+
+
+def test_ann_large_k_probes_enough_lists(tmp_path, rng, monkeypatch):
+    """top_k comparable to the corpus must widen the probe (soak
+    finding: k=70 over 165 rows probed half the lists and missed
+    nearer rows in unprobed ones) — results equal brute force."""
+    monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+    s = Store(str(tmp_path / "ws"), dim=16)
+    docs = {}
+    for i in range(5):
+        x = rng.standard_normal((33, 16)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        s.upsert_document_lines(f"/d{i}.txt", x)
+        docs[f"/d{i}.txt"] = x
+    s.build_ann_index(force=True)
+    keys = sorted(docs)
+    rows = np.concatenate([docs[k] for k in keys])
+    q = rng.standard_normal(16).astype(np.float32)
+    q /= np.linalg.norm(q)
+    got = s.search_line_embeddings(q, keys, 70)
+    dist = 1.0 - rows @ q
+    want = np.sort(dist, kind="stable")[:70]
+    np.testing.assert_allclose(
+        [r.distance for r in got], want, atol=3e-4
+    )
+    s.close()
