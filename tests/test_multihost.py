@@ -85,6 +85,19 @@ _WORKER = textwrap.dedent("""
     assert (hits[0].path, hits[0].line_number) == ("/docA.txt", 777), hits[0]
     assert hits[0].distance < 1e-5
 
+    # 4. masked path-subset query on the CROSS-PROCESS mesh: the mask
+    #    is row-sharded with the corpus (device_put to the multihost
+    #    sharding), results equal the compact reference
+    os.environ["SEMTOOLS_TPU_SUBSET_DEVICE"] = "1"
+    sub = store.search_line_embeddings(e[777], ["/docA.txt"], top_k=3)
+    assert (sub[0].path, sub[0].line_number) == ("/docA.txt", 777), sub[0]
+    os.environ["SEMTOOLS_TPU_SUBSET_DEVICE"] = "0"
+    sub_ref = store.search_line_embeddings(e[777], ["/docA.txt"], top_k=3)
+    assert [(h.path, h.line_number) for h in sub] == [
+        (h.path, h.line_number) for h in sub_ref
+    ]
+    os.environ.pop("SEMTOOLS_TPU_SUBSET_DEVICE", None)
+
     os.environ["SEMTOOLS_TPU_SHARDED"] = "0"
     device_cache.invalidate()
     exact = store.search_line_embeddings(e[777], paths, top_k=3)
