@@ -253,6 +253,19 @@ def stop() -> bool:
     return bool(resp and resp.get("ok"))
 
 
+def _forward_timeout(argv) -> float:
+    """Per-command client timeout. Index builds and parse jobs legitimately
+    run for tens of minutes (a 10M-row IVF-PQ build measured 35 min on a
+    single core; parse polls remote jobs up to max_timeout=3600 s) — the
+    default 10-minute cap would abandon the socket while the daemon keeps
+    working with the run lock held."""
+    if argv and argv[0] == "parse":
+        return 4 * 3600.0
+    if len(argv) >= 2 and argv[0] == "workspace" and argv[1] == "index":
+        return 4 * 3600.0
+    return 600.0
+
+
 def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
     """Run ``argv`` on the daemon; None if no daemon is reachable."""
     # Forward the client's whole SEMTOOLS_* namespace plus credentials and
@@ -268,7 +281,7 @@ def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
         "stdin": stdin_text,
         "cwd": os.getcwd(),
         "env": env,
-    })
+    }, timeout=_forward_timeout(list(argv)))
     if resp is None or "exit" not in resp:
         return None
     sys.stdout.write(resp.get("stdout", ""))

@@ -183,3 +183,13 @@ def test_forward_queries_from_stdin_dash(running_daemon, tmp_path, capsys):
     assert code == 0
     out = capsys.readouterr().out
     assert "# query: databases" in out and "databases" in out
+
+
+def test_forward_timeout_scales_for_long_commands():
+    from semtools_tpu.daemon import _forward_timeout
+
+    assert _forward_timeout(["search", "q", "f.txt"]) == 600.0
+    assert _forward_timeout(["workspace", "status"]) == 600.0
+    assert _forward_timeout(["workspace", "index", "--force"]) == 4 * 3600.0
+    assert _forward_timeout(["parse", "a.pdf"]) == 4 * 3600.0
+    assert _forward_timeout([]) == 600.0
