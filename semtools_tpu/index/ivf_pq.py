@@ -221,6 +221,42 @@ class IvfPqIndex:
                 out_i[qi, len(sel):] = -1
         return out_d, out_i
 
+    # -- incremental updates -------------------------------------------------
+
+    def encode_rows(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(list ids, residual PQ codes) for NEW rows under the frozen
+        quantizers — the incremental-update path (a mutation appends a
+        delta segment instead of staling the whole index; the store's
+        reconcile uses this). Host numpy: deltas are small by the drift
+        bound, and the caller may be on a degraded link.
+        """
+        x = np.asarray(x, np.float32)
+        if x.shape[0] == 0:
+            return np.zeros(0, np.int64), np.zeros((0, self.pq.m), np.uint8)
+        sims = x @ self.centroids.T - 0.5 * np.sum(self.centroids**2, axis=1)[None]
+        assign = np.argmax(sims, axis=1)
+        codes = pq_encode(x - self.centroids[assign], self.pq)
+        return assign.astype(np.int64), codes
+
+    def score_rows(
+        self, q: np.ndarray, codes: np.ndarray, list_ids: np.ndarray
+    ) -> np.ndarray:
+        """[Q, M_rows] approximate similarities of delta rows: the coarse
+        term q . c_list plus the residual ADC table sum — the same
+        decomposition the probe uses, so delta and main candidates are
+        comparable."""
+        q = np.asarray(q, np.float32)
+        if codes.shape[0] == 0:
+            return np.zeros((q.shape[0], 0), np.float32)
+        tables = np.asarray(
+            adc_tables(jnp.asarray(q), jnp.asarray(self.pq.codebooks))
+        )  # [Q, M, 256]
+        coarse = q @ self.centroids.T  # [Q, C]
+        m_idx = np.arange(self.pq.m)[None, :]
+        codes64 = codes.astype(np.int64)
+        resid = np.stack([t[m_idx, codes64].sum(axis=1) for t in tables])
+        return coarse[:, list_ids] + resid
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path: str) -> None:

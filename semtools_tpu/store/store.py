@@ -739,7 +739,7 @@ class Store:
             n_rows = self.count_line_embeddings()
         if os.environ.get("SEMTOOLS_TPU_SCAN", "").lower() == "host":
             return "host-mmap-scan"
-        if self._use_ann_tier(n_rows) and self._ann_generation_matches():
+        if self._use_ann_tier(n_rows) and self._ann_available(n_rows):
             return "ivf-pq"
         kind, rd = self._device_kind(n_rows)
         suffix = f"-reduced{rd}d" if rd else ""
@@ -817,28 +817,144 @@ class Store:
         except Exception:
             return False
 
-    def _ann_fresh(self):
-        """(index, slots) when a saved ANN index matches the current
-        generation; None otherwise. The deserialized index is cached on
-        the instance per generation — loading PQ codes for a big corpus
-        costs real I/O and every search would otherwise pay it twice."""
-        if not self._ann_generation_matches():
-            return None
-        gen = self.generation()
-        cached = getattr(self, "_ann_cache", None)
-        if cached is not None and cached[0] == gen:
-            return cached[1], cached[2]
+    # Rebuild once cumulative changed+removed rows exceed this fraction of
+    # the indexed corpus — below it, mutations serve through the delta.
+    _ANN_DRIFT_DENOM = 4
+
+    def _ann_layout_diff(self, build_layout: Dict[str, Tuple[int, int, int]]):
+        """(changed ranges, removed ranges, drift rows) between the
+        index's build-time layout and the store's CURRENT layout. Cheap:
+        one sqlite read + dict compares — no row I/O, no encoding."""
+        new_layout = {p: (s, n, r) for p, s, n, r in self._layout_with_rev()}
+        changed = [
+            (p, v[0], v[1]) for p, v in new_layout.items()
+            if build_layout.get(p) != v
+        ]
+        removed = [
+            (v[0], v[1]) for p, v in build_layout.items()
+            if new_layout.get(p) != v
+        ]
+        # Drift counts what incremental serving actually pays for: DELTA
+        # rows (ADC-scored per query) plus rows of documents gone
+        # entirely. A rewritten document's freed old range is replacement
+        # bookkeeping — its tombstone costs one range-bisect per probe,
+        # not per-row work (same principle as the patch diff's aging).
+        drift = sum(n for _, _, n in changed) + sum(
+            v[1] for p, v in build_layout.items() if p not in new_layout
+        )
+        return changed, removed, drift
+
+    def _ann_load_meta(self):
+        """(index, build generation, slots, build layout) from disk,
+        instance-cached keyed on the meta file's mtime — another process
+        rebuilding the index on disk must be picked up (PQ codes for a
+        big corpus cost real I/O, so the cache matters)."""
         ann_path, meta_path = self._ann_paths()
+        if not (ann_path.exists() and meta_path.exists()):
+            return None
+        try:
+            mtime = meta_path.stat().st_mtime_ns
+        except OSError:
+            return None
+        cached = getattr(self, "_ann_disk_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         try:
             from semtools_tpu.index.ivf_pq import IvfPqIndex
 
             index = IvfPqIndex.load(str(ann_path))
-            with np.load(meta_path) as meta:
-                slots = meta["slots"]
+            with np.load(meta_path, allow_pickle=False) as meta:
+                m = {k: meta[k] for k in meta.files}
         except Exception:
             return None
-        self._ann_cache = (gen, index, slots)
-        return index, slots
+        if "lay_paths" in m:
+            layout = {
+                str(p): (int(s), int(n), int(r))
+                for p, s, n, r in zip(
+                    m["lay_paths"], m["lay_starts"], m["lay_lens"], m["lay_revs"]
+                )
+            }
+        else:
+            layout = None  # pre-incremental meta: exact-generation only
+        state = (index, int(m["generation"]), m["slots"], layout)
+        self._ann_disk_cache = (mtime, state)
+        return state
+
+    def _ann_available(self, n_rows: int) -> bool:
+        """Cheap serving-tier probe: an index exists and is either at the
+        current generation or within the incremental drift bound."""
+        loaded = self._ann_load_meta()
+        if loaded is None:
+            return False
+        _, build_gen, slots, layout = loaded
+        if build_gen == self.generation():
+            return True
+        if layout is None:
+            return False
+        _, _, drift = self._ann_layout_diff(layout)
+        return drift <= len(slots) // self._ANN_DRIFT_DENOM
+
+    def _ann_current(self):
+        """The ANN serving state reconciled to the CURRENT generation, or
+        None (no index, or drift past the rebuild bound).
+
+        Incremental contract (the reference's qdrant-edge supports
+        in-place upsert/delete, store.rs:289-357): instead of staling the
+        whole index on any mutation — which at ANN scale degrades serving
+        to minutes-long host scans until a ~35-minute rebuild — the
+        build-time layout is diffed against the current one; removed
+        build rows become TOMBSTONE ranges (filtered from probe
+        candidates), and changed/new rows are ADC-encoded under the
+        frozen quantizers into a DELTA segment scored exactly alongside
+        the probe. Nothing is persisted: a reconcile always diffs
+        build->current, so cold processes need no delta journal, and the
+        per-generation instance cache keeps warm serving free.
+        """
+        gen = self.generation()
+        cached = getattr(self, "_ann_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        loaded = self._ann_load_meta()
+        if loaded is None:
+            return None
+        index, build_gen, slots, layout = loaded
+        if build_gen == gen:
+            state = (index, slots,
+                     np.zeros(0, np.int64), np.zeros(0, np.int64),  # rm ranges
+                     np.zeros(0, np.int64),                          # delta slots
+                     np.zeros(0, np.int64),                          # delta lists
+                     np.zeros((0, index.pq.m), np.uint8))            # delta codes
+            self._ann_cache = (gen, state)
+            return state
+        if layout is None:
+            return None
+        changed, removed, drift = self._ann_layout_diff(layout)
+        if drift > len(slots) // self._ANN_DRIFT_DENOM:
+            return None
+        rm = sorted((int(s), int(s) + int(n)) for s, n in removed)
+        rm_starts = np.array([a for a, _ in rm], np.int64)
+        rm_ends = np.array([b for _, b in rm], np.int64)
+        d_slots: List[np.ndarray] = []
+        d_lists: List[np.ndarray] = []
+        d_codes: List[np.ndarray] = []
+        if changed:
+            mm = self._mmap("r")
+            if mm is None:
+                return None
+            for _, s, n in changed:
+                lists, codes = index.encode_rows(np.asarray(mm[s : s + n]))
+                d_slots.append(np.arange(s, s + n, dtype=np.int64))
+                d_lists.append(lists)
+                d_codes.append(codes)
+            del mm
+        state = (
+            index, slots, rm_starts, rm_ends,
+            np.concatenate(d_slots) if d_slots else np.zeros(0, np.int64),
+            np.concatenate(d_lists) if d_lists else np.zeros(0, np.int64),
+            np.concatenate(d_codes) if d_codes else np.zeros((0, index.pq.m), np.uint8),
+        )
+        self._ann_cache = (gen, state)
+        return state
 
     def _ann_build_backend(self, n_rows: int) -> str:
         """'device' or 'cpu' for the ANN build's kmeans/assign/encode.
@@ -900,9 +1016,10 @@ class Store:
         per :meth:`_ann_build_backend`; memory stays O(chunk + codes)
         regardless of corpus size.
         """
-        fresh = self._ann_fresh()
-        if fresh is not None:
-            return fresh[0]
+        if self._ann_generation_matches():
+            loaded = self._ann_load_meta()
+            if loaded is not None:
+                return loaded[0]
         n = self.count_line_embeddings()
         if n == 0 or (not force and not self._use_ann_tier(n)):
             return None
@@ -941,7 +1058,20 @@ class Store:
         del mm
         ann_path, meta_path = self._ann_paths()
         index.save(str(ann_path))
-        np.savez(meta_path, generation=self.generation(), slots=slots)
+        # The build-time LAYOUT funds incremental serving: later queries
+        # diff it against the current layout and serve mutations through
+        # tombstones + a delta segment instead of staling the index
+        # (see _ann_current).
+        lay = self._layout_with_rev()
+        np.savez(
+            meta_path, generation=self.generation(), slots=slots,
+            lay_paths=np.array([p for p, _, _, _ in lay]),
+            lay_starts=np.array([s2 for _, s2, _, _ in lay], np.int64),
+            lay_lens=np.array([n2 for _, _, n2, _ in lay], np.int64),
+            lay_revs=np.array([r2 for _, _, _, r2 in lay], np.int64),
+        )
+        self._ann_disk_cache = None
+        self._ann_cache = None
         return index
 
     @staticmethod
@@ -984,15 +1114,18 @@ class Store:
 
     def _search_ann_batched(
         self,
-        index,
-        slots: np.ndarray,
+        state,
         query_vecs: np.ndarray,
         top_k: int,
         max_distance: Optional[float],
     ) -> List[List[RankedLine]]:
         """Batched :meth:`_search_ann`: one probe call for all queries and
         ONE mmap open for all re-ranks (the single-query path re-opens the
-        mmap per call)."""
+        mmap per call). ``state`` is :meth:`_ann_current`'s reconciled
+        view: probe candidates from removed (tombstoned) build ranges are
+        dropped, and delta rows — scored approximately under the same
+        coarse+residual decomposition — join the exact re-rank."""
+        index, slots, rm_starts, rm_ends, d_slots, d_lists, d_codes = state
         qs = np.asarray(query_vecs, np.float32)
         # Probe enough lists that the EXPECTED pool holds 64x-k rows: the
         # nlist/16 floor alone visits a fixed fraction of the corpus, so a
@@ -1007,6 +1140,11 @@ class Store:
         )
         oversample = self._ann_candidate_depth(top_k, index.n, index.nlist, nprobe)
         _, ids = index.search(qs, k=min(oversample, index.n), nprobe=nprobe)
+        delta_top = None
+        if len(d_slots):
+            d_approx = index.score_rows(qs, d_codes, d_lists)  # [Q, Dn]
+            kd = min(oversample, len(d_slots))
+            delta_top = np.argpartition(-d_approx, kd - 1, axis=1)[:, :kd]
         ranges = self._valid_ranges_cached()
         mm = self._mmap("r")
         if mm is None:
@@ -1016,6 +1154,21 @@ class Store:
             idr = ids[r]
             idr = idr[idr >= 0]  # drop padding entries from under-filled probes
             cand_slots = slots[idr]
+            if rm_starts.size:
+                # tombstoned build rows (their doc was removed or
+                # re-written): the build-time codes are stale
+                pos = np.searchsorted(rm_starts, cand_slots, side="right") - 1
+                pos_c = np.clip(pos, 0, len(rm_starts) - 1)
+                dead = (pos >= 0) & (cand_slots < rm_ends[pos_c])
+                cand_slots = cand_slots[~dead]
+            if delta_top is not None:
+                cand_slots = np.concatenate(
+                    [cand_slots, d_slots[delta_top[r]]]
+                )
+            # slot-sorted unique candidates: the stable exact re-rank then
+            # breaks ties toward the lower slot = lower corpus position,
+            # matching the exact tiers
+            cand_slots = np.unique(cand_slots)
             rows = np.asarray(mm[cand_slots])
             exact = 1.0 - (rows @ qs[r])
             order = np.argsort(exact, kind="stable")[:top_k]
@@ -1147,10 +1300,10 @@ class Store:
                 return hits
 
         if full_store and self._use_ann_tier(n_rows):
-            fresh = self._ann_fresh()
-            if fresh is not None:
+            state = self._ann_current()
+            if state is not None:
                 return self._search_ann_batched(
-                    fresh[0], fresh[1], qs, top_k, max_distance
+                    state, qs, top_k, max_distance
                 )
 
         if full_store:

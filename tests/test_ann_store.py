@@ -39,7 +39,7 @@ class TestAnnTier:
         _fill(store, rng)
         index = store.build_ann_index(force=True)
         assert index is not None
-        assert store._ann_fresh() is not None
+        assert store._ann_current() is not None
         # IVF-PQ is a capacity tier: fresh but NOT serving for a corpus
         # that fits on-device — status reports the tier actually serving.
         assert store.get_stats().index_type == "exact-mxu-scan"
@@ -48,17 +48,26 @@ class TestAnnTier:
         # idempotent: second call reuses the fresh index
         assert store.build_ann_index(force=True) is not None
 
-    def test_mutation_stales_index(self, store):
+    def test_mutation_reconciles_incrementally(self, store, monkeypatch):
         rng = np.random.default_rng(2)
         paths = _fill(store, rng)
         store.build_ann_index(force=True)
         store.upsert_document_lines("/new.txt", _unit(rng, 10))
-        assert store._ann_fresh() is None
+        # the on-disk generation is behind, but the tier keeps serving
+        # through the delta reconcile (round-3 incremental contract)
+        assert not store._ann_generation_matches()
+        state = store._ann_current()
+        assert state is not None and len(state[4]) == 10  # delta rows
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        assert store.get_stats().index_type == "ivf-pq"
+        monkeypatch.delenv("SEMTOOLS_TPU_FORCE_ANN")
+        # small corpora still SERVE from the exact device tiers
         assert store.get_stats().index_type == "exact-mxu-scan"
-        # deletes stale it too
+        # deletes reconcile as tombstone ranges
         store.build_ann_index(force=True)
         store.delete_line_embeddings([paths[0]])
-        assert store._ann_fresh() is None
+        state = store._ann_current()
+        assert state is not None and len(state[2]) >= 1  # tombstone ranges
 
     def test_ann_search_matches_exact_on_clustered_data(self, store, monkeypatch):
         monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
@@ -139,13 +148,15 @@ def test_ann_index_survives_reopen(tmp_path, monkeypatch):
 
     s2 = Store(d1, dim=32)
     assert s2.generation() == gen1
-    assert s2._ann_fresh() is not None
+    assert s2._ann_current() is not None
     assert s2.get_stats().index_type == "ivf-pq"
     got = s2.search_line_embeddings(centers[1], paths, top_k=3)
     assert all(rl.path == "/p1.txt" for rl in got)
-    # a mutation in the new instance stales the persisted index
+    # a mutation in the new instance reconciles incrementally (delta)
     s2.upsert_document_lines("/new.txt", _unit(rng, 5))
-    assert s2._ann_fresh() is None
+    assert not s2._ann_generation_matches()
+    state = s2._ann_current()
+    assert state is not None and len(state[4]) == 5
     s2.close()
 
 
@@ -263,3 +274,110 @@ def test_ann_large_k_probes_enough_lists(tmp_path, rng, monkeypatch):
         [r.distance for r in got], want, atol=3e-4
     )
     s.close()
+
+
+class TestIncrementalAnn:
+    """Mutations must serve through the ANN tier without a rebuild
+    (tombstoned build rows + ADC-encoded delta under the frozen
+    quantizers), matching brute force at soak scale; past the drift
+    bound the tier steps aside. Ref: qdrant-edge in-place upsert/delete,
+    src/workspace/store.rs:289-357."""
+
+    def _mk(self, tmp_path, rng, docs=6, rows=40):
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = {}
+        for i in range(docs):
+            x = _unit(rng, rows, d=16)
+            s.upsert_document_lines(f"/d{i}.txt", x)
+            model[f"/d{i}.txt"] = x
+        s.build_ann_index(force=True)
+        return s, model
+
+    def _check(self, s, model, rng, top_k=5, t=None):
+        keys = sorted(model)
+        rows = np.concatenate([model[k] for k in keys])
+        q = _unit(rng, 1, d=16)[0]
+        got = s.search_line_embeddings(q, keys, top_k, t)
+        dist = 1.0 - rows @ q
+        order = np.argsort(dist, kind="stable")[:top_k]
+        if t is not None:
+            order = order[dist[order] < t]
+        assert len(got) == len(order), (len(got), len(order))
+        for g, j in zip(got, order):
+            assert abs(g.distance - float(dist[j])) < 3e-4
+
+    def test_edit_serves_without_rebuild(self, tmp_path, rng, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        build_gen = s.generation()
+        x2 = _unit(rng, 37, d=16)
+        s.upsert_document_lines("/d2.txt", x2)
+        model["/d2.txt"] = x2
+        assert s.serving_tier() == "ivf-pq"  # still serving, no rebuild
+        self._check(s, model, rng)
+        self._check(s, model, rng, top_k=8, t=1.1)
+        # the on-disk index still carries the BUILD generation: nothing
+        # was rebuilt, the delta reconciled at query time
+        with np.load(s._ann_paths()[1]) as meta:
+            assert int(meta["generation"]) == build_gen
+        s.close()
+
+    def test_delete_tombstones_rows(self, tmp_path, rng, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        s.delete_documents(["/d3.txt"])
+        del model["/d3.txt"]
+        assert s.serving_tier() == "ivf-pq"
+        keys = sorted(model)
+        q = _unit(rng, 1, d=16)[0]
+        got = s.search_line_embeddings(q, keys, 10)
+        assert all(g.path != "/d3.txt" for g in got)
+        self._check(s, model, rng, top_k=10)
+        s.close()
+
+    def test_new_doc_joins_via_delta(self, tmp_path, rng, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        x = _unit(rng, 25, d=16)
+        s.upsert_document_lines("/new.txt", x)
+        model["/new.txt"] = x
+        # the new doc's own rows must be findable at distance ~0
+        got = s.search_line_embeddings(x[7], sorted(model), 1)
+        assert (got[0].path, got[0].line_number) == ("/new.txt", 7)
+        assert got[0].distance < 1e-4
+        self._check(s, model, rng)
+        s.close()
+
+    def test_drift_bound_forces_fallthrough(self, tmp_path, rng, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        # rewrite most of the corpus: past the 25% bound
+        for i in range(4):
+            x = _unit(rng, 40, d=16)
+            s.upsert_document_lines(f"/d{i}.txt", x)
+            model[f"/d{i}.txt"] = x
+        assert s._ann_current() is None
+        assert s.serving_tier() != "ivf-pq"
+        self._check(s, model, rng)  # exact tiers still serve correctly
+        s.close()
+
+    def test_cross_process_rebuild_picked_up(self, tmp_path, rng, monkeypatch):
+        """The disk cache keys on the meta mtime: a rebuild by another
+        process (simulated by a second Store handle) must be seen."""
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        assert s._ann_current() is not None
+        other = Store(str(tmp_path / "ws"), dim=16)
+        x2 = _unit(rng, 37, d=16)
+        other.upsert_document_lines("/d1.txt", x2)
+        model["/d1.txt"] = x2
+        import time as _t
+
+        _t.sleep(0.01)
+        other.build_ann_index(force=True)
+        other.close()
+        self._check(s, model, rng)
+        # the first handle now serves the REBUILT index (no delta needed)
+        state = s._ann_current()
+        assert state is not None and len(state[4]) == 0
+        s.close()
