@@ -880,19 +880,57 @@ class Store:
         self._ann_disk_cache = (mtime, state)
         return state
 
+    def _ann_meta_light(self):
+        """(build generation, build layout|None, indexed row count) from
+        the meta npz WITHOUT touching the PQ codes — `workspace status`
+        on a 10M-row store must not read hundreds of MB to name a tier.
+        Cached keyed on the meta file's mtime."""
+        ann_path, meta_path = self._ann_paths()
+        if not (ann_path.exists() and meta_path.exists()):
+            return None
+        try:
+            mtime = meta_path.stat().st_mtime_ns
+        except OSError:
+            return None
+        cached = getattr(self, "_ann_meta_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
+        try:
+            with np.load(meta_path, allow_pickle=False) as meta:
+                gen = int(meta["generation"])
+                if "lay_paths" in meta.files:
+                    lens = meta["lay_lens"]
+                    layout = {
+                        str(p): (int(s), int(n), int(r))
+                        for p, s, n, r in zip(
+                            meta["lay_paths"], meta["lay_starts"],
+                            lens, meta["lay_revs"],
+                        )
+                    }
+                    n_rows = int(lens.sum())
+                else:
+                    layout = None
+                    n_rows = int(meta["slots"].shape[0])
+        except Exception:
+            return None
+        out = (gen, layout, n_rows)
+        self._ann_meta_cache = (mtime, out)
+        return out
+
     def _ann_available(self, n_rows: int) -> bool:
         """Cheap serving-tier probe: an index exists and is either at the
-        current generation or within the incremental drift bound."""
-        loaded = self._ann_load_meta()
-        if loaded is None:
+        current generation or within the incremental drift bound. Never
+        reads the PQ codes."""
+        light = self._ann_meta_light()
+        if light is None:
             return False
-        _, build_gen, slots, layout = loaded
+        build_gen, layout, indexed_rows = light
         if build_gen == self.generation():
             return True
         if layout is None:
             return False
         _, _, drift = self._ann_layout_diff(layout)
-        return drift <= len(slots) // self._ANN_DRIFT_DENOM
+        return drift <= indexed_rows // self._ANN_DRIFT_DENOM
 
     def _ann_current(self):
         """The ANN serving state reconciled to the CURRENT generation, or
@@ -1071,6 +1109,7 @@ class Store:
             lay_revs=np.array([r2 for _, _, _, r2 in lay], np.int64),
         )
         self._ann_disk_cache = None
+        self._ann_meta_cache = None
         self._ann_cache = None
         return index
 

@@ -381,3 +381,38 @@ class TestIncrementalAnn:
         state = s._ann_current()
         assert state is not None and len(state[4]) == 0
         s.close()
+
+    def test_tier_probe_never_reads_codes(self, tmp_path, rng, monkeypatch):
+        """`workspace status` on an ANN-scale store must not pay the PQ
+        codes I/O (hundreds of MB at 10M rows): serving_tier goes through
+        the light meta probe only."""
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        s.close()
+        cold = Store(str(tmp_path / "ws"), dim=16)
+        from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+        def _boom(*a, **k):
+            raise AssertionError("tier probe loaded the PQ codes")
+
+        monkeypatch.setattr(IvfPqIndex, "load", staticmethod(_boom))
+        assert cold.serving_tier() == "ivf-pq"
+        # an incremental mutation keeps the probe light too (layout diff
+        # runs on the meta's layout arrays, not the index)
+        monkeypatch.undo()
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        x2 = _unit(rng, 37, d=16)
+        cold.upsert_document_lines("/d2.txt", x2)
+        monkeypatch.setattr(IvfPqIndex, "load", staticmethod(_boom))
+        assert cold.serving_tier() == "ivf-pq"
+        cold.close()
+
+    def test_missing_codes_file_demotes_tier(self, tmp_path, rng, monkeypatch):
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        s, model = self._mk(tmp_path, rng)
+        s._ann_paths()[0].unlink()  # codes gone, meta still present
+        s._ann_disk_cache = None
+        s._ann_meta_cache = None
+        assert s.serving_tier() != "ivf-pq"
+        self._check(s, model, rng)  # exact tiers still serve
+        s.close()
