@@ -262,14 +262,22 @@ def parse_cmd(args) -> int:
         if not os.path.exists(f):
             print(f"Warning: File does not exist: {f}", file=sys.stderr)
 
-    if args.backend != "llama-parse":
+    if args.backend == "llama-parse":
+        backend = LlamaParseBackend(parse_config, verbose=args.verbose)
+    elif args.backend == "local":
+        # Offline conversion (stdlib extractors) — an extension over the
+        # reference, whose only backend is the LlamaParse cloud API
+        # (src/cmds/parse.rs:6).
+        from semtools_tpu.parse import LocalParseBackend
+
+        backend = LocalParseBackend(verbose=args.verbose)
+    else:
         print(
-            f"Error: Unknown backend '{args.backend}'. Supported backends: llama-parse",
+            f"Error: Unknown backend '{args.backend}'. "
+            "Supported backends: llama-parse, local",
             file=sys.stderr,
         )
         return 1
-
-    backend = LlamaParseBackend(parse_config, verbose=args.verbose)
     if args.json:
         results = backend.parse_detailed(args.files)
         print(json_mode.dumps(json_mode.parse_output([
@@ -464,7 +472,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("parse", help="Parse documents using various backends")
     p.add_argument("-c", "--config", default=None, help="Path to the config file")
-    p.add_argument("-b", "--backend", default="llama-parse", help="Backend type")
+    p.add_argument(
+        "-b", "--backend", default="llama-parse",
+        help="Backend type (llama-parse | local)",
+    )
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Verbose output while parsing")
     p.add_argument("-j", "--json", action="store_true",

@@ -1,0 +1,452 @@
+"""Local (offline) parse backend: stdlib extractors + backend semantics.
+
+All fixtures are generated in-test (OOXML zips, hand-assembled PDFs) so
+the suite stays hermetic. The reference has no offline backend — this is
+a capability extension; cache/skip/failure-isolation semantics still
+follow src/parse/backend.rs + cache.rs.
+"""
+
+import io
+import zipfile
+import zlib
+
+import pytest
+
+from semtools_tpu.parse.extract import (
+    docx_to_markdown,
+    html_to_markdown,
+    pptx_to_markdown,
+    rtf_to_text,
+    xlsx_to_markdown,
+)
+from semtools_tpu.parse.local_backend import (
+    LocalParseBackend,
+    LocalParseError,
+)
+from semtools_tpu.parse.pdftext import pdf_to_text
+
+W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _zip(members) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in members.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# DOCX
+
+
+def _docx_bytes() -> bytes:
+    doc = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{W}" xmlns:r="{R}">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+   <w:r><w:t>Report Title</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Plain text with </w:t></w:r>
+   <w:r><w:rPr><w:b/></w:rPr><w:t>bold words</w:t></w:r>
+   <w:r><w:t xml:space="preserve"> inside.</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr></w:pPr>
+   <w:r><w:t>first item</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="1"/><w:numId w:val="1"/></w:numPr></w:pPr>
+   <w:r><w:t>nested item</w:t></w:r></w:p>
+  <w:p><w:hyperlink r:id="rId9"><w:r><w:t>the docs</w:t></w:r></w:hyperlink></w:p>
+  <w:tbl>
+   <w:tr><w:tc><w:p><w:r><w:t>name</w:t></w:r></w:p></w:tc>
+         <w:tc><w:p><w:r><w:t>value</w:t></w:r></w:p></w:tc></w:tr>
+   <w:tr><w:tc><w:p><w:r><w:t>alpha</w:t></w:r></w:p></w:tc>
+         <w:tc><w:p><w:r><w:t>1</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+ </w:body>
+</w:document>"""
+    rels = f"""<?xml version="1.0"?>
+<Relationships xmlns="{REL}">
+ <Relationship Id="rId9" Type="x" Target="https://example.com/docs"/>
+</Relationships>"""
+    return _zip({"word/document.xml": doc, "word/_rels/document.xml.rels": rels})
+
+
+class TestDocx:
+    def test_structure(self):
+        md = docx_to_markdown(_docx_bytes())
+        assert "# Report Title" in md
+        assert "**bold words**" in md
+        assert "- first item" in md
+        assert "  - nested item" in md
+        assert "[the docs](https://example.com/docs)" in md
+        assert "| name | value |" in md
+        assert "| alpha | 1 |" in md
+
+    def test_spacing_preserved_around_bold(self):
+        md = docx_to_markdown(_docx_bytes())
+        assert "with **bold words** inside." in md
+
+
+# ---------------------------------------------------------------------------
+# PPTX
+
+
+def _pptx_bytes() -> bytes:
+    def slide(title, bullets, with_title=True):
+        shapes = []
+        if with_title:
+            shapes.append(
+                f"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+                <p:txBody><a:p><a:r><a:t>{title}</a:t></a:r></a:p></p:txBody></p:sp>"""
+            )
+        body = "".join(
+            f"<a:p><a:r><a:t>{b}</a:t></a:r></a:p>" for b in bullets
+        )
+        shapes.append(
+            f"""<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>
+            <p:txBody>{body}</p:txBody></p:sp>"""
+        )
+        return (
+            f'<?xml version="1.0"?><p:sld xmlns:p="{P}" xmlns:a="{A}">'
+            f"<p:cSld><p:spTree>{''.join(shapes)}</p:spTree></p:cSld></p:sld>"
+        )
+
+    return _zip({
+        "ppt/slides/slide1.xml": slide("Intro", ["point one", "point two"]),
+        "ppt/slides/slide2.xml": slide("", ["lonely text"], with_title=False),
+        # slide10 sorts numerically after slide2, not lexically
+        "ppt/slides/slide10.xml": slide("Last", ["the end"]),
+    })
+
+
+class TestPptx:
+    def test_slides_in_numeric_order(self):
+        md = pptx_to_markdown(_pptx_bytes())
+        assert md.index("## Intro") < md.index("## Slide 2") < md.index("## Last")
+        assert "- point one" in md and "- the end" in md
+        assert "- lonely text" in md
+
+
+# ---------------------------------------------------------------------------
+# XLSX
+
+
+def _xlsx_bytes() -> bytes:
+    shared = (
+        f'<?xml version="1.0"?><sst xmlns="{S}">'
+        "<si><t>city</t></si><si><t>pop</t></si><si><t>Oslo</t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{S}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{S}" xmlns:r="{R}">'
+        '<sheets><sheet name="Cities" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships xmlns="{REL}">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    return _zip({
+        "xl/sharedStrings.xml": shared,
+        "xl/worksheets/sheet1.xml": sheet,
+        "xl/workbook.xml": wb,
+        "xl/_rels/workbook.xml.rels": rels,
+    })
+
+
+class TestXlsx:
+    def test_sheet_to_table(self):
+        md = xlsx_to_markdown(_xlsx_bytes())
+        assert "## Cities" in md
+        assert "| city | pop |" in md
+        # sparse row: B2 missing, C2 numeric -> gap preserved
+        assert "| Oslo |  | 42 |" in md
+
+
+# ---------------------------------------------------------------------------
+# PDF
+
+
+def _assemble_pdf(objects, header=b"%PDF-1.4\n") -> bytes:
+    """objects: list of (num, body bytes incl. any stream)."""
+    out = [header]
+    for num, body in objects:
+        out.append(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+    out.append(b"%%EOF\n")
+    return b"".join(out)
+
+
+def _simple_pdf(compress=False) -> bytes:
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Hello PDF world) Tj "
+        b"0 -14 Td (Second line here) Tj "
+        b"[(spa) -250 (ced)] TJ ET"
+    )
+    if compress:
+        raw = zlib.compress(content)
+        stream_obj = (
+            b"<< /Length 6 0 R /Filter /FlateDecode >>\nstream\n"
+            + raw + b"\nendstream"
+        )
+        extra = [(6, b"%d" % len(raw))]
+    else:
+        stream_obj = (
+            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+        )
+        extra = []
+    return _assemble_pdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, stream_obj),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ] + extra)
+
+
+class TestPdf:
+    def test_uncompressed(self):
+        text = pdf_to_text(_simple_pdf())
+        assert "Hello PDF world" in text
+        assert "Second line here" in text
+        assert "spa ced" in text  # TJ kerning gap becomes a space
+        assert text.index("Hello") < text.index("Second")
+        # Td with ty=-14 broke the line
+        assert "world\nSecond" in text.replace("  ", " ")
+
+    def test_flate_with_indirect_length(self):
+        text = pdf_to_text(_simple_pdf(compress=True))
+        assert "Hello PDF world" in text and "Second line here" in text
+
+    def test_multi_page_catalog_order(self):
+        def page(n, contents_num):
+            return (
+                b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % contents_num
+            )
+
+        def stream(s):
+            return b"<< /Length %d >>\nstream\nBT /F1 10 Tf (%s) Tj ET\nendstream" % (
+                len(s) + 24, s
+            )
+
+        # object numbers deliberately reversed vs page order
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [9 0 R 3 0 R] /Count 2 "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+            (9, page(1, 8)),
+            (8, b"<< /Length 35 >>\nstream\nBT /F1 10 Tf (page ONE) Tj ET\nendstream"),
+            (3, page(2, 4)),
+            (4, b"<< /Length 35 >>\nstream\nBT /F1 10 Tf (page TWO) Tj ET\nendstream"),
+            (5, b"<< /Type /Font /Subtype /Type1 >>"),
+        ])
+        text = pdf_to_text(data)
+        assert text.index("page ONE") < text.index("page TWO")
+        assert "page ONE\n\npage TWO" in text
+
+    def test_tounicode_cid_font(self):
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar\n<0001> <0048>\n<0005> <00E9>\nendbfchar\n"
+            b"1 beginbfrange\n<0002> <0004> <0061>\nendbfrange\n"
+            b"endcmap\nend"
+        )
+        content = b"BT /F1 12 Tf <00010002000300040005> Tj ET"
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 4 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+            (4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+            (5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>"),
+            (7, b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"),
+        ])
+        # 0001->H, 0002..0004 -> a,b,c (bfrange), 0005 -> é
+        assert pdf_to_text(data) == "Habcé"
+
+    def test_object_stream_pages(self):
+        """xref-stream PDFs hide catalog/page dicts in /Type /ObjStm."""
+        inner = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 4 0 R >>"),
+        ]
+        bodies = []
+        header = []
+        off = 0
+        for num, body in inner:
+            header.append(b"%d %d" % (num, off))
+            bodies.append(body)
+            off += len(body) + 1
+        payload = b" ".join(header) + b"\n" + b" ".join(bodies)
+        first = len(b" ".join(header)) + 1
+        raw = zlib.compress(payload)
+        content = b"BT (from objstm) Tj ET"
+        data = _assemble_pdf([
+            (10, b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>"
+                 b"\nstream\n" % (first, len(raw)) + raw + b"\nendstream"),
+            (4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+        ])
+        assert "from objstm" in pdf_to_text(data)
+
+    def test_not_a_pdf(self):
+        with pytest.raises(ValueError):
+            pdf_to_text(b"GIF89a not a pdf")
+
+    def test_escapes_in_literal_strings(self):
+        content = rb"BT (paren \( close \) back\\slash \110i) Tj ET"
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 4 0 R >>"),
+            (4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+        ])
+        text = pdf_to_text(data)
+        assert "paren ( close )" in text
+        assert "back\\slash" in text
+        assert "Hi" in text  # \110 octal = 'H'
+
+
+# ---------------------------------------------------------------------------
+# HTML
+
+
+class TestHtml:
+    def test_structure(self):
+        md = html_to_markdown(b"""<!doctype html><html><head>
+        <script>var x = "IGNORED";</script><style>p{color:red}</style>
+        <title>t</title></head><body>
+        <h1>Main Title</h1>
+        <p>A paragraph with <strong>bold</strong> and <a href="https://x.y/z">a link</a>.</p>
+        <ul><li>one</li><li>two</li></ul>
+        <ol><li>first</li><li>second</li></ol>
+        <pre>  raw   spaces  </pre>
+        <table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table>
+        </body></html>""")
+        assert "# Main Title" in md
+        assert "**bold**" in md
+        assert "[a link](https://x.y/z)" in md
+        assert "- one" in md and "- two" in md
+        assert "1. first" in md and "2. second" in md
+        assert "IGNORED" not in md and "color:red" not in md
+        assert "  raw   spaces" in md  # pre keeps internal whitespace
+        assert "| k | v |" in md and "| a | 1 |" in md
+
+    def test_whitespace_collapse(self):
+        md = html_to_markdown(b"<p>lots    of\n\n   space</p>")
+        assert "lots of space" in md
+
+
+# ---------------------------------------------------------------------------
+# RTF
+
+
+class TestRtf:
+    def test_basic(self):
+        rtf = (rb"{\rtf1\ansi{\fonttbl{\f0 Calibri;}}"
+               rb"\f0 Hello\par Caf\'e9 time\par \u945?lpha}")
+        text = rtf_to_text(rtf)
+        assert "Hello" in text
+        assert "Café time" in text
+        assert "αlpha" in text  # \u945 = α, fallback '?' consumed
+        assert "Calibri" not in text  # font table skipped
+
+    def test_starred_destination_skipped(self):
+        rtf = rb"{\rtf1 keep {\*\generator Hidden Tool 1.0;}also kept}"
+        text = rtf_to_text(rtf)
+        assert "keep" in text and "also kept" in text
+        assert "Hidden" not in text
+
+
+# ---------------------------------------------------------------------------
+# Backend semantics
+
+
+class TestLocalBackend:
+    def test_parse_cache_and_skip(self, tmp_path, capsys):
+        doc = tmp_path / "r.docx"
+        doc.write_bytes(_docx_bytes())
+        txt = tmp_path / "notes.txt"
+        txt.write_text("already readable\n")
+        be = LocalParseBackend(cache_dir=str(tmp_path / "cache"))
+        results = be.parse_detailed([str(doc), str(txt)])
+        assert len(results) == 2
+        assert not results[0].was_cached
+        assert results[0].output_path.endswith(".md")
+        assert "# Report Title" in open(results[0].output_path).read()
+        # skip-list passthrough: output path IS the input path
+        assert results[1].output_path == str(txt)
+        # second run hits the (mtime, size) cache
+        again = be.parse_detailed([str(doc)])
+        assert again[0].was_cached
+        assert again[0].output_path == results[0].output_path
+
+    def test_failure_isolation(self, tmp_path, capsys):
+        bad = tmp_path / "broken.docx"
+        bad.write_bytes(b"this is not a zip")
+        good = tmp_path / "fine.pdf"
+        good.write_bytes(_simple_pdf())
+        be = LocalParseBackend(cache_dir=str(tmp_path / "cache"))
+        results = be.parse_detailed([str(bad), str(good)])
+        # bad doc reported on stderr and dropped; batch continues
+        assert len(results) == 1
+        assert results[0].input_path == str(good)
+        assert "Error processing file" in capsys.readouterr().err
+
+    def test_unsupported_extension(self, tmp_path):
+        f = tmp_path / "movie.mp4"
+        f.write_bytes(b"\x00\x01")
+        be = LocalParseBackend(cache_dir=str(tmp_path / "cache"))
+        with pytest.raises(LocalParseError, match="not supported"):
+            be.convert(str(f))
+
+    def test_all_formats_end_to_end(self, tmp_path):
+        files = {
+            "a.docx": _docx_bytes(),
+            "b.pptx": _pptx_bytes(),
+            "c.xlsx": _xlsx_bytes(),
+            "d.pdf": _simple_pdf(compress=True),
+            "e.html": b"<h1>T</h1><p>body</p>",
+            "f.rtf": rb"{\rtf1 rtf body\par}",
+        }
+        for name, data in files.items():
+            (tmp_path / name).write_bytes(data)
+        be = LocalParseBackend(cache_dir=str(tmp_path / "cache"))
+        results = be.parse(sorted(str(tmp_path / n) for n in files))
+        assert len(results) == 6
+        for out in results:
+            assert open(out).read().strip()
+
+
+def test_cli_local_backend(tmp_path, monkeypatch, capsys):
+    from semtools_tpu import cli
+
+    doc = tmp_path / "deck.pptx"
+    doc.write_bytes(_pptx_bytes())
+    monkeypatch.setenv("HOME", str(tmp_path))
+    rc = cli.main(["parse", "-b", "local", str(doc)])
+    out = capsys.readouterr().out.strip()
+    assert rc == 0
+    assert out.endswith(".md")
+    assert "## Intro" in open(out).read()
+
+
+def test_cli_unknown_backend_lists_both(tmp_path, monkeypatch, capsys):
+    from semtools_tpu import cli
+
+    f = tmp_path / "x.pdf"
+    f.write_bytes(_simple_pdf())
+    monkeypatch.setenv("HOME", str(tmp_path))
+    rc = cli.main(["parse", "-b", "bogus", str(f)])
+    assert rc == 1
+    assert "llama-parse, local" in capsys.readouterr().err
