@@ -299,6 +299,24 @@ class TestPdf:
         ])
         assert "from objstm" in pdf_to_text(data)
 
+    def test_real_producer_matplotlib(self, tmp_path):
+        """Extract text from a PDF written by a real third-party producer
+        (matplotlib's pdf backend: compressed streams, TrueType fonts
+        with ToUnicode CMaps) — not just our hand-assembled fixtures."""
+        mpl = pytest.importorskip("matplotlib")
+        mpl.use("pdf")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.set_title("Throughput versus corpus size")
+        ax.text(0.3, 0.5, "hello from matplotlib")
+        out = tmp_path / "fig.pdf"
+        fig.savefig(out)
+        plt.close(fig)
+        text = pdf_to_text(out.read_bytes())
+        assert "hello from matplotlib" in text
+        assert "Throughput versus corpus size" in text
+
     def test_not_a_pdf(self):
         with pytest.raises(ValueError):
             pdf_to_text(b"GIF89a not a pdf")
