@@ -158,6 +158,11 @@ def soak_store(steps, seeds):
                 victim = list(model)[int(rng.integers(0, len(model)))]
                 s.delete_line_embeddings([victim])
                 del model[victim]
+            elif op < 0.7:
+                # Vacuum mid-churn: rows move, free table empties, a fresh
+                # ANN index remaps in place, a stale one must retire —
+                # subsequent checks validate every tier over the moved rows.
+                s.compact()
             elif model:
                 keys = sorted(model)
                 if rng.random() < 0.5 and len(keys) > 1:

@@ -329,6 +329,7 @@ def workspace_status_cmd(args) -> int:
     ws = Workspace.open(args.name)
     with Store(ws.config.root_dir) as store:
         stats = store.get_stats()
+        live, cap = store.fragmentation()
 
     if args.json:
         print(json_mode.dumps(
@@ -342,6 +343,34 @@ def workspace_status_cmd(args) -> int:
             print(f"Index: Yes ({stats.index_type or 'Unknown'})")
         else:
             print("Index: No")
+        # Dead slots inflate device memory and scan length (Store._slot_rows)
+        if cap > live and cap - live >= 1024 and cap > live * 3 // 2:
+            print(
+                f"Slots: {live} live / {cap} allocated — "
+                "run 'semtools workspace compact' to reclaim"
+            )
+    return 0
+
+
+def workspace_compact_cmd(args) -> int:
+    from semtools_tpu.store import Store, Workspace
+
+    Workspace.active(args.name)
+    ws = Workspace.open(args.name)
+    with Store(ws.config.root_dir) as store:
+        report = store.compact()
+    if args.json:
+        print(json_mode.dumps({"workspace": ws.config.name, **report}))
+    else:
+        if report["slots_reclaimed"] == 0:
+            print(f"Workspace is already compact ({report['rows_live']} lines).")
+        else:
+            print(
+                f"Compacted {report['rows_live']} lines: reclaimed "
+                f"{report['slots_reclaimed']} of {report['slots_before']} slots."
+            )
+        if report["index_remapped"]:
+            print("IVF-PQ index remapped in place (no rebuild needed).")
     return 0
 
 
@@ -545,6 +574,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Build even below the corpus-size threshold")
     wi.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
     wi.set_defaults(func=workspace_index_cmd)
+
+    wc = wsub.add_parser(
+        "compact",
+        help="Reclaim slot space left by deleted/rewritten documents",
+    )
+    wc.add_argument("name", nargs="?", default=None)
+    wc.add_argument("-j", "--json", action="store_true", default=argparse.SUPPRESS)
+    wc.set_defaults(func=workspace_compact_cmd)
 
     wp = wsub.add_parser("prune", help="Remove stale files from store")
     wp.add_argument("name", nargs="?", default=None)

@@ -261,7 +261,7 @@ def _forward_timeout(argv) -> float:
     working with the run lock held."""
     if argv and argv[0] == "parse":
         return 4 * 3600.0
-    if len(argv) >= 2 and argv[0] == "workspace" and argv[1] == "index":
+    if len(argv) >= 2 and argv[0] == "workspace" and argv[1] in ("index", "compact"):
         return 4 * 3600.0
     return 600.0
 

@@ -1915,6 +1915,139 @@ class Store:
         )
         self.db.commit()
 
+    # -- compaction --------------------------------------------------------
+    #
+    # The free-range allocator reuses holes best-fit, but churn with
+    # varying document sizes still leaves slot space larger than the live
+    # row count — and every capacity-shaped cost (device corpus upload,
+    # scan length, LRU budget fit: see _slot_rows) is paid on CAPACITY,
+    # not live rows. The reference's qdrant-edge runs a background
+    # optimizer for the same job; here it is an explicit
+    # ``workspace compact``.
+
+    def fragmentation(self) -> Tuple[int, int]:
+        """(live rows, slot capacity). capacity > live means dead slots
+        are inflating device memory and scan time."""
+        return self.count_line_embeddings(), self._capacity()
+
+    def compact(self) -> Dict[str, int]:
+        """Rewrite live blocks densely from slot 0, truncate the vector
+        file + hash sidecar, and empty the free table.
+
+        A FRESH IVF-PQ index survives compaction: its row content is
+        untouched (bytes move, values don't), so the meta's ``slots`` /
+        ``lay_starts`` arrays are remapped through the move map instead
+        of forcing a multi-minute rebuild. A stale index is left alone —
+        after the moves its build layout no longer matches anything, so
+        the drift bound retires it (exact tiers keep serving).
+
+        Returns ``{"rows_live", "slots_before", "slots_reclaimed",
+        "index_remapped"}``.
+        """
+        with self._write_lock():
+            gen_before = self.generation()
+            ann_fresh = self._ann_generation_matches()
+            layout = self._layout_with_rev()  # ascending slot order
+            cap_before = self._capacity()
+            total = sum(n for _, _, n, _ in layout)
+            moves: List[Tuple[str, int, int, int]] = []  # path, old, new, n
+            dest = 0
+            for path, s, n, _ in layout:
+                if s != dest:
+                    moves.append((path, s, dest, n))
+                dest += n
+            if not moves and cap_before == total:
+                return {
+                    "rows_live": total, "slots_before": cap_before,
+                    "slots_reclaimed": 0, "index_remapped": False,
+                }
+            if moves:
+                mm = self._mmap("r+")
+                hm = self._hash_mmap("r+")
+                # dest < src always (dest is a prefix sum of lengths over
+                # ranges that start at or after it), so ascending-order
+                # chunked copies never clobber unread source rows; the
+                # explicit np.array() guards src/dst overlap inside one
+                # chunk.
+                chunk = 1 << 16
+                for _, src, dst, n in moves:
+                    for off in range(0, n, chunk):
+                        m = min(chunk, n - off)
+                        mm[dst + off : dst + off + m] = np.array(
+                            mm[src + off : src + off + m]
+                        )
+                        if hm is not None:
+                            hm[dst + off : dst + off + m] = np.array(
+                                hm[src + off : src + off + m]
+                            )
+                mm.flush()
+                del mm
+                if hm is not None:
+                    hm.flush()
+                    del hm
+                for path, _, dst, _ in moves:
+                    self.db.execute(
+                        "UPDATE docs SET slot_start = ? WHERE path = ?",
+                        (dst, path),
+                    )
+            self.db.execute("DELETE FROM free")
+            self._grow_to(total)
+            self._bump_generation()
+            self.db.commit()
+            remapped = False
+            if ann_fresh:
+                remapped = self._ann_remap_after_compact(moves, gen_before)
+            self._ranges_cache = None
+            self._ann_disk_cache = None
+            self._ann_meta_cache = None
+            self._ann_cache = None
+            return {
+                "rows_live": total,
+                "slots_before": cap_before,
+                "slots_reclaimed": cap_before - total,
+                "index_remapped": remapped,
+            }
+
+    def _ann_remap_after_compact(
+        self, moves: List[Tuple[str, int, int, int]], gen_before: int
+    ) -> bool:
+        """Shift a fresh index's slot references through the compaction
+        move map and stamp it with the post-compact generation. PQ codes
+        are row content — untouched."""
+        _, meta_path = self._ann_paths()
+        if not meta_path.exists():
+            return False
+        try:
+            with np.load(meta_path, allow_pickle=False) as meta:
+                m = {k: np.array(meta[k]) for k in meta.files}
+        except Exception:
+            return False
+        if int(m.get("generation", -1)) != gen_before or "lay_paths" not in m:
+            return False
+        if moves:
+            starts = np.array([s for _, s, _, _ in moves], np.int64)
+            deltas = np.array([d - s for _, s, d, _ in moves], np.int64)
+            lens = np.array([n for _, _, _, n in moves], np.int64)
+            slots = m["slots"].astype(np.int64, copy=True)
+            idx = np.searchsorted(starts, slots, side="right") - 1
+            safe = idx.clip(min=0)
+            in_range = (idx >= 0) & (slots < starts[safe] + lens[safe])
+            slots = np.where(in_range, slots + deltas[safe], slots)
+            m["slots"] = slots
+            shift = {p: d for p, _, d, _ in moves}
+            m["lay_starts"] = np.array(
+                [
+                    shift.get(str(p), int(s))
+                    for p, s in zip(m["lay_paths"], m["lay_starts"])
+                ],
+                np.int64,
+            )
+        m["generation"] = np.int64(self.generation())
+        tmp = meta_path.with_suffix(".tmp.npz")
+        np.savez(tmp, **m)
+        tmp.replace(meta_path)
+        return True
+
     # -- maintenance -------------------------------------------------------
 
     def flush(self) -> None:
