@@ -402,6 +402,14 @@ def soak_daemon(steps):
                 assert resp.get("exit") == 0, resp.get("stderr")
             out, err = writer.communicate(timeout=600)
             assert writer.returncode == 0, err
+            if rng.random() < 0.3:
+                # direct-CLI vacuum: rows move on disk + generation bumps
+                # in another process; the daemon's warm corpus must pick
+                # it up before the quiescent check below
+                run_cli(
+                    ["workspace", "compact"],
+                    extra_env={"SEMTOOLS_TPU_DAEMON": "off"},
+                )
             # quiescent: forwarded search (it performs any pending update
             # itself) must match ground truth from file contents
             q2 = rand_line()
