@@ -333,7 +333,10 @@ def workspace_status_cmd(args) -> int:
 
     if args.json:
         print(json_mode.dumps(
-            json_mode.workspace_output(ws.config.name, ws.config.root_dir, stats.total_documents)
+            json_mode.workspace_output(
+                ws.config.name, ws.config.root_dir, stats.total_documents,
+                slots_live=live, slots_allocated=cap,
+            )
         ))
     else:
         print(f"Active workspace: {ws.config.name}")

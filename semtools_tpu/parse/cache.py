@@ -32,19 +32,30 @@ class FileMetadata:
     modified_time: int
     size: int
     parsed_path: str
+    backend: str = "llama-parse"
 
 
 class CacheManager:
-    def __init__(self, cache_dir: Optional[str] = None):
+    """``backend`` discriminates cache entries between parse backends
+    sharing one cache dir: the local extractor's output for ``scan.pdf``
+    must never be served as the cloud parse of the same file (or vice
+    versa). The default keeps reference-era entries (no ``backend`` field,
+    undecorated filenames) valid for the llama-parse backend."""
+
+    def __init__(self, cache_dir: Optional[str] = None, backend: str = "llama-parse"):
         self.cache_dir = Path(cache_dir or Path.home() / ".parse")
         self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.backend = backend
 
     # -- keys --------------------------------------------------------------
 
     def _key(self, file_path: str) -> str:
         base = Path(file_path).name
         path_hash = f"{fnv1a_64(os.path.abspath(file_path).encode()) & 0xFFFFFFFF:08x}"
-        return f"{base}.{path_hash}"
+        key = f"{base}.{path_hash}"
+        # Non-default backends get their own namespace so the two .md
+        # outputs for one source file never clobber each other.
+        return key if self.backend == "llama-parse" else f"{key}.{self.backend}"
 
     def parsed_path_for(self, file_path: str) -> Path:
         return self.cache_dir / f"{self._key(file_path)}.md"
@@ -76,6 +87,7 @@ class CacheManager:
         if (
             cached.get("modified_time") == int(st.st_mtime)
             and cached.get("size") == st.st_size
+            and cached.get("backend", "llama-parse") == self.backend
             and Path(cached.get("parsed_path", "")).exists()
         ):
             return cached["parsed_path"]
@@ -91,6 +103,7 @@ class CacheManager:
             modified_time=int(st.st_mtime),
             size=st.st_size,
             parsed_path=str(parsed_path),
+            backend=self.backend,
         )
         self.metadata_path_for(file_path).write_text(
             json.dumps(meta.__dict__, indent=2)

@@ -389,6 +389,7 @@ class _Html2Md(HTMLParser):
             text = "".join(self.link_text).strip()
             href = self.href or ""
             self.href = None
+            self.link_text = []  # a stray/nested </a> must not re-emit it
             if text and href and not href.startswith(("#", "javascript:")):
                 self._emit(f"[{text}]({href})")
             else:

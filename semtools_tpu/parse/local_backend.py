@@ -87,7 +87,7 @@ class LocalParseBackend:
 
     def __init__(self, verbose: bool = False, cache_dir: Optional[str] = None):
         self.verbose = verbose
-        self.cache_manager = CacheManager(cache_dir)
+        self.cache_manager = CacheManager(cache_dir, backend="local")
 
     def _log(self, msg: str) -> None:
         if self.verbose:

@@ -481,11 +481,18 @@ def _parse_tounicode(raw: bytes) -> Tuple[Dict[int, str], int]:
         return int(h, 16)
 
     def _dst(h: bytes) -> str:
-        b = bytes.fromhex(h.decode("ascii"))
         try:
+            b = bytes.fromhex(h.decode("ascii"))
             return b.decode("utf-16-be")
-        except UnicodeDecodeError:
+        except (ValueError, UnicodeDecodeError):  # odd-length hex / bad UTF-16
             return "�"
+
+    def _chr(cp: int) -> str:
+        # Incremented destinations can walk past a plane boundary or into
+        # the surrogate gap in damaged CMaps; degrade per-code, never abort.
+        if 0 <= cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+        return "�"
 
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", raw, re.S):
         toks = _HEXTOK.findall(m.group(1))
@@ -506,22 +513,25 @@ def _parse_tounicode(raw: bytes) -> Tuple[Dict[int, str], int]:
             pos = _ws_skip(body, mm2.end())
             if pos < len(body) and body[pos] == 0x5B:  # [ <d1> <d2> ... ]
                 end = body.find(b"]", pos)
-                dsts = _HEXTOK.findall(body[pos:end])
+                dsts = _HEXTOK.findall(body[pos:] if end == -1 else body[pos:end])
                 for off, d in enumerate(dsts):
                     cmap[lo + off] = _dst(d)
+                if end == -1:  # truncated array (chopped stream): consume rest
+                    break
                 pos = end + 1
             else:
                 mm3 = _HEXTOK.match(body, pos)
                 if not mm3:
                     break
-                base = mm3.group(1)
-                base_str = _dst(base)
-                base_int = int(base, 16)
+                base_str = _dst(mm3.group(1))
+                # Increment in CODE-POINT space from the decoded string: the
+                # raw hex of an astral dst is a surrogate pair whose integer
+                # value is NOT a code point (chr() of it would raise).
                 for code in range(lo, min(hi, lo + 65535) + 1):
-                    if len(base_str) == 1:
-                        cmap[code] = chr(base_int + code - lo)
+                    if len(base_str) <= 1:
+                        cmap[code] = _chr(ord(base_str or "�") + code - lo)
                     else:  # multi-char dst: increment last code unit
-                        cmap[code] = base_str[:-1] + chr(
+                        cmap[code] = base_str[:-1] + _chr(
                             ord(base_str[-1]) + code - lo
                         )
                 pos = mm3.end()

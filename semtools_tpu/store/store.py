@@ -739,7 +739,7 @@ class Store:
             n_rows = self.count_line_embeddings()
         if os.environ.get("SEMTOOLS_TPU_SCAN", "").lower() == "host":
             return "host-mmap-scan"
-        if self._use_ann_tier(n_rows) and self._ann_available(n_rows):
+        if self._use_ann_tier(n_rows) and self._ann_available():
             return "ivf-pq"
         kind, rd = self._device_kind(n_rows)
         suffix = f"-reduced{rd}d" if rd else ""
@@ -917,10 +917,11 @@ class Store:
         self._ann_meta_cache = (mtime, out)
         return out
 
-    def _ann_available(self, n_rows: int) -> bool:
+    def _ann_available(self) -> bool:
         """Cheap serving-tier probe: an index exists and is either at the
-        current generation or within the incremental drift bound. Never
-        reads the PQ codes."""
+        current generation or within the incremental drift bound (judged
+        against the INDEXED row count from the meta, not the live count).
+        Never reads the PQ codes."""
         light = self._ann_meta_light()
         if light is None:
             return False

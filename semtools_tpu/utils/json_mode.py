@@ -64,8 +64,21 @@ def ask_output(query: str, response: str, files_searched: List[str]) -> Dict:
     return {"query": query, "response": response, "files_searched": files_searched}
 
 
-def workspace_output(name: str, root_dir: str, total_documents: int) -> Dict:
-    return {"name": name, "root_dir": root_dir, "total_documents": total_documents}
+def workspace_output(
+    name: str,
+    root_dir: str,
+    total_documents: int,
+    slots_live: int = None,
+    slots_allocated: int = None,
+) -> Dict:
+    """Reference schema (src/json_mode.rs WorkspaceOutput) plus optional
+    slot-occupancy fields so ``workspace status -j`` consumers can see the
+    fragmentation the human output hints at."""
+    out = {"name": name, "root_dir": root_dir, "total_documents": total_documents}
+    if slots_live is not None:
+        out["slots_live"] = slots_live
+        out["slots_allocated"] = slots_allocated
+    return out
 
 
 def prune_output(files_removed: int, files_remaining: int) -> Dict:

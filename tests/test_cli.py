@@ -179,7 +179,10 @@ def test_workspace_global_json_flag_position(corpus, tmp_path):
                 env_extra={"SEMTOOLS_WORKSPACE": "gjson"})
     assert r.returncode == 0, r.stderr
     data = json.loads(r.stdout)
-    assert set(data) == {"name", "root_dir", "total_documents"}
+    assert set(data) == {
+        "name", "root_dir", "total_documents", "slots_live", "slots_allocated"
+    }
+    assert data["slots_live"] <= data["slots_allocated"]
 
 
 def test_parse_json_schema(corpus, tmp_path):

@@ -321,6 +321,49 @@ class TestPdf:
         with pytest.raises(ValueError):
             pdf_to_text(b"GIF89a not a pdf")
 
+    def test_tounicode_truncated_bfrange_array(self):
+        """A bfrange array destination missing its ']' (reachable via the
+        tolerant Flate path on chopped streams) must terminate — this
+        looped forever before the end==-1 guard."""
+        from semtools_tpu.parse.pdftext import _parse_tounicode
+
+        cmap, codelen = _parse_tounicode(
+            b"2 beginbfrange\n"
+            b"<0041> <0042> [ <0058> <0059>\n"  # no closing ]
+            b"endbfrange"
+        )
+        assert cmap[0x41] == "X" and cmap[0x42] == "Y"
+        assert codelen == 2
+
+    def test_tounicode_astral_bfrange(self):
+        """A non-BMP bfrange base decodes to one astral char whose raw
+        hex is a surrogate pair; incrementing must happen in code-point
+        space (chr(0xD83DDE00) raised OverflowError before)."""
+        from semtools_tpu.parse.pdftext import _parse_tounicode
+
+        cmap, _ = _parse_tounicode(
+            b"1 beginbfrange\n<0041> <0043> <D83DDE00>\nendbfrange"
+        )
+        assert cmap[0x41] == "\U0001F600"
+        assert cmap[0x43] == "\U0001F602"
+
+    def test_tounicode_out_of_range_increment_degrades(self):
+        """Walking past U+10FFFF degrades per-code to the replacement
+        char instead of aborting the document."""
+        from semtools_tpu.parse.pdftext import _parse_tounicode
+
+        cmap, _ = _parse_tounicode(
+            b"1 beginbfrange\n<0000> <0002> <DBFFDFFE>\nendbfrange"  # U+10FFFE
+        )
+        assert cmap[0x0000] == "\U0010FFFE"
+        assert cmap[0x0002] == "�"  # U+110000: out of range
+
+    def test_tounicode_odd_length_hex_dst(self):
+        from semtools_tpu.parse.pdftext import _parse_tounicode
+
+        cmap, _ = _parse_tounicode(b"1 beginbfchar\n<0041> <058>\nendbfchar")
+        assert cmap[0x41] == "�"
+
     def test_escapes_in_literal_strings(self):
         content = rb"BT (paren \( close \) back\\slash \110i) Tj ET"
         data = _assemble_pdf([
@@ -363,6 +406,13 @@ class TestHtml:
     def test_whitespace_collapse(self):
         md = html_to_markdown(b"<p>lots    of\n\n   space</p>")
         assert "lots of space" in md
+
+    def test_stray_close_anchor_not_reemitted(self):
+        """Malformed HTML with an unbalanced </a> must not duplicate the
+        previous link's text (link_text is cleared on anchor close)."""
+        md = html_to_markdown(b'<p><a href="x">foo</a> bar</a> baz</p>')
+        assert md.count("foo") == 1
+        assert "bar baz" in md
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,34 @@ class TestCacheManager:
         assert open(p1).read() == "ONE"
         assert open(p2).read() == "TWO"
 
+    def test_backends_do_not_share_entries(self, tmp_path, pdf):
+        """One backend's cached output must never be served as another's:
+        a local extraction of scan.pdf followed by a cloud parse (or the
+        reverse) must miss, and the two .md outputs must not clobber."""
+        cloud = CacheManager(str(tmp_path / "c"))
+        local = CacheManager(str(tmp_path / "c"), backend="local")
+        p_local = local.write_results_to_disk(pdf, "LOCAL")
+        assert cloud.get_cached_result(pdf) is None
+        p_cloud = cloud.write_results_to_disk(pdf, "CLOUD")
+        assert p_local != p_cloud
+        assert local.get_cached_result(pdf) == p_local
+        assert cloud.get_cached_result(pdf) == p_cloud
+        assert open(p_local).read() == "LOCAL"
+
+    def test_legacy_entry_without_backend_field_serves_cloud(self, tmp_path, pdf):
+        """Reference-era metadata (no 'backend' key) stays valid for the
+        default llama-parse backend only."""
+        import json
+
+        cloud = CacheManager(str(tmp_path / "c"))
+        out = cloud.write_results_to_disk(pdf, "OLD")
+        meta_path = cloud.metadata_path_for(pdf)
+        meta = json.loads(meta_path.read_text())
+        del meta["backend"]
+        meta_path.write_text(json.dumps(meta))
+        assert cloud.get_cached_result(pdf) == out
+        assert CacheManager(str(tmp_path / "c"), backend="local").get_cached_result(pdf) is None
+
 
 class TestBackend:
     def test_parse_uploads_and_polls(self, tmp_path, pdf):
