@@ -259,7 +259,9 @@ class IvfPqIndex:
 
     # -- persistence --------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, extra: Optional[dict] = None) -> None:
+        """``extra`` lets the caller embed pairing metadata (e.g. a build
+        token shared with a sidecar file) — ignored by :meth:`load`."""
         np.savez_compressed(
             path,
             centroids=self.centroids,
@@ -268,6 +270,7 @@ class IvfPqIndex:
             perm=self.perm,
             list_offsets=self.list_offsets,
             vectors=self.vectors if self.vectors is not None else np.zeros((0, 0), np.float32),
+            **(extra or {}),
         )
 
     @classmethod

@@ -790,6 +790,21 @@ class Store:
         ).fetchall()
         return [(r[0], int(r[1]), int(r[2]), int(r[3])) for r in rows]
 
+    def _gen_layout_snapshot(self) -> Tuple[int, List[Tuple[str, int, int, int]]]:
+        """(generation, layout) read in ONE sqlite transaction, so a
+        writer in another process cannot land between the two reads (WAL
+        gives the transaction snapshot isolation). The ANN build stamps
+        this pair into its meta — they must describe the same instant."""
+        try:
+            self.db.execute("BEGIN")
+        except sqlite3.OperationalError:
+            # already inside a transaction: reads share its snapshot
+            return self.generation(), self._layout_with_rev()
+        try:
+            return self.generation(), self._layout_with_rev()
+        finally:
+            self.db.commit()
+
     def _valid_ranges_cached(self) -> List[Tuple[str, int, int]]:
         """Generation-keyed cache of :meth:`_valid_ranges` — repeated
         searches (daemon / agent batches) pay one meta-row read instead of
@@ -867,6 +882,8 @@ class Store:
                 m = {k: meta[k] for k in meta.files}
         except Exception:
             return None
+        if not self._ann_tokens_match(ann_path, m):
+            return None  # torn publish: index and meta from different builds
         if "lay_paths" in m:
             layout = {
                 str(p): (int(s), int(n), int(r))
@@ -879,6 +896,25 @@ class Store:
         state = (index, int(m["generation"]), m["slots"], layout)
         self._ann_disk_cache = (mtime, state)
         return state
+
+    @staticmethod
+    def _ann_tokens_match(ann_path: Path, meta: Dict) -> bool:
+        """True when the index and meta files carry the same build token
+        (or both predate tokens). Reading one scalar member of the index
+        npz touches the zip directory plus a few bytes — never the codes."""
+        meta_tok = meta.get("build_token")
+        try:
+            with np.load(ann_path, allow_pickle=False) as z:
+                ann_tok = z["build_token"] if "build_token" in z.files else None
+        except Exception:
+            return False
+        if meta_tok is None and ann_tok is None:
+            return True  # legacy pair (pre-token builds)
+        return (
+            meta_tok is not None
+            and ann_tok is not None
+            and int(meta_tok) == int(ann_tok)
+        )
 
     def _ann_meta_light(self):
         """(build generation, build layout|None, indexed row count) from
@@ -898,6 +934,10 @@ class Store:
         try:
             with np.load(meta_path, allow_pickle=False) as meta:
                 gen = int(meta["generation"])
+                tok = (
+                    {"build_token": meta["build_token"]}
+                    if "build_token" in meta.files else {}
+                )
                 if "lay_paths" in meta.files:
                     lens = meta["lay_lens"]
                     layout = {
@@ -913,6 +953,8 @@ class Store:
                     n_rows = int(meta["slots"].shape[0])
         except Exception:
             return None
+        if not self._ann_tokens_match(ann_path, tok):
+            return None  # torn publish mid-rebuild: not servable
         out = (gen, layout, n_rows)
         self._ann_meta_cache = (mtime, out)
         return out
@@ -1064,7 +1106,14 @@ class Store:
             return None
         from semtools_tpu.index.ivf_pq import IvfPqIndex
 
-        ranges = self._valid_ranges()
+        # Snapshot (generation, layout) BEFORE the multi-minute build and
+        # stamp exactly this snapshot into the meta: a mutation landing
+        # mid-build then reads as build->current drift and serves through
+        # tombstones + the delta (_ann_current). Re-reading generation at
+        # save time instead would mark a mid-build mutation exactly-fresh
+        # and serve its pre-mutation rows indefinitely.
+        build_gen, lay = self._gen_layout_snapshot()
+        ranges = [(p, s, ln) for p, s, ln, _ in lay]
         slots = np.concatenate(
             [np.arange(s, s + ln, dtype=np.int64) for _, s, ln in ranges]
         )
@@ -1096,19 +1145,33 @@ class Store:
             index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
         del mm
         ann_path, meta_path = self._ann_paths()
-        index.save(str(ann_path))
+        # Atomic paired publish: each file lands via tmp+rename, and a
+        # shared random token ties the pair together — a reader in
+        # another process between the two renames (new index, old meta)
+        # sees a token mismatch and keeps serving the exact tiers instead
+        # of pairing slots/layout from a different build (which could
+        # index past the new code array or mis-attribute paths).
+        token = int.from_bytes(os.urandom(8), "big", signed=True)
+        # pid-unique tmp names: builds don't hold the write lock (a
+        # 35-minute build must not block writers), so two concurrent
+        # builders must not scribble over each other's tmp files.
+        tmp_ann = ann_path.with_suffix(f".tmp{os.getpid()}.npz")
+        index.save(str(tmp_ann), extra={"build_token": np.int64(token)})
+        tmp_ann.replace(ann_path)
         # The build-time LAYOUT funds incremental serving: later queries
         # diff it against the current layout and serve mutations through
         # tombstones + a delta segment instead of staling the index
         # (see _ann_current).
-        lay = self._layout_with_rev()
+        tmp_meta = meta_path.with_suffix(f".tmp{os.getpid()}.npz")
         np.savez(
-            meta_path, generation=self.generation(), slots=slots,
+            tmp_meta, generation=build_gen, build_token=np.int64(token),
+            slots=slots,
             lay_paths=np.array([p for p, _, _, _ in lay]),
             lay_starts=np.array([s2 for _, s2, _, _ in lay], np.int64),
             lay_lens=np.array([n2 for _, _, n2, _ in lay], np.int64),
             lay_revs=np.array([r2 for _, _, _, r2 in lay], np.int64),
         )
+        tmp_meta.replace(meta_path)
         self._ann_disk_cache = None
         self._ann_meta_cache = None
         self._ann_cache = None

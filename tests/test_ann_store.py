@@ -110,6 +110,67 @@ class TestAnnTier:
         assert all(rl.distance < 0.5 for rl in got)
 
 
+class TestAnnPublishIntegrity:
+    def test_mid_build_mutation_stamps_prebuild_snapshot(self, store, monkeypatch):
+        """A mutation landing during the (multi-minute) build must read
+        as build->current drift afterwards: the meta is stamped with the
+        PRE-build (generation, layout) snapshot, never the post-build
+        re-read (which would mark the mutation exactly-fresh and serve
+        its pre-mutation rows indefinitely)."""
+        rng = np.random.default_rng(10)
+        paths = _fill(store, rng)
+        from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+        real_build = IvfPqIndex.build
+        mutated = []
+
+        def build_with_mutation(x, **kw):
+            if not mutated:
+                mutated.append(True)
+                store.upsert_document_lines(paths[0], _unit(rng, 40))
+            return real_build(x, **kw)
+
+        monkeypatch.setattr(IvfPqIndex, "build", staticmethod(build_with_mutation))
+        store.build_ann_index(force=True)
+        assert not store._ann_generation_matches()
+        state = store._ann_current()
+        assert state is not None
+        assert len(state[4]) == 40  # delta re-encodes the rewritten doc
+
+    def test_torn_publish_rejected(self, store):
+        """Index and meta from different builds (a reader between the two
+        renames) must not pair: both loaders reject on token mismatch and
+        serving falls through to the exact tiers."""
+        rng = np.random.default_rng(11)
+        paths = _fill(store, rng)
+        store.build_ann_index(force=True)
+        _, meta_path = store._ann_paths()
+        with np.load(meta_path, allow_pickle=False) as z:
+            m = {k: np.array(z[k]) for k in z.files}
+        assert "build_token" in m
+        m["build_token"] = np.int64(int(m["build_token"]) + 1)
+        np.savez(meta_path, **m)
+        store._ann_disk_cache = store._ann_meta_cache = store._ann_cache = None
+        assert store._ann_load_meta() is None
+        assert store._ann_meta_light() is None
+        assert not store._ann_available()
+        got = store.search_line_embeddings(_unit(rng, 1)[0], paths, top_k=3)
+        assert len(got) == 3  # exact tier keeps serving
+
+    def test_legacy_tokenless_pair_served(self, store):
+        """Pre-token builds (neither file carries a token) stay valid."""
+        rng = np.random.default_rng(12)
+        _fill(store, rng)
+        store.build_ann_index(force=True)
+        for p in store._ann_paths():
+            with np.load(p, allow_pickle=False) as z:
+                m = {k: np.array(z[k]) for k in z.files if k != "build_token"}
+            np.savez(p, **m)
+        store._ann_disk_cache = store._ann_meta_cache = store._ann_cache = None
+        assert store._ann_load_meta() is not None
+        assert store._ann_meta_light() is not None
+
+
 def test_workspace_index_cli(tmp_path, monkeypatch):
     monkeypatch.setenv("HOME", str(tmp_path))
     monkeypatch.setenv("SEMTOOLS_TPU_PLATFORM", "cpu")
