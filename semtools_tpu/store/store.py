@@ -241,8 +241,6 @@ class Store:
     ):
         self.dir = Path(workspace_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
-        self.vec_path = self.dir / _VECTORS_FILE
-        self.hash_path = self.dir / _HASH_FILE
         # Cross-PROCESS writer lock (see _write_lock): sqlite's implicit
         # per-statement transactions do not make the multi-statement
         # allocator atomic, and the mmap writes sit outside sqlite
@@ -255,6 +253,10 @@ class Store:
         self._init_schema()
         self.dim = self._resolve_dim(dim)
         self._check_model(model_name)
+        # The vector file + hash sidecar are EPOCH-versioned: compact()
+        # writes a new epoch and retires the old one, so their current
+        # names live in the db (meta key 'vec_epoch'), not in code.
+        self._refresh_vec_paths()
         if not self.vec_path.exists():
             self.vec_path.touch()
 
@@ -339,6 +341,9 @@ class Store:
                 return
             fcntl.flock(self._lock_fh, fcntl.LOCK_EX)
             self._lock_depth = 1
+            # another process may have compacted since we last looked:
+            # mutations must land in the CURRENT epoch's files
+            self._refresh_vec_paths()
             try:
                 yield
             finally:
@@ -362,6 +367,7 @@ class Store:
                 yield
                 return
             fcntl.flock(self._lock_fh, fcntl.LOCK_SH)
+            self._refresh_vec_paths()  # compact (exclusive) cannot be mid-swap
             try:
                 yield
             finally:
@@ -370,13 +376,40 @@ class Store:
         return _held()
 
     # -- vector file -------------------------------------------------------
+    #
+    # Epoch versioning: ``lines.f32``/``lines.h64`` are epoch 0; each
+    # compact() writes the next epoch (``lines.e{N}.f32``/``.h64``) and
+    # repoints the db's 'vec_epoch' key in the same transaction that
+    # rewrites slot_starts. Committed epochs are IMMUTABLE once
+    # superseded, so a lock-free reader that opened the old epoch's mmap
+    # keeps a frozen consistent snapshot (POSIX keeps unlinked mappings
+    # alive); only upserts mutate the CURRENT epoch in place (the
+    # pre-existing, accepted transient-staleness window).
+
+    def _vec_epoch(self) -> int:
+        row = self.db.execute(
+            "SELECT value FROM meta WHERE key='vec_epoch'"
+        ).fetchone()
+        return int(row[0]) if row else 0
+
+    def _epoch_paths(self, epoch: int) -> Tuple[Path, Path]:
+        if epoch == 0:
+            return self.dir / _VECTORS_FILE, self.dir / _HASH_FILE
+        return self.dir / f"lines.e{epoch}.f32", self.dir / f"lines.e{epoch}.h64"
+
+    def _refresh_vec_paths(self) -> None:
+        self.vec_path, self.hash_path = self._epoch_paths(self._vec_epoch())
 
     def _capacity(self) -> int:
+        if not self.vec_path.exists():
+            # a concurrent compact may have retired this epoch's file
+            self._refresh_vec_paths()
         size = self.vec_path.stat().st_size if self.vec_path.exists() else 0
         return size // (4 * self.dim)
 
     def _grow_to(self, slots: int) -> None:
-        with open(self.vec_path, "r+b") as f:
+        mode = "r+b" if self.vec_path.exists() else "w+b"
+        with open(self.vec_path, mode) as f:
             f.truncate(slots * 4 * self.dim)
         if self.hash_path.exists():
             with open(self.hash_path, "r+b") as f:
@@ -808,12 +841,30 @@ class Store:
     def _valid_ranges_cached(self) -> List[Tuple[str, int, int]]:
         """Generation-keyed cache of :meth:`_valid_ranges` — repeated
         searches (daemon / agent batches) pay one meta-row read instead of
-        a full docs table scan per query."""
+        a full docs table scan per query.
+
+        The refresh re-reads (generation, ranges, vector-file epoch) in
+        ONE sqlite transaction, so slot ranges are always paired with the
+        file they index into — a concurrent compact cannot slip its epoch
+        swap between the two reads."""
         gen = self.generation()
         cached = getattr(self, "_ranges_cache", None)
         if cached is not None and cached[0] == gen:
             return cached[1]
-        ranges = self._valid_ranges()
+        began = False
+        try:
+            self.db.execute("BEGIN")
+            began = True
+        except sqlite3.OperationalError:
+            pass  # already inside a transaction: reads share its snapshot
+        try:
+            gen = self.generation()
+            ranges = self._valid_ranges()
+            epoch = self._vec_epoch()
+        finally:
+            if began:
+                self.db.commit()
+        self.vec_path, self.hash_path = self._epoch_paths(epoch)
         self._ranges_cache = (gen, ranges)
         return ranges
 
@@ -1361,6 +1412,34 @@ class Store:
         return per[0] if per else []
 
     def search_line_embeddings_batched(
+        self,
+        query_vecs: np.ndarray,
+        subset_paths: Sequence[str],
+        top_k: int,
+        max_distance: Optional[float] = None,
+    ) -> List[List[RankedLine]]:
+        """Batched search with a stale-snapshot retry: if a concurrent
+        compact() swaps the vector-file epoch between this query's layout
+        read and its row access, the row gather can fault (file retired:
+        FileNotFoundError; new epoch smaller than a stale slot:
+        IndexError; mmap/file size disagreement: ValueError). All state
+        is re-readable, so drop every snapshot and re-run once — the
+        retry reads the post-compact state consistently."""
+        try:
+            return self._search_batched_impl(
+                query_vecs, subset_paths, top_k, max_distance
+            )
+        except (FileNotFoundError, IndexError, ValueError):
+            self._ranges_cache = None
+            self._ann_disk_cache = None
+            self._ann_meta_cache = None
+            self._ann_cache = None
+            self._refresh_vec_paths()
+            return self._search_batched_impl(
+                query_vecs, subset_paths, top_k, max_distance
+            )
+
+    def _search_batched_impl(
         self,
         query_vecs: np.ndarray,
         subset_paths: Sequence[str],
@@ -1994,9 +2073,36 @@ class Store:
         are inflating device memory and scan time."""
         return self.count_line_embeddings(), self._capacity()
 
+    def _delete_epoch_files(self, keep_epoch: int) -> None:
+        """Remove vector/hash files of every epoch except ``keep_epoch``:
+        crash leftovers from an interrupted compact (new epoch written,
+        swap never committed) and superseded epochs whose post-commit
+        unlink was interrupted. Caller holds the write lock."""
+        keep = set(self._epoch_paths(keep_epoch))
+        for pat in (_VECTORS_FILE, _HASH_FILE, "lines.e*.f32", "lines.e*.h64"):
+            for p in self.dir.glob(pat):
+                if p not in keep:
+                    try:
+                        p.unlink()
+                    except OSError:
+                        pass
+
     def compact(self) -> Dict[str, int]:
-        """Rewrite live blocks densely from slot 0, truncate the vector
-        file + hash sidecar, and empty the free table.
+        """Copy live blocks densely into the NEXT epoch of the vector
+        file + hash sidecar, swap epochs in one sqlite transaction, and
+        empty the free table.
+
+        Crash-safe with the same copy-on-write contract as
+        :meth:`upsert_documents_bulk`: the new epoch's files are fully
+        written and fsynced BEFORE the single commit that repoints
+        slot_starts + 'vec_epoch' + generation, so a crash anywhere
+        leaves either the old consistent state (the orphan new-epoch
+        files are deleted by the next compact) or the new one. Readers
+        are never torn: the superseded epoch's files are immutable from
+        the commit onward — an open mmap keeps its frozen snapshot even
+        after the post-commit unlink, and a reader that loses the
+        path-resolution race retries through the search funnel's
+        stale-snapshot retry (:meth:`search_line_embeddings_batched`).
 
         A FRESH IVF-PQ index survives compaction: its row content is
         untouched (bytes move, values don't), so the meta's ``slots`` /
@@ -2009,6 +2115,8 @@ class Store:
         "index_remapped"}``.
         """
         with self._write_lock():
+            epoch = self._vec_epoch()
+            self._delete_epoch_files(keep_epoch=epoch)
             gen_before = self.generation()
             ann_fresh = self._ann_generation_matches()
             layout = self._layout_with_rev()  # ascending slot order
@@ -2025,42 +2133,65 @@ class Store:
                     "rows_live": total, "slots_before": cap_before,
                     "slots_reclaimed": 0, "index_remapped": False,
                 }
-            if moves:
-                mm = self._mmap("r+")
-                hm = self._hash_mmap("r+")
-                # dest < src always (dest is a prefix sum of lengths over
-                # ranges that start at or after it), so ascending-order
-                # chunked copies never clobber unread source rows; the
-                # explicit np.array() guards src/dst overlap inside one
-                # chunk.
-                chunk = 1 << 16
-                for _, src, dst, n in moves:
-                    for off in range(0, n, chunk):
-                        m = min(chunk, n - off)
-                        mm[dst + off : dst + off + m] = np.array(
-                            mm[src + off : src + off + m]
-                        )
-                        if hm is not None:
-                            hm[dst + off : dst + off + m] = np.array(
-                                hm[src + off : src + off + m]
-                            )
-                mm.flush()
-                del mm
-                if hm is not None:
-                    hm.flush()
-                    del hm
+            new_vec, new_hash = self._epoch_paths(epoch + 1)
+            mm = self._mmap("r")
+            hm = self._hash_mmap("r")
+            chunk = 1 << 16
+            with open(new_vec, "wb") as vf:
+                if mm is not None:
+                    for _, s, n, _ in layout:
+                        for off in range(0, n, chunk):
+                            m = min(chunk, n - off)
+                            vf.write(np.asarray(mm[s + off : s + off + m]).tobytes())
+                vf.flush()
+                os.fsync(vf.fileno())
+            if hm is not None:
+                with open(new_hash, "wb") as hf:
+                    for _, s, n, _ in layout:
+                        for off in range(0, n, chunk):
+                            m = min(chunk, n - off)
+                            hf.write(np.asarray(hm[s + off : s + off + m]).tobytes())
+                    hf.flush()
+                    os.fsync(hf.fileno())
+            del mm, hm
+            # make the new directory entries durable before the commit
+            # that starts referencing them
+            try:
+                dfd = os.open(self.dir, os.O_RDONLY)
+                os.fsync(dfd)
+                os.close(dfd)
+            except OSError:
+                pass
+            # the swap: one transaction, the crash-atomicity point. On any
+            # failure roll back explicitly — close() commits pending work,
+            # so a half-done swap left open would otherwise land later.
+            try:
                 for path, _, dst, _ in moves:
                     self.db.execute(
                         "UPDATE docs SET slot_start = ? WHERE path = ?",
                         (dst, path),
                     )
-            self.db.execute("DELETE FROM free")
-            self._grow_to(total)
-            self._bump_generation()
-            self.db.commit()
+                self.db.execute("DELETE FROM free")
+                self.db.execute(
+                    """INSERT INTO meta (key, value) VALUES ('vec_epoch', ?)
+                       ON CONFLICT(key) DO UPDATE SET value = excluded.value""",
+                    (str(epoch + 1),),
+                )
+                self._bump_generation()
+                self.db.commit()
+            except BaseException:
+                self.db.rollback()
+                raise
+            self._refresh_vec_paths()
             remapped = False
             if ann_fresh:
                 remapped = self._ann_remap_after_compact(moves, gen_before)
+            # retire the superseded epoch (safe for open reader mmaps)
+            for p in self._epoch_paths(epoch):
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
             self._ranges_cache = None
             self._ann_disk_cache = None
             self._ann_meta_cache = None

@@ -103,6 +103,101 @@ class TestCompact:
         }
         s.close()
 
+    def test_crash_before_swap_leaves_old_state(self, tmp_path, rng, monkeypatch):
+        """Kill the compact after the new epoch's files are written but
+        before the swap transaction commits: reopening must serve the
+        OLD state intact (copy-on-write contract), and the next compact
+        must clean the orphan files and succeed."""
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = _fill(s, rng)
+        model = _fragment(s, model, rng)
+        before = {p: np.array(s.get_doc_hash_rows(p)[1]) for p in model}
+        gen_before = s.generation()
+
+        def crash():
+            raise RuntimeError("simulated crash before commit")
+
+        # _bump_generation runs inside the swap transaction, after the
+        # new-epoch files and the slot_start UPDATEs, before commit
+        monkeypatch.setattr(s, "_bump_generation", crash)
+        with pytest.raises(RuntimeError):
+            s.compact()
+        s.close()  # uncommitted transaction rolls back
+
+        s2 = Store(str(tmp_path / "ws"), dim=16)
+        assert s2.generation() == gen_before
+        assert s2._vec_epoch() == 0
+        assert (tmp_path / "ws" / "lines.e1.f32").exists()  # orphan
+        for p in model:
+            np.testing.assert_array_equal(
+                np.array(s2.get_doc_hash_rows(p)[1]), before[p]
+            )
+        _check_search(s2, model, rng)
+        report = s2.compact()
+        assert report["slots_reclaimed"] > 0
+        assert s2._vec_epoch() == 1
+        # lines.e1.f32 is now the LIVE epoch, freshly rewritten: its size
+        # must match the live rows, not the crashed attempt's leftover
+        live, cap = s2.fragmentation()
+        assert (tmp_path / "ws" / "lines.e1.f32").stat().st_size == live * 4 * 16
+        assert not (tmp_path / "ws" / "lines.f32").exists()  # epoch 0 retired
+        _check_search(s2, model, rng)
+        s2.close()
+
+    def test_open_reader_mmap_survives_compact(self, tmp_path, rng):
+        """A lock-free reader holding the pre-compact mmap keeps a frozen
+        consistent snapshot: the superseded epoch is never mutated, only
+        unlinked (POSIX keeps the mapping alive)."""
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = _fill(s, rng)
+        model = _fragment(s, model, rng)
+        reader = Store(str(tmp_path / "ws"), dim=16)
+        ranges = {p: (st, n) for p, st, n in reader._valid_ranges()}
+        mm = reader._mmap("r")
+        pre = {p: np.array(mm[st : st + n]) for p, (st, n) in ranges.items()}
+        assert s.compact()["slots_reclaimed"] > 0
+        # the old mapping still reads the ORIGINAL rows at the OLD slots
+        for p, (st, n) in ranges.items():
+            np.testing.assert_array_equal(np.array(mm[st : st + n]), pre[p])
+        del mm
+        # and a fresh query on the reader serves the post-compact state
+        _check_search(reader, model, rng)
+        reader.close()
+        s.close()
+
+    def test_stale_snapshot_retry(self, tmp_path, rng):
+        """The razor window: a reader whose cached layout predates a
+        concurrent compact gathers stale slots against the new (smaller)
+        epoch. The search funnel must retry with fresh state instead of
+        erroring or returning wrong rows."""
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = _fill(s, rng)
+        model = _fragment(s, model, rng)
+        reader = Store(str(tmp_path / "ws"), dim=16)
+        _check_search(reader, model, rng)  # warm the reader's caches
+        stale_ranges = reader._valid_ranges_cached()
+        assert s.compact()["slots_reclaimed"] > 0
+        # simulate losing the race: pin the PRE-compact layout under the
+        # POST-compact generation so the gen-keyed cache can't heal it
+        reader._ranges_cache = (reader.generation(), stale_ranges)
+        _check_search(reader, model, rng)
+        reader.close()
+        s.close()
+
+    def test_orphan_epoch_files_cleaned(self, tmp_path, rng):
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = _fill(s, rng)
+        model = _fragment(s, model, rng)
+        for name in ("lines.e5.f32", "lines.e5.h64"):
+            (tmp_path / "ws" / name).write_bytes(b"junk")
+        s.compact()
+        assert not (tmp_path / "ws" / "lines.e5.f32").exists()
+        assert not (tmp_path / "ws" / "lines.e5.h64").exists()
+        assert not (tmp_path / "ws" / "lines.f32").exists()  # epoch retired
+        assert (tmp_path / "ws" / "lines.e1.f32").exists()
+        _check_search(s, model, rng)
+        s.close()
+
     def test_survives_reopen(self, tmp_path, rng):
         s = Store(str(tmp_path / "ws"), dim=16)
         model = _fill(s, rng)
