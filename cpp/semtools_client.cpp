@@ -229,11 +229,11 @@ bool env_key_forwardable(const std::string &key) {
 }
 
 long forward_timeout_s(const std::vector<std::string> &argv) {
-  if (!argv.empty() && argv[0] == "parse") return 4 * 3600;
-  if (argv.size() >= 2 && argv[0] == "workspace" &&
-      (argv[1] == "index" || argv[1] == "compact"))
-    return 4 * 3600;
-  return 600;
+  // Uniformly long, matching daemon.py _forward_timeout: abandoning the
+  // socket mid-command just duplicates the work locally while the daemon
+  // keeps running it under the store lock.
+  (void)argv;
+  return 4 * 3600;
 }
 
 std::string build_request(const std::vector<std::string> &argv,

@@ -254,16 +254,20 @@ def stop() -> bool:
 
 
 def _forward_timeout(argv) -> float:
-    """Per-command client timeout. Index builds and parse jobs legitimately
-    run for tens of minutes (a 10M-row IVF-PQ build measured 35 min on a
-    single core; parse polls remote jobs up to max_timeout=3600 s) — the
-    default 10-minute cap would abandon the socket while the daemon keeps
-    working with the run lock held."""
-    if argv and argv[0] == "parse":
-        return 4 * 3600.0
-    if len(argv) >= 2 and argv[0] == "workspace" and argv[1] in ("index", "compact"):
-        return 4 * 3600.0
-    return 600.0
+    """Client timeout for a forwarded command: uniformly long (4 h).
+
+    Almost any command can legitimately run for a long time — index
+    builds (a 10M-row IVF-PQ build measured 35 min on one core), parse
+    jobs (remote polls up to max_timeout=3600 s), and a cold `search`
+    over a large un-indexed corpus (the embed stage alone measured 277 s
+    at 500k rows on a degraded link; a multi-million-line corpus far
+    exceeds the old 600 s cap). A shorter per-shape cap was worse than
+    useless: the client would abandon the socket and re-run the SAME
+    command locally while the daemon kept executing it under the store
+    flock — duplicated work and a doubled wall clock. Liveness is the
+    ping's job (5 s), not the command round-trip's."""
+    del argv
+    return 4 * 3600.0
 
 
 def forward(argv, stdin_text: Optional[str]) -> Optional[int]:

@@ -23,7 +23,7 @@ Design notes (TPU-first, not a port):
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +199,62 @@ def embed_token_lists(
             [np.asarray(r) for r in out], axis=0
         )
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
+def chunk_spans(
+    token_lists: Sequence[Sequence[int]], max_length: int = 2048
+) -> List[Tuple[int, int]]:
+    """``[(start, end)]`` boundaries exactly as :func:`embed_token_lists`
+    dispatches its device calls — the single source of truth for the
+    chunk policy. The mid-flight gates (ops/host_embed.py) count chunks
+    and time "the first chunk" through this, so a policy change here
+    cannot silently desynchronize their switch decision."""
+    spans: List[Tuple[int, int]] = []
+    start = 0
+    chunk_tokens = 0
+    count = 0
+    for i, ids in enumerate(token_lists):
+        n = min(len(ids), max_length)
+        if count and (
+            chunk_tokens + n > MAX_TOKENS_PER_CALL or count >= MAX_TEXTS_PER_CALL
+        ):
+            spans.append((start, i))
+            start, chunk_tokens, count = i, 0, 0
+        chunk_tokens += n
+        count += 1
+    if count:
+        spans.append((start, len(token_lists)))
+    return spans
+
+
+def warm_embed_call(
+    table,
+    token_lists: Sequence[Sequence[int]],
+    *,
+    max_length: int = 2048,
+    normalize: bool = True,
+) -> None:
+    """Execute the exact jitted shape :func:`embed_token_lists` would
+    dispatch for ONE chunk of ``token_lists`` — on device-created zeros,
+    so nothing real crosses the link. Populates the jit-call cache (and
+    the persistent compile cache) up front: the mid-flight gates time
+    realized transfer+compute, and a cold-cache one-time XLA compile
+    inside the timed call would be misattributed to link bandwidth and
+    misroute a healthy-link build to the ~30x-slower host path."""
+    lengths = [min(len(x), max_length) for x in token_lists]
+    t_bucket = _next_pow2(sum(lengths), _MIN_T_BUCKET)
+    b_bucket = _next_pow2(len(token_lists), _MIN_B_BUCKET)
+    res = _embed_segments(
+        table,
+        jnp.zeros(t_bucket, jnp.int32),
+        jnp.zeros(b_bucket + 1, jnp.int32),
+        num_segments=b_bucket + 1,
+        normalize=normalize,
+    )
+    try:
+        res.block_until_ready()
+    except Exception:
+        pass
 
 
 def embed_token_lists_reference(

@@ -197,18 +197,11 @@ def mid_flight_embed(
     if os.environ.get("SEMTOOLS_TPU_EMBED", "auto").lower() == "device":
         return None
     clipped_len = [min(len(ids), max_length) for ids in token_lists]
-    n_chunks = 1
-    toks = texts = 0
-    for length in clipped_len:
-        if texts and (
-            toks + length > dembed.MAX_TOKENS_PER_CALL
-            or texts >= dembed.MAX_TEXTS_PER_CALL
-        ):
-            n_chunks += 1
-            toks = texts = 0
-        toks += length
-        texts += 1
-    if n_chunks < 2 or len(token_lists) <= 2 * _MIDFLIGHT_PROBE_LINES:
+    # The chunk policy (boundaries, caps) is owned by ops.embed — the
+    # gates must count and time exactly the chunks the device path will
+    # dispatch (chunk_spans is that single source of truth).
+    spans = dembed.chunk_spans(token_lists, max_length=max_length)
+    if len(spans) < 2 or len(token_lists) <= 2 * _MIDFLIGHT_PROBE_LINES:
         return None  # single-chunk scale: nothing worth re-routing
 
     dim = table_np.shape[1]
@@ -239,8 +232,14 @@ def mid_flight_embed(
         table_np, sum(clipped_len) / max(len(token_lists), 1)
     )
 
-    # Gate 1: tiny probe chunk.
+    # Gate 1: tiny probe chunk. Warm the probe-shaped executable on
+    # device-created zeros first — a cold persistent-compile-cache XLA
+    # compile inside the timed call would be read as link time and
+    # misroute a healthy-link build to the host path.
     probe = token_lists[:_MIDFLIGHT_PROBE_LINES]
+    dembed.warm_embed_call(
+        table_dev, probe, max_length=max_length, normalize=normalize
+    )
     t0 = time.monotonic()
     parts.append(_device(probe))
     elapsed = time.monotonic() - t0
@@ -259,20 +258,14 @@ def mid_flight_embed(
             parts.append(_host(token_lists[done:]))
             return np.concatenate(parts, axis=0)
 
-    # Gate 2: first full chunk, synchronous.
-    chunk: list = []
-    chunk_tokens = 0
-    for ids in token_lists[done:]:
-        n = min(len(ids), max_length)
-        if chunk and (
-            chunk_tokens + n > dembed.MAX_TOKENS_PER_CALL
-            or len(chunk) >= dembed.MAX_TEXTS_PER_CALL
-        ):
-            break
-        chunk.append(ids)
-        chunk_tokens += n
+    # Gate 2: first full chunk, synchronous (same warm-before-time rule).
+    c0, c1 = dembed.chunk_spans(token_lists[done:], max_length=max_length)[0]
+    chunk = token_lists[done + c0 : done + c1]
+    dembed.warm_embed_call(
+        table_dev, chunk, max_length=max_length, normalize=normalize
+    )
     t0 = time.monotonic()
-    parts.append(_device(token_lists[done:done + len(chunk)]))
+    parts.append(_device(chunk))
     elapsed = time.monotonic() - t0
     done += len(chunk)
     if done >= len(token_lists):

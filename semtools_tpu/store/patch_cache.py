@@ -83,6 +83,15 @@ class SlotCorpus:
     # the mmap's own sidecar can't serve this role because copy-on-write
     # frees (and may re-use) the old block before the next patch runs.
     hashes: Optional[np.ndarray] = None
+    # Embedding provenance at snapshot time. A content hash identifies a
+    # LINE, not its vectors: re-embedding unchanged text under a new
+    # model (first-run hub download landing, meta 'model' swap) or a
+    # bumped per-doc embedding version produces different vectors with
+    # identical hashes, so a hash-matched device MOVE would serve stale
+    # encodings. Moves are only trusted while the store's model and the
+    # document's stored version both still equal this snapshot.
+    model: Optional[str] = None
+    doc_versions: Optional[Dict[str, int]] = None
     # Rows written through _patch since the entry's rotation/scale were
     # fit. Patched rows reuse the BUILD-time transform, so a corpus that
     # drifts topically accumulates representation error; once this
@@ -387,9 +396,23 @@ def _build(
         layout={p: (s, n, rev) for p, s, n, rev in ranges},
         mesh=mesh,
         hashes=hashes,
+        model=_store_model(store),
+        doc_versions=_doc_versions(store),
     )
     sc.refresh_lookup()
     return sc
+
+
+def _store_model(store) -> Optional[str]:
+    row = store.db.execute("SELECT value FROM meta WHERE key='model'").fetchone()
+    return row[0] if row else None
+
+
+def _doc_versions(store) -> Dict[str, int]:
+    return {
+        r[0]: (r[1] if r[1] is not None else 0)
+        for r in store.db.execute("SELECT path, version FROM docs")
+    }
 
 
 def _patch(store, sc: SlotCorpus, gen: int) -> bool:
@@ -404,6 +427,14 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     # encode real rows; any content change must rebuild to refit it.
     if sc.kind == "int8" and not sc.scale:
         return False
+    # Provenance guard: a model swap (meta 'model' change, e.g. the
+    # first-run hub download landing after the corpus was built with the
+    # fallback embedder) re-embeds unchanged content into DIFFERENT
+    # vectors with identical content hashes — nothing device-resident
+    # can be trusted, hash-moves least of all. Rebuild.
+    if _store_model(store) != sc.model:
+        return False
+    vers_now = _doc_versions(store)
     new_ranges = store._layout_with_rev()
     new_layout = {p: (s, n, rev) for p, s, n, rev in new_ranges}
     # Diff on (start, n, vec_rev): the allocator can hand a re-written
@@ -437,7 +468,14 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
         old = sc.layout.get(p)
         h_new = np.asarray(hm[s : s + n]) if hm is not None else None
         src = dst = novel = None
-        if sc.hashes is not None and h_new is not None and old is not None:
+        # Hash equality identifies CONTENT; moves additionally require
+        # the doc's embedding version to be unchanged since the snapshot
+        # (a bumped version re-embeds identical lines into new vectors).
+        prov_ok = (
+            sc.doc_versions is not None
+            and vers_now.get(p) == sc.doc_versions.get(p)
+        )
+        if prov_ok and sc.hashes is not None and h_new is not None and old is not None:
             s_old, n_old = old[0], old[1]
             h_old = sc.hashes[s_old : s_old + n_old]
             order = np.argsort(h_old, kind="stable")
@@ -566,6 +604,10 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     sc.capacity = cap
     sc.generation = gen
     sc.layout = new_layout
+    if sc.doc_versions is not None:
+        # changed docs were re-uploaded/moved under current provenance;
+        # unchanged docs cannot have changed version without a rev bump
+        sc.doc_versions = vers_now
     sc.patched_rows += aged if lossy else delta
     sc.refresh_lookup()
     return True

@@ -1187,10 +1187,22 @@ class Store:
         # (8 dims/byte); odd custom dims take their largest divisor <= 32
         # (the soak found the hardcoded 32 crashing a dim-13 store).
         m = max(x for x in range(1, min(32, self.dim) + 1) if self.dim % x == 0)
+        cpu_dev = None
         if backend == "cpu":
             import jax
 
-            with jax.default_device(jax.devices("cpu")[0]):
+            try:
+                cpu_dev = jax.devices("cpu")[0]
+            except RuntimeError:
+                # jax_platforms pinned to the accelerator only (e.g.
+                # SEMTOOLS_TPU_PLATFORM=tpu registers no CPU backend):
+                # a degraded link makes the device build slow, not
+                # wrong — build there rather than crash the command.
+                cpu_dev = None
+        if cpu_dev is not None:
+            import jax
+
+            with jax.default_device(cpu_dev):
                 index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
         else:
             index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
