@@ -24,6 +24,7 @@
 #include <unistd.h>
 
 #include <cerrno>
+#include <csignal>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -38,25 +39,75 @@ namespace {
 // ---------------------------------------------------------------------------
 // JSON writing
 
+// Length of the valid UTF-8 sequence at s[i] (1-4), or 0 when s[i] starts
+// no valid sequence (stray continuation byte, overlong form, surrogate
+// range, truncated tail) — exactly the bytes Python's strict UTF-8
+// decoder rejects.
+size_t utf8_seq_len(const std::string &s, size_t i) {
+  unsigned char c0 = static_cast<unsigned char>(s[i]);
+  if (c0 < 0x80) return 1;
+  auto cont = [&](size_t k, unsigned char lo, unsigned char hi) {
+    if (i + k >= s.size()) return false;
+    unsigned char c = static_cast<unsigned char>(s[i + k]);
+    return c >= lo && c <= hi;
+  };
+  if (c0 >= 0xC2 && c0 <= 0xDF)
+    return cont(1, 0x80, 0xBF) ? 2 : 0;
+  if (c0 == 0xE0)
+    return cont(1, 0xA0, 0xBF) && cont(2, 0x80, 0xBF) ? 3 : 0;
+  if ((c0 >= 0xE1 && c0 <= 0xEC) || c0 == 0xEE || c0 == 0xEF)
+    return cont(1, 0x80, 0xBF) && cont(2, 0x80, 0xBF) ? 3 : 0;
+  if (c0 == 0xED)  // exclude UTF-16 surrogates U+D800..DFFF
+    return cont(1, 0x80, 0x9F) && cont(2, 0x80, 0xBF) ? 3 : 0;
+  if (c0 == 0xF0)
+    return cont(1, 0x90, 0xBF) && cont(2, 0x80, 0xBF) && cont(3, 0x80, 0xBF) ? 4 : 0;
+  if (c0 >= 0xF1 && c0 <= 0xF3)
+    return cont(1, 0x80, 0xBF) && cont(2, 0x80, 0xBF) && cont(3, 0x80, 0xBF) ? 4 : 0;
+  if (c0 == 0xF4)
+    return cont(1, 0x80, 0x8F) && cont(2, 0x80, 0xBF) && cont(3, 0x80, 0xBF) ? 4 : 0;
+  return 0;
+}
+
 void json_escape_to(std::string &out, const std::string &s) {
   out += '"';
-  for (unsigned char c : s) {
+  for (size_t i = 0; i < s.size();) {
+    unsigned char c = static_cast<unsigned char>(s[i]);
     switch (c) {
-      case '"': out += "\\\""; break;
-      case '\\': out += "\\\\"; break;
-      case '\b': out += "\\b"; break;
-      case '\f': out += "\\f"; break;
-      case '\n': out += "\\n"; break;
-      case '\r': out += "\\r"; break;
-      case '\t': out += "\\t"; break;
-      default:
-        if (c < 0x20) {
-          char buf[8];
-          std::snprintf(buf, sizeof buf, "\\u%04x", c);
-          out += buf;
-        } else {
-          out += static_cast<char>(c);  // UTF-8 passes through
-        }
+      case '"': out += "\\\""; ++i; continue;
+      case '\\': out += "\\\\"; ++i; continue;
+      case '\b': out += "\\b"; ++i; continue;
+      case '\f': out += "\\f"; ++i; continue;
+      case '\n': out += "\\n"; ++i; continue;
+      case '\r': out += "\\r"; ++i; continue;
+      case '\t': out += "\\t"; ++i; continue;
+      default: break;
+    }
+    if (c < 0x20) {
+      char buf[8];
+      std::snprintf(buf, sizeof buf, "\\u%04x", c);
+      out += buf;
+      ++i;
+      continue;
+    }
+    if (c < 0x80) {
+      out += static_cast<char>(c);
+      ++i;
+      continue;
+    }
+    // Python's argv/env decoding is surrogateescape: a byte that is not
+    // part of a valid UTF-8 sequence becomes U+DC80+byte, which
+    // json.dumps emits as \udcXX and the daemon's json.loads restores.
+    // Emitting the raw byte instead would make the daemon reject the
+    // whole request ("bad request") where the Python client succeeds.
+    size_t n = utf8_seq_len(s, i);
+    if (n == 0) {
+      char buf[8];
+      std::snprintf(buf, sizeof buf, "\\udc%02x", c);
+      out += buf;
+      ++i;
+    } else {
+      out.append(s, i, n);
+      i += n;
     }
   }
   out += '"';
@@ -82,6 +133,12 @@ struct JsonParser {
     return false;
   }
   void utf8_append(std::string &out, uint32_t cp) {
+    if (cp >= 0xDC80 && cp <= 0xDCFF) {
+      // lone low surrogate = Python surrogateescape for one raw byte
+      // (json.dumps of undecodable argv/env/output bytes): restore it
+      out += static_cast<char>(cp & 0xFF);
+      return;
+    }
     if (cp < 0x80) out += static_cast<char>(cp);
     else if (cp < 0x800) {
       out += static_cast<char>(0xC0 | (cp >> 6));
@@ -317,7 +374,14 @@ bool daemon_roundtrip(const std::string &request, long timeout_s,
 // Python fallback
 
 [[noreturn]] void exec_python(const std::vector<std::string> &argv,
-                              const std::string *consumed_stdin) {
+                              const std::string *consumed_stdin,
+                              bool disable_daemon = false) {
+  if (disable_daemon) {
+    // The daemon already answered busy (or the socket round-trip
+    // failed): the Python CLI must run the command locally, not pay a
+    // second forward attempt + busy wait against the same daemon.
+    setenv("SEMTOOLS_TPU_DAEMON", "off", 1);
+  }
   const char *py = std::getenv("SEMTOOLS_TPU_PYTHON");
   if (!py || !*py) py = "python3";
   std::vector<const char *> cargv = {py, "-m", "semtools_tpu.cli"};
@@ -361,6 +425,11 @@ bool daemon_roundtrip(const std::string &request, long timeout_s,
 }  // namespace
 
 int main(int argc, char **argv) {
+  // A daemon that dies mid-request (or a Python child exiting before
+  // draining re-fed stdin) must surface as a write error, not kill this
+  // process with SIGPIPE — exit 141 would lose the fallback path and
+  // the child's real exit status.
+  std::signal(SIGPIPE, SIG_IGN);
   std::vector<std::string> args(argv + 1, argv + argc);
 
   const char *mode_c = std::getenv("SEMTOOLS_TPU_DAEMON");
@@ -390,6 +459,8 @@ int main(int argc, char **argv) {
     if (!err.empty()) fwrite(err.data(), 1, err.size(), stderr);
     return static_cast<int>(code);
   }
-  // no daemon (or a torn reply): run locally through the Python CLI
-  exec_python(args, have_stdin ? &stdin_text : nullptr);
+  // no daemon, a torn reply, or {"busy": true} (no "exit" key — the
+  // daemon is mid-command and never started ours): run locally through
+  // the Python CLI, with its own daemon forwarding disabled
+  exec_python(args, have_stdin ? &stdin_text : nullptr, /*disable_daemon=*/true);
 }

@@ -50,6 +50,21 @@ def socket_path() -> Path:
 _run_lock = threading.Lock()
 
 
+def _busy_wait_s() -> float:
+    """How long a forwarded command queues behind the one the daemon is
+    already running before the daemon answers ``{"busy": true}`` and the
+    client executes locally instead. Long enough that two racing warm
+    searches (~tens of ms each) still both get served warm; short enough
+    that a trivial ``workspace status`` never queues behind a 35-minute
+    index build. Local fallback here duplicates NOTHING — the daemon
+    never started the busy caller's command (unlike a client-side
+    timeout mid-execution, which is why the socket timeout stays 4 h)."""
+    try:
+        return float(os.environ.get("SEMTOOLS_TPU_DAEMON_BUSY_WAIT_S", "10"))
+    except ValueError:
+        return 10.0
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one request per connection
         line = self.rfile.readline()
@@ -109,7 +124,9 @@ def _run_command(req) -> dict:
         ):
             env_overrides[k] = None
 
-    with _run_lock:
+    if not _run_lock.acquire(timeout=_busy_wait_s()):
+        return {"busy": True}
+    try:
         old_cwd = os.getcwd()
         old_env = {k: os.environ.get(k) for k in env_overrides}
         out, err = io.StringIO(), io.StringIO()
@@ -142,6 +159,8 @@ def _run_command(req) -> dict:
                 else:
                     os.environ[k] = v
         return {"stdout": out.getvalue(), "stderr": err.getvalue(), "exit": code}
+    finally:
+        _run_lock.release()
 
 
 class _Server(socketserver.ThreadingUnixStreamServer):
@@ -264,8 +283,11 @@ def _forward_timeout(argv) -> float:
     exceeds the old 600 s cap). A shorter per-shape cap was worse than
     useless: the client would abandon the socket and re-run the SAME
     command locally while the daemon kept executing it under the store
-    flock — duplicated work and a doubled wall clock. Liveness is the
-    ping's job (5 s), not the command round-trip's."""
+    flock — duplicated work and a doubled wall clock. Queueing behind a
+    BUSY daemon is bounded separately: the server answers
+    ``{"busy": true}`` after ``_busy_wait_s`` and the client runs the
+    (never-started) command locally — so the long socket timeout only
+    ever covers a command the daemon actually accepted."""
     del argv
     return 4 * 3600.0
 
@@ -287,6 +309,9 @@ def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
         "env": env,
     }, timeout=_forward_timeout(list(argv)))
     if resp is None or "exit" not in resp:
+        # unreachable, torn reply, or {"busy": true} — run locally (the
+        # daemon never started a busy caller's command, so nothing is
+        # duplicated)
         return None
     sys.stdout.write(resp.get("stdout", ""))
     sys.stderr.write(resp.get("stderr", ""))

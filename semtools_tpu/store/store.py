@@ -27,7 +27,9 @@ recorded, and opening a store with a different model invalidates all rows
 
 from __future__ import annotations
 
+import contextlib
 import os
+import re
 import sqlite3
 import time as _time
 from dataclasses import dataclass
@@ -401,11 +403,30 @@ class Store:
         self.vec_path, self.hash_path = self._epoch_paths(self._vec_epoch())
 
     def _capacity(self) -> int:
+        """Capacity of the CURRENT epoch's file, self-healing: re-reads
+        the epoch when this instance's file was retired by a concurrent
+        compact. Only for callers with no slot state in hand (stats,
+        tier sizing, allocation under the write lock)."""
         if not self.vec_path.exists():
-            # a concurrent compact may have retired this epoch's file
             self._refresh_vec_paths()
         size = self.vec_path.stat().st_size if self.vec_path.exists() else 0
         return size // (4 * self.dim)
+
+    def _capacity_pinned(self) -> int:
+        """Capacity of the epoch file this instance is pinned to — does
+        NOT re-point to a newer epoch. Callers holding slot ranges must
+        fail loudly when their epoch's file was retired: silently
+        refreshing would pair pre-compact slots with the post-compact
+        dense file, and any stale slot below the new live-row count
+        reads the WRONG row with no exception — the stale-snapshot
+        retry (search_line_embeddings_batched) only heals faults."""
+        try:
+            return self.vec_path.stat().st_size // (4 * self.dim)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"vector epoch file retired by a concurrent compact: "
+                f"{self.vec_path}"
+            ) from None
 
     def _grow_to(self, slots: int) -> None:
         mode = "r+b" if self.vec_path.exists() else "w+b"
@@ -416,7 +437,7 @@ class Store:
                 f.truncate(slots * 8)
 
     def _mmap(self, mode: str = "r") -> Optional[np.ndarray]:
-        cap = self._capacity()
+        cap = self._capacity_pinned()
         if cap == 0:
             return None
         return np.memmap(self.vec_path, dtype=np.float32, mode=mode, shape=(cap, self.dim))
@@ -432,7 +453,7 @@ class Store:
     # vectors themselves (8 B/line).
 
     def _hash_mmap(self, mode: str = "r") -> Optional[np.ndarray]:
-        cap = self._capacity()
+        cap = self._capacity_pinned()
         if cap == 0:
             return None
         if not self.hash_path.exists() or self.hash_path.stat().st_size != cap * 8:
@@ -871,6 +892,29 @@ class Store:
     def _ann_paths(self) -> Tuple[Path, Path]:
         return self.dir / _ANN_FILE, self.dir / _ANN_META_FILE
 
+    def _sweep_ann_tmp_files(self) -> None:
+        """Unlink ``*.tmp<pid>.npz`` ANN build leftovers whose builder
+        process is gone — a crash between tmp creation and the atomic
+        rename orphans an index-sized file that nothing else cleans
+        (the epoch sweep only globs ``lines.*``). Live builders' tmps
+        (concurrent build from another process) are left alone."""
+        pat = re.compile(r"\.tmp(\d+)\.npz$")
+        for ann_or_meta in self._ann_paths():
+            for t in self.dir.glob(ann_or_meta.stem + ".tmp*.npz"):
+                m = pat.search(t.name)
+                if not m:
+                    continue
+                pid = int(m.group(1))
+                if pid == os.getpid():
+                    continue
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    with contextlib.suppress(OSError):
+                        t.unlink()
+                except OSError:
+                    pass  # EPERM: pid exists under another uid — leave it
+
     def _ann_generation_matches(self) -> bool:
         """Cheap freshness probe: reads only the generation scalar (npz
         members load lazily), never the codes/slots arrays."""
@@ -925,16 +969,28 @@ class Store:
         cached = getattr(self, "_ann_disk_cache", None)
         if cached is not None and cached[0] == mtime:
             return cached[1]
+        # Order matters: read the small meta npz and check the build
+        # token BEFORE loading the PQ codes — and cache a torn pair as a
+        # NEGATIVE result keyed on the same mtime. A crash between the
+        # paired renames leaves the mismatch on disk until the next
+        # rebuild; without the negative cache every query at ANN scale
+        # re-read hundreds of MB of codes just to re-discover it.
+        try:
+            with np.load(meta_path, allow_pickle=False) as meta:
+                m = {k: meta[k] for k in meta.files}
+        except Exception:
+            self._ann_disk_cache = (mtime, None)
+            return None
+        if not self._ann_tokens_match(ann_path, m):
+            self._ann_disk_cache = (mtime, None)
+            return None  # torn publish: index and meta from different builds
         try:
             from semtools_tpu.index.ivf_pq import IvfPqIndex
 
             index = IvfPqIndex.load(str(ann_path))
-            with np.load(meta_path, allow_pickle=False) as meta:
-                m = {k: meta[k] for k in meta.files}
         except Exception:
+            self._ann_disk_cache = (mtime, None)
             return None
-        if not self._ann_tokens_match(ann_path, m):
-            return None  # torn publish: index and meta from different builds
         if "lay_paths" in m:
             layout = {
                 str(p): (int(s), int(n), int(r))
@@ -1218,23 +1274,33 @@ class Store:
         # pid-unique tmp names: builds don't hold the write lock (a
         # 35-minute build must not block writers), so two concurrent
         # builders must not scribble over each other's tmp files.
+        # Stale tmps from DEAD builders (crash/Ctrl-C between creation
+        # and rename) are index-sized — sweep them here, and unlink our
+        # own on any failure below (replace() moves the file, so the
+        # unlink is a no-op on success).
+        self._sweep_ann_tmp_files()
         tmp_ann = ann_path.with_suffix(f".tmp{os.getpid()}.npz")
-        index.save(str(tmp_ann), extra={"build_token": np.int64(token)})
-        tmp_ann.replace(ann_path)
-        # The build-time LAYOUT funds incremental serving: later queries
-        # diff it against the current layout and serve mutations through
-        # tombstones + a delta segment instead of staling the index
-        # (see _ann_current).
         tmp_meta = meta_path.with_suffix(f".tmp{os.getpid()}.npz")
-        np.savez(
-            tmp_meta, generation=build_gen, build_token=np.int64(token),
-            slots=slots,
-            lay_paths=np.array([p for p, _, _, _ in lay]),
-            lay_starts=np.array([s2 for _, s2, _, _ in lay], np.int64),
-            lay_lens=np.array([n2 for _, _, n2, _ in lay], np.int64),
-            lay_revs=np.array([r2 for _, _, _, r2 in lay], np.int64),
-        )
-        tmp_meta.replace(meta_path)
+        try:
+            index.save(str(tmp_ann), extra={"build_token": np.int64(token)})
+            tmp_ann.replace(ann_path)
+            # The build-time LAYOUT funds incremental serving: later
+            # queries diff it against the current layout and serve
+            # mutations through tombstones + a delta segment instead of
+            # staling the index (see _ann_current).
+            np.savez(
+                tmp_meta, generation=build_gen, build_token=np.int64(token),
+                slots=slots,
+                lay_paths=np.array([p for p, _, _, _ in lay]),
+                lay_starts=np.array([s2 for _, s2, _, _ in lay], np.int64),
+                lay_lens=np.array([n2 for _, _, n2, _ in lay], np.int64),
+                lay_revs=np.array([r2 for _, _, _, r2 in lay], np.int64),
+            )
+            tmp_meta.replace(meta_path)
+        finally:
+            for t in (tmp_ann, tmp_meta):
+                with contextlib.suppress(OSError):
+                    t.unlink()
         self._ann_disk_cache = None
         self._ann_meta_cache = None
         self._ann_cache = None
@@ -1474,12 +1540,19 @@ class Store:
         qn = int(qs.shape[0])
         if not subset_paths or top_k == 0 or qn == 0:
             return [[] for _ in range(qn)]
-        ranges = self._subset_slots(subset_paths)
+        # Subset ranges are FILTERED from the cached full layout rather
+        # than read in a separate db query: _valid_ranges_cached pairs
+        # (generation, ranges, vector-file epoch) in one transaction, so
+        # the slots gathered below always index the file they were
+        # committed against. A separate read could straddle a concurrent
+        # compact and pair pre-compact slots with the post-compact dense
+        # file — in-bounds stale slots return wrong rows with no fault.
+        valid = self._valid_ranges_cached()
+        wanted = set(subset_paths)
+        ranges = [r for r in valid if r[0] in wanted]
         if not ranges:
             return [[] for _ in range(qn)]
-
-        valid = self._valid_ranges_cached()
-        full_store = {r[0] for r in ranges} == {r[0] for r in valid}
+        full_store = len(ranges) == len(valid)
         if full_store:
             ranges = valid
         n_rows = sum(n for _, _, n in ranges)

@@ -3,6 +3,8 @@ fallback, CLI surface)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -156,6 +158,77 @@ class TestAnnPublishIntegrity:
         assert not store._ann_available()
         got = store.search_line_embeddings(_unit(rng, 1)[0], paths, top_k=3)
         assert len(got) == 3  # exact tier keeps serving
+
+    def test_torn_pair_negative_cached_without_reading_codes(self, store):
+        """A torn pair persists on disk until the next rebuild — every
+        query must NOT re-read the PQ codes (hundreds of MB at serving
+        scale) to re-discover it: the token check runs on the small meta
+        BEFORE IvfPqIndex.load, and the None result is cached keyed on
+        the meta mtime (review finding)."""
+        from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+        rng = np.random.default_rng(13)
+        _fill(store, rng)
+        store.build_ann_index(force=True)
+        _, meta_path = store._ann_paths()
+        with np.load(meta_path, allow_pickle=False) as z:
+            m = {k: np.array(z[k]) for k in z.files}
+        m["build_token"] = np.int64(int(m["build_token"]) + 1)
+        np.savez(meta_path, **m)
+        store._ann_disk_cache = store._ann_meta_cache = store._ann_cache = None
+
+        calls = {"load": 0}
+        orig_load = IvfPqIndex.load
+
+        def counting_load(path):
+            calls["load"] += 1
+            return orig_load(path)
+
+        IvfPqIndex.load = staticmethod(counting_load)
+        try:
+            assert store._ann_load_meta() is None
+            assert calls["load"] == 0  # token mismatch short-circuits
+            # negative result cached: repeated queries don't re-stat-and-parse
+            cached = store._ann_disk_cache
+            assert cached is not None and cached[1] is None
+            assert store._ann_load_meta() is None
+            assert calls["load"] == 0
+        finally:
+            IvfPqIndex.load = orig_load
+
+    def test_failed_build_leaves_no_tmp_files(self, store, monkeypatch):
+        """index.save raising (disk full, Ctrl-C) must not orphan the
+        index-sized tmp files — nothing else cleans them up (the epoch
+        sweep only globs lines.*)."""
+        from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+        rng = np.random.default_rng(14)
+        _fill(store, rng)
+
+        def boom(self, path, extra=None):
+            Path(path).write_bytes(b"partial")  # simulate a partial write
+            raise OSError("disk full")
+
+        monkeypatch.setattr(IvfPqIndex, "save", boom)
+        with pytest.raises(OSError):
+            store.build_ann_index(force=True)
+        leftovers = list((Path(store.dir)).glob("*.tmp*.npz"))
+        assert leftovers == []
+
+    def test_sweep_removes_dead_builders_tmps_only(self, store):
+        """Stale tmps from a DEAD builder pid are swept at build start;
+        a live pid's tmps (concurrent builder) are left alone."""
+        import os as _os
+
+        d = Path(store.dir)
+        dead = d / "ann.tmp999999999.npz"  # beyond pid_max: never alive
+        alive = d / f"ann.tmp{_os.getpid()}.npz"
+        dead.write_bytes(b"x")
+        alive.write_bytes(b"x")
+        store._sweep_ann_tmp_files()
+        assert not dead.exists()
+        assert alive.exists()
+        alive.unlink()
 
     def test_legacy_tokenless_pair_served(self, store):
         """Pre-token builds (neither file carries a token) stay valid."""

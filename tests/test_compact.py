@@ -184,6 +184,62 @@ class TestCompact:
         reader.close()
         s.close()
 
+    def test_retired_epoch_faults_instead_of_silently_repointing(
+        self, tmp_path, rng
+    ):
+        """A reader whose pinned epoch file was retired must FAULT, not
+        silently re-point to the new epoch: stale slots below the new
+        live-row count would gather the WRONG rows with no exception,
+        and the funnel retry only heals faults (review finding — the old
+        _capacity self-heal paired pre-compact slots with the
+        post-compact dense file)."""
+        import pytest as _pytest
+
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = _fill(s, rng)
+        model = _fragment(s, model, rng)
+        reader = Store(str(tmp_path / "ws"), dim=16)
+        _check_search(reader, model, rng)  # pins ranges + epoch path
+        stale_ranges = reader._valid_ranges_cached()
+        assert s.compact()["slots_reclaimed"] > 0
+        # lose the race: stale layout pinned under the current generation
+        reader._ranges_cache = (reader.generation(), stale_ranges)
+        with _pytest.raises(FileNotFoundError):
+            reader._mmap("r")  # pinned stat faults — never wrong rows
+        _check_search(reader, model, rng)  # the funnel retry heals
+        reader.close()
+        s.close()
+
+    def test_subset_search_consistent_across_compact(self, tmp_path, rng):
+        """Path-subset queries read their slots from the same atomically
+        paired (generation, ranges, epoch) snapshot as full-store
+        queries — a compact landing between a separate subset read and
+        the epoch refresh used to pair pre-compact slots with the
+        post-compact file (review finding)."""
+        s = Store(str(tmp_path / "ws"), dim=16)
+        model = _fill(s, rng)
+        model = _fragment(s, model, rng)
+        reader = Store(str(tmp_path / "ws"), dim=16)
+        subset = sorted(model)[:3]
+        q = _unit(rng, 1, d=16)[0]
+
+        def expected():
+            rows = np.concatenate([model[k] for k in subset])
+            dist = 1.0 - rows @ q
+            return np.sort(dist)[:5]
+
+        got = reader.search_line_embeddings(q, subset, 5)
+        np.testing.assert_allclose(
+            [g.distance for g in got], expected(), atol=3e-4
+        )
+        assert s.compact()["slots_reclaimed"] > 0
+        got = reader.search_line_embeddings(q, subset, 5)
+        np.testing.assert_allclose(
+            [g.distance for g in got], expected(), atol=3e-4
+        )
+        reader.close()
+        s.close()
+
     def test_orphan_epoch_files_cleaned(self, tmp_path, rng):
         s = Store(str(tmp_path / "ws"), dim=16)
         model = _fill(s, rng)

@@ -185,6 +185,35 @@ def test_forward_queries_from_stdin_dash(running_daemon, tmp_path, capsys):
     assert "# query: databases" in out and "databases" in out
 
 
+def test_busy_daemon_answers_instead_of_queueing(monkeypatch):
+    """While one command runs under the serialization lock, a second
+    forwarded command gets {"busy": true} after the bounded busy wait —
+    it must NOT queue for the full 4 h socket timeout (review finding:
+    a trivial `workspace status` queued behind a 35-minute index
+    build)."""
+    from semtools_tpu import daemon
+
+    monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_BUSY_WAIT_S", "0.05")
+    assert daemon._run_lock.acquire(timeout=1)
+    try:
+        resp = daemon._run_command({"argv": ["--version"]})
+    finally:
+        daemon._run_lock.release()
+    assert resp == {"busy": True}
+    # and with the lock free the same request executes normally
+    resp = daemon._run_command({"argv": ["--version"]})
+    assert resp.get("exit") == 0
+
+
+def test_forward_runs_locally_on_busy(monkeypatch):
+    """The client treats a busy reply as 'run locally' — the daemon
+    never started the command, so nothing is duplicated."""
+    from semtools_tpu import daemon
+
+    monkeypatch.setattr(daemon, "_request", lambda obj, timeout=0: {"busy": True})
+    assert daemon.forward(["workspace", "status"], None) is None
+
+
 def test_forward_timeout_uniformly_long():
     # Any forwarded command can legitimately run for a long time (cold
     # search over a huge corpus, index build, parse poll); a short cap

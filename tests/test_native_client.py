@@ -95,6 +95,40 @@ class TestAgainstDaemon:
         assert "café" in r.stdout
         assert "\U0001F600" in r.stdout
 
+    def test_non_utf8_argv_roundtrip(self, client, env, running_daemon, tmp_path):
+        """A latin-1 filename (raw 0xE9 byte, not valid UTF-8) must reach
+        the daemon as the same surrogateescape \\udcXX escapes the Python
+        client would send — emitting the raw byte made the daemon's
+        json.loads reject the whole request (review finding)."""
+        name = os.fsdecode(b"caf\xe9.txt")  # lone surrogate in the str
+        f = tmp_path / name
+        f.write_text("alpha line\nbeta line\n")
+        # bytes mode: stdout echoes the raw 0xE9 byte back (restored from
+        # the daemon's \udce9 escape) — text-mode capture would choke
+        r = subprocess.run(
+            [str(client), "search", "beta", str(f), "--top-k", "1", "-n", "0"],
+            input=b"", capture_output=True, env=env, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        assert b"beta" in r.stdout
+        assert b"caf\xe9.txt" in r.stdout
+
+    def test_busy_daemon_falls_back_to_local_run(
+        self, client, env, running_daemon, monkeypatch
+    ):
+        """With the daemon mid-command, the client must get the bounded
+        busy reply and run locally — not queue behind the running
+        command for the full socket timeout."""
+        monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_BUSY_WAIT_S", "0.05")
+        assert daemon._run_lock.acquire(timeout=1)
+        try:
+            r = _run(client, env, ["search", "beta", "-n", "0"],
+                     stdin_text="alpha\nbeta\n")
+        finally:
+            daemon._run_lock.release()
+        assert r.returncode == 0, r.stderr
+        assert "<stdin>" in r.stdout
+
     def test_exit_code_passthrough(self, client, env, running_daemon):
         r = _run(client, env, ["search", "q"], stdin_text="")
         assert r.returncode == 1
