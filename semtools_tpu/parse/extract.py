@@ -29,6 +29,26 @@ _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
+# Zip-bomb guard: an OOXML member must not expand past this when read.
+# Real office XML tops out in the tens of MB (huge sharedStrings.xml);
+# a member claiming more is hostile, not a document.
+_MAX_MEMBER_BYTES = 128 << 20
+
+
+def _zread(zf: zipfile.ZipFile, name: str) -> bytes:
+    """``zf.read(name)`` with a decompressed-size bound.
+
+    Raises ``KeyError`` for a missing member (like ``read``) and
+    ``ValueError`` for one that inflates past ``_MAX_MEMBER_BYTES`` —
+    both are contained by the local backend's per-file error isolation.
+    """
+    with zf.open(name) as fh:
+        data = fh.read(_MAX_MEMBER_BYTES + 1)
+    if len(data) > _MAX_MEMBER_BYTES:
+        raise ValueError(f"{name}: zip member exceeds {_MAX_MEMBER_BYTES} bytes decompressed")
+    return data
+
+
 def _md_escape_cell(s: str) -> str:
     return s.replace("|", "\\|").replace("\n", " ").strip()
 
@@ -106,7 +126,7 @@ def _docx_paragraph(par, rels: Dict[str, str]) -> str:
 
 def _docx_rels(zf: zipfile.ZipFile) -> Dict[str, str]:
     try:
-        root = ET.fromstring(zf.read("word/_rels/document.xml.rels"))
+        root = ET.fromstring(_zread(zf, "word/_rels/document.xml.rels"))
     except (KeyError, ET.ParseError):
         return {}
     return {
@@ -118,7 +138,7 @@ def _docx_rels(zf: zipfile.ZipFile) -> Dict[str, str]:
 def docx_to_markdown(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         rels = _docx_rels(zf)
-        root = ET.fromstring(zf.read("word/document.xml"))
+        root = ET.fromstring(_zread(zf, "word/document.xml"))
     body = root.find(f"{_W}body")
     if body is None:
         return ""
@@ -170,7 +190,7 @@ def pptx_to_markdown(data: bytes) -> str:
              if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
             key=lambda n: int(re.search(r"(\d+)", n).group(1)),
         )
-        slides = [ET.fromstring(zf.read(n)) for n in slide_names]
+        slides = [ET.fromstring(_zread(zf, n)) for n in slide_names]
     blocks: List[str] = []
     for i, slide in enumerate(slides, 1):
         title: Optional[str] = None
@@ -203,12 +223,15 @@ def _col_index(ref: str) -> int:
     n = 0
     for ch in m.group(1):
         n = n * 26 + (ord(ch) - 64)
-    return n - 1
+    # Excel's last column is XFD (16383). A crafted ref like "ZZZZZZ1"
+    # must not drive the row-padding loop to hundreds of millions of
+    # filler cells.
+    return min(n - 1, 16_383)
 
 
 def _xlsx_shared_strings(zf: zipfile.ZipFile) -> List[str]:
     try:
-        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        root = ET.fromstring(_zread(zf, "xl/sharedStrings.xml"))
     except (KeyError, ET.ParseError):
         return []
     out = []
@@ -249,8 +272,8 @@ def xlsx_to_markdown(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         shared = _xlsx_shared_strings(zf)
         try:
-            wb = ET.fromstring(zf.read("xl/workbook.xml"))
-            rel_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+            wb = ET.fromstring(_zread(zf, "xl/workbook.xml"))
+            rel_root = ET.fromstring(_zread(zf, "xl/_rels/workbook.xml.rels"))
         except (KeyError, ET.ParseError):
             return ""
         rels = {
@@ -266,7 +289,7 @@ def xlsx_to_markdown(data: bytes) -> str:
             else:
                 member = "xl/" + target
             try:
-                root = ET.fromstring(zf.read(member))
+                root = ET.fromstring(_zread(zf, member))
             except (KeyError, ET.ParseError):
                 continue
             rows = _xlsx_sheet_rows(root, shared)

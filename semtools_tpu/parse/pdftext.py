@@ -210,10 +210,19 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
 class PdfDocument:
+    # Decompression bounds: a crafted file must not be able to expand a
+    # few KB of Flate data into GBs of heap (classic decompression bomb).
+    # Real text content streams are KBs–MBs; 64 MiB per stream and a
+    # 512 MiB cumulative budget per document are far above anything a
+    # text-bearing PDF produces.
+    MAX_STREAM_BYTES = 64 << 20
+    MAX_DECODE_BUDGET = 512 << 20
+
     def __init__(self, data: bytes):
         self.data = data
         # obj num -> (dict|value, stream bytes|None)
         self.objects: Dict[int, Tuple[object, Optional[bytes]]] = {}
+        self._decode_budget = self.MAX_DECODE_BUDGET
         self._scan_objects()
         self._unpack_object_streams()
 
@@ -323,18 +332,30 @@ class PdfDocument:
         if not isinstance(filters, list):
             filters = [filters]
         out = raw
+        if len(filters) > 4:
+            return None  # no legitimate chain is this deep
         for f in filters:
             f = self.resolve(f)
             if f == "FlateDecode" or f == "Fl":
+                cap = min(self.MAX_STREAM_BYTES, self._decode_budget)
+                if cap <= 0:
+                    return None  # document decode budget exhausted
                 try:
-                    out = zlib.decompress(out)
+                    # decompressobj tolerates truncated tails (returns the
+                    # prefix) and lets us bound the output size.
+                    out = zlib.decompressobj().decompress(out, cap + 1)
                 except zlib.error:
-                    try:  # tolerate truncated tails
-                        out = zlib.decompressobj().decompress(out)
-                    except zlib.error:
-                        return None
+                    return None
+                if len(out) > cap:
+                    return None  # decompression bomb: skip the stream
+                self._decode_budget -= len(out)
                 parms = self.resolve(d.get("DecodeParms"))
                 if isinstance(parms, dict) and self.resolve(parms.get("Predictor", 1)) not in (None, 1):
+                    if len(out) > (8 << 20):
+                        # The predictor undo is a pure-Python per-byte
+                        # loop; real predicted streams (xref streams) are
+                        # KBs. Refuse crafted giants rather than burn CPU.
+                        return None
                     out = _undo_png_predictor(
                         out,
                         int(self.resolve(parms.get("Columns", 1)) or 1),
@@ -372,6 +393,10 @@ class PdfDocument:
                 break
         ordered: List[dict] = []
         if root is not None:
+            # Total-visit budget: the depth cap alone bounds DEPTH, but a
+            # self-referential /Kids array (node listing itself) branches
+            # at every level — ~3^64 visits without this counter.
+            self._walk_budget = 100_000
             self._walk(self.resolve(root.get("Pages")), ordered, {}, 0)
         if not ordered:  # damaged catalog: any /Type /Page object
             for num in sorted(self.objects):
@@ -381,6 +406,9 @@ class PdfDocument:
         return ordered
 
     def _walk(self, node, out: List[dict], inherited: dict, depth: int) -> None:
+        self._walk_budget -= 1
+        if self._walk_budget < 0:
+            return
         node = self.resolve(node)
         if not isinstance(node, dict) or depth > 64 or len(out) > 10000:
             return
@@ -398,7 +426,9 @@ class PdfDocument:
 
 def _undo_png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     bpp = max(1, (colors * bpc) // 8)
-    rowlen = max(1, (columns * colors * bpc + 7) // 8)
+    # Clamp to the data that actually exists: a crafted /Columns must not
+    # drive a giant per-row allocation (rows beyond the data are void).
+    rowlen = max(1, min((columns * colors * bpc + 7) // 8, len(data)))
     out = bytearray()
     prev = bytearray(rowlen)
     pos = 0

@@ -518,3 +518,117 @@ def test_cli_unknown_backend_lists_both(tmp_path, monkeypatch, capsys):
     rc = cli.main(["parse", "-b", "bogus", str(f)])
     assert rc == 1
     assert "llama-parse, local" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# Robustness: crafted-input bombs must terminate fast and stay contained
+# (found/fixed via scripts/fuzz_localparse.py; each test pins one class)
+
+
+class TestCraftedInputBombs:
+    def test_self_referential_kids_terminates(self):
+        """A /Kids array listing its own node branches at every level of
+        the page-tree walk — ~3^64 visits without the global visit
+        budget (the depth cap alone only bounds DEPTH)."""
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [2 0 R 2 0 R 3 0 R 1 0 R] /Count 9 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            (4, b"<< /Length 47 >>\nstream\n"
+                b"BT /F1 12 Tf 72 700 Td (cycle survivor) Tj ET\nendstream"),
+        ])
+        import time
+
+        t0 = time.perf_counter()
+        text = pdf_to_text(data)
+        assert time.perf_counter() - t0 < 5.0
+        assert "cycle survivor" in text
+
+    def test_flate_bomb_stream_is_skipped(self):
+        """A few-KB FlateDecode stream claiming ~512 MiB decoded must not
+        be materialized; the stream is skipped, the parse returns."""
+        z = zlib.compress(b"\0" * (512 << 20), 9)
+        assert len(z) < (1 << 20)
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 4 0 R >>"),
+            (4, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
+                + z + b"\nendstream"),
+        ])
+        import time
+
+        t0 = time.perf_counter()
+        pdf_to_text(data)  # no text expected; must return quickly
+        assert time.perf_counter() - t0 < 5.0
+
+    def test_filter_chain_depth_capped(self):
+        """[Fl Fl Fl ...] chains multiply expansion; chains deeper than
+        any legitimate PDF are refused outright."""
+        inner = zlib.compress(zlib.compress(b"(hi) Tj"))
+        nested = zlib.compress(zlib.compress(zlib.compress(inner)))
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 4 0 R >>"),
+            (4, b"<< /Length %d /Filter [/Fl /Fl /Fl /Fl /Fl] >>\nstream\n"
+                % len(nested) + nested + b"\nendstream"),
+        ])
+        pdf_to_text(data)  # must not expand; returns (no text)
+
+    def test_predictor_giant_columns_no_alloc(self):
+        """/DecodeParms /Columns must not size a per-row allocation, and
+        giant predicted streams skip the per-byte undo loop."""
+        z = zlib.compress(b"\1" + b"\0" * 4096)
+        data = _assemble_pdf([
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 4 0 R >>"),
+            (4, b"<< /Length %d /Filter /FlateDecode "
+                b"/DecodeParms << /Predictor 12 /Columns 1073741824 >> >>\n"
+                b"stream\n" % len(z) + z + b"\nendstream"),
+        ])
+        import time
+
+        t0 = time.perf_counter()
+        pdf_to_text(data)
+        assert time.perf_counter() - t0 < 5.0
+
+    def test_zip_member_bomb_contained(self, tmp_path):
+        """An OOXML member inflating past the member cap raises inside
+        the converter and is isolated per-file by the backend."""
+        bomb = _zip({"word/document.xml": b"<w:document>" + b"\0" * (256 << 20)})
+        with pytest.raises(ValueError, match="decompressed"):
+            docx_to_markdown(bomb)
+        f = tmp_path / "bomb.docx"
+        f.write_bytes(bomb)
+        backend = LocalParseBackend(cache_dir=str(tmp_path / "cache"))
+        assert backend.parse([str(f)]) == []  # isolated, batch continues
+
+    def test_xlsx_column_ref_bomb_capped(self):
+        """A crafted cell ref like ZZZZZZ1 (~300M columns) must not drive
+        the row-padding loop; columns clamp at Excel's real maximum."""
+        wb = (
+            f'<workbook xmlns="{S}" xmlns:r="{R}">'
+            f'<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        )
+        rels = (
+            f'<Relationships xmlns="{REL}">'
+            '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>'
+        )
+        sheet = (
+            f'<worksheet xmlns="{S}"><sheetData>'
+            '<row r="1"><c r="ZZZZZZ1"><v>7</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        bomb = _zip({
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/worksheets/sheet1.xml": sheet,
+        })
+        import time
+
+        t0 = time.perf_counter()
+        md = xlsx_to_markdown(bomb)
+        assert time.perf_counter() - t0 < 5.0
+        assert "7" in md
