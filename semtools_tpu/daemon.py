@@ -65,14 +65,35 @@ def _busy_wait_s() -> float:
         return 10.0
 
 
+def _max_request_bytes() -> int:
+    """One-line request size cap. Any local process can open the socket,
+    so an endless line must not grow the daemon's heap without bound; a
+    legitimate over-cap request (giant piped stdin) is told to run
+    locally instead (see ``forward``'s matching client-side check)."""
+    try:
+        return int(os.environ.get("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", str(64 << 20)))
+    except ValueError:
+        return 64 << 20
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one request per connection
-        line = self.rfile.readline()
+        cap = _max_request_bytes()
+        line = self.rfile.readline(cap + 1)
         if not line:
+            return
+        if len(line) > cap:
+            # Oversized request: no "exit" key means both clients fall
+            # back to running the command locally. (An under-cap line
+            # without a trailing newline — EOF mid-send — still parses.)
+            self._reply({"too_large": True})
             return
         try:
             req = json.loads(line)
-        except json.JSONDecodeError:
+        except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
+            self._reply({"stdout": "", "stderr": "daemon: bad request\n", "exit": 2})
+            return
+        if not isinstance(req, dict):
             self._reply({"stdout": "", "stderr": "daemon: bad request\n", "exit": 2})
             return
         if req.get("op") == "ping":
@@ -109,9 +130,23 @@ def _run_command(req) -> dict:
     argv = req.get("argv") or []
     stdin_text = req.get("stdin")
     cwd = req.get("cwd")
-    env_overrides = {
-        k: v for k, v in (req.get("env") or {}).items() if _env_key_forwardable(k)
-    }
+    env_in = req.get("env") or {}
+    # Shape-check before anything runs: a malformed request from a buggy
+    # or hostile local caller gets a clean reply, not a dead handler
+    # thread (the command has not started, so exit 2 is honest).
+    if (
+        not isinstance(argv, list)
+        or not all(isinstance(a, str) for a in argv)
+        or not isinstance(stdin_text, (str, type(None)))
+        or not isinstance(cwd, (str, type(None)))
+        or not isinstance(env_in, dict)
+        or not all(
+            isinstance(k, str) and isinstance(v, (str, type(None)))
+            for k, v in env_in.items()
+        )
+    ):
+        return {"stdout": "", "stderr": "daemon: bad request\n", "exit": 2}
+    env_overrides = {k: v for k, v in env_in.items() if _env_key_forwardable(k)}
     # The request env is authoritative for the SEMTOOLS_ namespace: any
     # SEMTOOLS_* var set in the daemon's (possibly stale) environment but
     # absent from the request is unset for the duration of the command,
@@ -147,7 +182,10 @@ def _run_command(req) -> dict:
                 finally:
                     sys.stdin = old_stdin
         except SystemExit as e:
-            code = int(e.code or 0)
+            # argparse exits with int codes; anything else (a message
+            # string) is a failure, and the conversion itself must never
+            # raise mid-cleanup.
+            code = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
         except Exception as e:  # never kill the daemon on a command error
             err.write(f"Error: {e}\n")
             code = 1
@@ -299,6 +337,10 @@ def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
     # daemon treats the request env as authoritative for SEMTOOLS_*), so
     # daemon-start-time state like SEMTOOLS_TPU_STORE_INT8 or
     # SEMTOOLS_WORKSPACE never leaks into a client that cleared it.
+    if stdin_text is not None and len(stdin_text) > _max_request_bytes() // 2:
+        # The JSON-encoded request would blow the daemon's request cap
+        # (escaping up to doubles it) — don't ship it just to be refused.
+        return None
     env = {k: v for k, v in os.environ.items() if _env_key_forwardable(k)}
     for k in ("OPENAI_API_KEY", "OPENAI_BASE_URL", "LLAMA_CLOUD_API_KEY", "HOME"):
         env[k] = os.environ.get(k)

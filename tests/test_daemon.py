@@ -229,3 +229,75 @@ def test_forward_timeout_uniformly_long():
         [],
     ):
         assert _forward_timeout(argv) == 4 * 3600.0
+
+
+# ---------------------------------------------------------------------------
+# Hostile/malformed requests: any local process can open the socket
+
+
+def _raw_request(payload: bytes) -> bytes:
+    import socket as _socket
+
+    with _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM) as s:
+        s.settimeout(10.0)
+        s.connect(str(daemon.socket_path()))
+        s.sendall(payload)
+        s.shutdown(_socket.SHUT_WR)
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+        return buf
+
+
+def test_non_dict_json_gets_clean_reply(running_daemon):
+    import json
+
+    for payload in (b"[1, 2, 3]\n", b'"ping"\n', b"42\n"):
+        resp = json.loads(_raw_request(payload))
+        assert resp["exit"] == 2
+        assert "bad request" in resp["stderr"]
+
+
+def test_invalid_utf8_gets_clean_reply(running_daemon):
+    import json
+
+    resp = json.loads(_raw_request(b'{"op": "\xff\xfe"}\n'))
+    assert resp["exit"] == 2
+
+
+def test_malformed_shapes_get_clean_reply(running_daemon):
+    import json
+
+    bad = [
+        {"argv": "search q"},              # argv not a list
+        {"argv": [1, 2]},                  # argv items not str
+        {"argv": ["-V"], "env": ["x"]},    # env not a dict (empty [] is
+                                           # falsy and normalizes to {})
+        {"argv": ["-V"], "env": {"SEMTOOLS_X": 7}},  # env value not str
+        {"argv": ["-V"], "cwd": 5},        # cwd not a str
+        {"argv": ["-V"], "stdin": 9},      # stdin not a str
+    ]
+    for req in bad:
+        resp = json.loads(_raw_request(json.dumps(req).encode() + b"\n"))
+        assert resp.get("exit") == 2, req
+        # daemon still alive and serving
+    assert daemon.ping()
+
+
+def test_oversized_request_tells_client_to_run_locally(running_daemon, monkeypatch):
+    import json
+
+    monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", "4096")
+    resp = json.loads(_raw_request(b'{"argv": ["' + b"x" * 8192 + b'"]}\n'))
+    assert resp.get("too_large") is True
+    assert "exit" not in resp  # the no-exit shape both clients treat as fallback
+    assert daemon.ping()
+
+
+def test_forward_skips_giant_stdin(running_daemon, monkeypatch):
+    monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", "1024")
+    rc = daemon.forward(["search", "q"], stdin_text="y" * 4096)
+    assert rc is None  # caller runs the command locally
