@@ -349,7 +349,10 @@ def main() -> int:
     ap.add_argument("--out", default=str(Path(__file__).parent / "fuzz_failures"))
     args = ap.parse_args()
 
-    resource.setrlimit(resource.RLIMIT_AS, (RLIMIT_BYTES, RLIMIT_BYTES))
+    try:
+        resource.setrlimit(resource.RLIMIT_AS, (RLIMIT_BYTES, RLIMIT_BYTES))
+    except (ValueError, OSError):
+        pass  # macOS ignores/denies RLIMIT_AS; alarms still bound each case
     signal.signal(signal.SIGALRM, _alarm)
     outdir = Path(args.out)
     rng = random.Random(args.seed)
