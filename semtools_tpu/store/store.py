@@ -232,6 +232,14 @@ class WorkspaceStats:
     total_lines: int = 0
 
 
+class StoreDamagedError(RuntimeError):
+    """The workspace's on-disk state is inconsistent (e.g. the vector
+    file is shorter than its committed slot ranges — truncation, partial
+    copy, disk fault). Deliberately NOT a subclass of the stale-snapshot
+    fault types (FileNotFoundError/IndexError/ValueError): damage is
+    permanent, so the search funnel's retry must not mask it."""
+
+
 class Store:
     """Open (creating if needed) the store under ``workspace_dir``."""
 
@@ -424,8 +432,9 @@ class Store:
             return self.vec_path.stat().st_size // (4 * self.dim)
         except FileNotFoundError:
             raise FileNotFoundError(
-                f"vector epoch file retired by a concurrent compact: "
-                f"{self.vec_path}"
+                f"vector epoch file missing: {self.vec_path} (retired by "
+                f"a concurrent compact — healed by the search retry — or "
+                f"deleted from disk, in which case re-index the workspace)"
             ) from None
 
     def _grow_to(self, slots: int) -> None:
@@ -886,6 +895,24 @@ class Store:
             if began:
                 self.db.commit()
         self.vec_path, self.hash_path = self._epoch_paths(epoch)
+        if ranges:
+            # Integrity gate: committed ranges must lie inside the epoch
+            # file (copy-on-write grows+writes the file BEFORE committing
+            # rows, so under every legal interleaving end <= capacity).
+            # A shorter file is real damage — truncation, a partial copy,
+            # a disk fault — and must fail loudly here rather than let a
+            # slot read index past the mmap (or silently serve a partial
+            # corpus).
+            end = ranges[-1][1] + ranges[-1][2]  # slot-ordered, disjoint
+            if end > self._capacity_pinned():
+                raise StoreDamagedError(
+                    f"workspace vector file {self.vec_path} holds "
+                    f"{self._capacity_pinned()} slots but the store has "
+                    f"committed rows through slot {end}: the file was "
+                    f"truncated or partially copied. Embeddings are "
+                    f"derived data — delete the workspace directory "
+                    f"({self.dir}) and re-run your search to re-index."
+                )
         self._ranges_cache = (gen, ranges)
         return ranges
 
@@ -2334,8 +2361,11 @@ class Store:
         self.db.commit()
 
     def close(self) -> None:
-        self.db.commit()
-        self.db.close()
+        try:
+            self.db.commit()
+            self.db.close()
+        except sqlite3.ProgrammingError:
+            pass  # idempotent: already closed
         try:
             self._lock_fh.close()
         except Exception:
