@@ -38,7 +38,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from semtools_tpu.parse.extract import (  # noqa: E402
     docx_to_markdown,
+    epub_to_markdown,
     html_to_markdown,
+    odt_to_markdown,
     pptx_to_markdown,
     rtf_to_text,
     xlsx_to_markdown,
@@ -228,6 +230,38 @@ def _html_seed() -> bytes:
     )
 
 
+def _odt_seed() -> bytes:
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    o = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    tb = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    content = (
+        f'<office:document-content xmlns:office="{o}" xmlns:text="{t}" '
+        f'xmlns:table="{tb}"><office:body><office:text>'
+        '<text:h text:outline-level="2">Head</text:h>'
+        "<text:p>Body<text:tab/>text<text:s text:c='4'/>here.</text:p>"
+        "<text:list><text:list-item><text:p>li</text:p></text:list-item></text:list>"
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>x</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        "</office:text></office:body></office:document-content>"
+    )
+    return _zip_bytes([("content.xml", content)])
+
+
+def _epub_seed() -> bytes:
+    return _zip_bytes([
+        ("META-INF/container.xml",
+         '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+         '<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles></container>'),
+        ("OEBPS/content.opf",
+         '<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
+         '<item id="c1" href="ch1.xhtml"/></manifest>'
+         '<spine><itemref idref="c1"/></spine></package>'),
+        ("OEBPS/ch1.xhtml",
+         "<html><body><h1>T</h1><p>chapter text</p></body></html>"),
+    ])
+
+
 def _rtf_seed() -> bytes:
     return (
         rb"{\rtf1\ansi\deff0 {\fonttbl {\f0 Times;}}"
@@ -245,6 +279,8 @@ SEEDS = {
     "xlsx": [_xlsx_seed(), _xlsx_colref_bomb()],
     "html": [_html_seed()],
     "rtf": [_rtf_seed()],
+    "odt": [_odt_seed()],
+    "epub": [_epub_seed()],
 }
 
 # Built once (expensive): checked as fixed adversarial cases, not mutated.
@@ -260,6 +296,8 @@ CONVERTERS = {
     "xlsx": xlsx_to_markdown,
     "html": lambda b: html_to_markdown(b),
     "rtf": lambda b: rtf_to_text(b),
+    "odt": odt_to_markdown,
+    "epub": epub_to_markdown,
 }
 
 

@@ -6,9 +6,10 @@ reference's only backend ships every document to the LlamaParse cloud
 common office formats without any network, trading LlamaParse's
 layout/OCR fidelity for availability.
 
-Formats: DOCX / PPTX / XLSX (OOXML zip + XML via ``xml.etree``), PDF
-(text layer, see pdftext.py), HTML (``html.parser``), RTF (control-word
-stripper).  Each converter takes raw ``bytes`` and returns markdown.
+Formats: DOCX / PPTX / XLSX (OOXML zip + XML via ``xml.etree``), ODT
+(OpenDocument), EPUB (OPF spine -> XHTML chapters), PDF (text layer, see
+pdftext.py), HTML (``html.parser``), RTF (control-word stripper).  Each
+converter takes raw ``bytes`` and returns markdown.
 """
 
 from __future__ import annotations
@@ -540,3 +541,135 @@ def rtf_to_text(data: bytes) -> str:
     result = "".join(out)
     result = re.sub(r"\n{3,}", "\n\n", result)
     return result.strip() + "\n" if result.strip() else ""
+
+
+# ---------------------------------------------------------------------------
+# ODT (OpenDocument Text — LibreOffice/OpenOffice)
+
+_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+
+
+def _odt_inline_text(el) -> str:
+    """Flattened text of a paragraph/heading, honoring tab, line-break,
+    and run-length space elements."""
+    parts: List[str] = [el.text or ""]
+    for child in el:
+        tag = child.tag
+        if tag == f"{_TEXT}tab":
+            parts.append("\t")
+        elif tag == f"{_TEXT}line-break":
+            parts.append("\n")
+        elif tag == f"{_TEXT}s":
+            try:
+                parts.append(" " * int(child.get(f"{_TEXT}c", "1")))
+            except ValueError:
+                parts.append(" ")
+        elif tag == f"{_TEXT}note":  # footnote body: keep the citation out
+            pass
+        else:
+            parts.append(_odt_inline_text(child))
+        parts.append(child.tail or "")
+    return "".join(parts)
+
+
+def _odt_block(el, blocks: List[str], list_depth: int = 0) -> None:
+    tag = el.tag
+    if tag == f"{_TEXT}h":
+        try:
+            level = max(1, min(6, int(el.get(f"{_TEXT}outline-level", "1"))))
+        except ValueError:
+            level = 1
+        blocks.append("#" * level + " " + _odt_inline_text(el).strip())
+    elif tag == f"{_TEXT}p":
+        line = _odt_inline_text(el).strip()
+        if list_depth:
+            blocks.append("  " * (list_depth - 1) + "- " + line)
+        elif line:
+            blocks.append(line)
+    elif tag == f"{_TEXT}list":
+        for item in el:
+            for sub in item:
+                _odt_block(sub, blocks, list_depth + 1)
+    elif tag == f"{_TABLE}table":
+        rows: List[List[str]] = []
+        for tr in el.iter(f"{_TABLE}table-row"):
+            rows.append([
+                " ".join(
+                    _odt_inline_text(p).strip()
+                    for p in tc.iter()
+                    if p.tag in (f"{_TEXT}p", f"{_TEXT}h")
+                ).strip()
+                for tc in tr.findall(f"{_TABLE}table-cell")
+            ])
+        if rows:
+            blocks.append(_md_table(rows))
+    elif tag == f"{_OFFICE}text":
+        for child in el:
+            _odt_block(child, blocks, list_depth)
+
+
+def odt_to_markdown(data: bytes) -> str:
+    """OpenDocument Text -> markdown (content.xml body walk)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = ET.fromstring(_zread(zf, "content.xml"))
+    body = root.find(f"{_OFFICE}body")
+    text = body.find(f"{_OFFICE}text") if body is not None else None
+    if text is None:
+        return ""
+    blocks: List[str] = []
+    _odt_block(text, blocks)
+    out = "\n\n".join(b for b in blocks if b.strip())
+    return re.sub(r"\n{3,}", "\n\n", out).strip() + "\n" if out.strip() else ""
+
+
+# ---------------------------------------------------------------------------
+# EPUB (zip of XHTML chapters; reading order from the OPF spine)
+
+_CNT = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF = "{http://www.idpf.org/2007/opf}"
+
+
+def _epub_spine_files(zf: zipfile.ZipFile) -> List[str]:
+    """Chapter members in spine order; falls back to archive order of
+    .x/html members when container/OPF metadata is missing or broken."""
+    try:
+        container = ET.fromstring(_zread(zf, "META-INF/container.xml"))
+        rootfile = container.find(f"{_CNT}rootfiles/{_CNT}rootfile")
+        opf_path = rootfile.get("full-path")
+        opf = ET.fromstring(_zread(zf, opf_path))
+        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        hrefs = {
+            item.get("id"): item.get("href")
+            for item in opf.find(f"{_OPF}manifest")
+        }
+        ordered = []
+        for ref in opf.find(f"{_OPF}spine"):
+            href = hrefs.get(ref.get("idref"))
+            if href:
+                ordered.append(base + href)
+        if ordered:
+            return ordered
+    except (KeyError, ValueError, AttributeError, TypeError, ET.ParseError):
+        pass  # missing/broken container or OPF: archive-order fallback
+    return [
+        n for n in zf.namelist()
+        if n.lower().endswith((".xhtml", ".html", ".htm"))
+    ]
+
+
+def epub_to_markdown(data: bytes) -> str:
+    blocks: List[str] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = set(zf.namelist())
+        for member in _epub_spine_files(zf):
+            if member not in names:
+                continue
+            try:
+                md = html_to_markdown(_zread(zf, member))
+            except (KeyError, ValueError):
+                continue
+            if md.strip():
+                blocks.append(md.strip())
+    return "\n\n".join(blocks).strip() + "\n" if blocks else ""

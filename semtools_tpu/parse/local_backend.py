@@ -61,6 +61,18 @@ def _rtf(data: bytes) -> str:
     return rtf_to_text(data)
 
 
+def _odt(data: bytes) -> str:
+    from semtools_tpu.parse.extract import odt_to_markdown
+
+    return odt_to_markdown(data)
+
+
+def _epub(data: bytes) -> str:
+    from semtools_tpu.parse.extract import epub_to_markdown
+
+    return epub_to_markdown(data)
+
+
 _CONVERTERS: Dict[str, Callable[[bytes], str]] = {
     "pdf": _pdf,
     "docx": _docx,
@@ -73,6 +85,8 @@ _CONVERTERS: Dict[str, Callable[[bytes], str]] = {
     "htm": _html,
     "xhtml": _html,
     "rtf": _rtf,
+    "odt": _odt,
+    "epub": _epub,
 }
 
 

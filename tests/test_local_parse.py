@@ -632,3 +632,102 @@ class TestCraftedInputBombs:
         md = xlsx_to_markdown(bomb)
         assert time.perf_counter() - t0 < 5.0
         assert "7" in md
+
+
+# ---------------------------------------------------------------------------
+# ODT
+
+
+ODT_T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+ODT_O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+ODT_TB = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+
+
+def _odt_bytes() -> bytes:
+    content = (
+        f'<office:document-content xmlns:office="{ODT_O}" '
+        f'xmlns:text="{ODT_T}" xmlns:table="{ODT_TB}">'
+        "<office:body><office:text>"
+        '<text:h text:outline-level="1">Report</text:h>'
+        "<text:p>First<text:tab/>tabbed and<text:line-break/>broken "
+        "with<text:s text:c='3'/>spaces.</text:p>"
+        "<text:list><text:list-item><text:p>item one</text:p></text:list-item>"
+        "<text:list-item><text:p>item two</text:p></text:list-item></text:list>"
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>a</text:p></table:table-cell>"
+        "<table:table-cell><text:p>b</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        "</office:text></office:body></office:document-content>"
+    )
+    return _zip({"content.xml": content, "mimetype": "application/vnd.oasis.opendocument.text"})
+
+
+class TestOdt:
+    def test_structure(self):
+        from semtools_tpu.parse.extract import odt_to_markdown
+
+        md = odt_to_markdown(_odt_bytes())
+        assert "# Report" in md
+        assert "First\ttabbed" in md
+        assert "with   spaces" in md
+        assert "- item one" in md and "- item two" in md
+        assert "| a | b |" in md
+
+    def test_backend_converts(self, tmp_path):
+        doc = tmp_path / "r.odt"
+        doc.write_bytes(_odt_bytes())
+        backend = LocalParseBackend(cache_dir=str(tmp_path / "c"))
+        (out,) = backend.parse([str(doc)])
+        assert "# Report" in open(out).read()
+
+
+# ---------------------------------------------------------------------------
+# EPUB
+
+
+def _epub_bytes(with_opf=True) -> bytes:
+    ch1 = b"<html><body><h1>Chapter One</h1><p>It begins.</p></body></html>"
+    ch2 = b"<html><body><h1>Chapter Two</h1><p>It ends.</p></body></html>"
+    members = {
+        # spine lists ch2 before ch1 to prove ORDER comes from the OPF
+        "OEBPS/b.xhtml": ch2,
+        "OEBPS/a.xhtml": ch1,
+    }
+    if with_opf:
+        members["META-INF/container.xml"] = (
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>'
+            "</container>"
+        )
+        members["OEBPS/content.opf"] = (
+            '<package xmlns="http://www.idpf.org/2007/opf">'
+            "<manifest>"
+            '<item id="c1" href="a.xhtml"/>'
+            '<item id="c2" href="b.xhtml"/>'
+            "</manifest>"
+            '<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+            "</package>"
+        )
+    return _zip(members)
+
+
+class TestEpub:
+    def test_spine_order(self):
+        from semtools_tpu.parse.extract import epub_to_markdown
+
+        md = epub_to_markdown(_epub_bytes())
+        assert md.index("Chapter One") < md.index("Chapter Two")
+        assert "It begins." in md and "It ends." in md
+
+    def test_broken_opf_falls_back_to_archive_order(self):
+        from semtools_tpu.parse.extract import epub_to_markdown
+
+        md = epub_to_markdown(_epub_bytes(with_opf=False))
+        assert "Chapter One" in md and "Chapter Two" in md
+
+    def test_backend_converts(self, tmp_path):
+        doc = tmp_path / "book.epub"
+        doc.write_bytes(_epub_bytes())
+        backend = LocalParseBackend(cache_dir=str(tmp_path / "c"))
+        (out,) = backend.parse([str(doc)])
+        assert "Chapter One" in open(out).read()
