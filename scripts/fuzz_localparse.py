@@ -24,14 +24,11 @@ Usage: python scripts/fuzz_localparse.py [--cases N] [--seed S]
 from __future__ import annotations
 
 import argparse
-import io
 import random
 import resource
 import signal
 import sys
 import time
-import zipfile
-import zlib
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -60,233 +57,29 @@ def _alarm(_sig, _frm):
 
 
 # ---------------------------------------------------------------------------
-# Seeds
+# Seeds — canonical builders shared with the regression tests, so the
+# fuzzer and tests/test_local_parse.py can never drift apart.
 
-
-def _zip_bytes(members) -> bytes:
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        for name, data in members:
-            zf.writestr(name, data)
-    return buf.getvalue()
-
-
-def _docx_seed() -> bytes:
-    doc = (
-        '<?xml version="1.0"?>'
-        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
-        "<w:body>"
-        '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Title</w:t></w:r></w:p>'
-        "<w:p><w:r><w:rPr><w:b/></w:rPr><w:t>bold</w:t></w:r><w:r><w:t> text</w:t></w:r></w:p>"
-        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>"
-        "<w:tc><w:p><w:r><w:t>b</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
-        "</w:body></w:document>"
-    )
-    return _zip_bytes([("word/document.xml", doc)])
-
-
-def _pptx_seed() -> bytes:
-    slide = (
-        '<?xml version="1.0"?>'
-        '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
-        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
-        '<p:sp><p:ph type="title"/><a:p><a:r><a:t>Slide title</a:t></a:r></a:p></p:sp>'
-        "<p:sp><a:p><a:r><a:t>bullet one</a:t></a:r></a:p></p:sp>"
-        "</p:sld>"
-    )
-    return _zip_bytes([("ppt/slides/slide1.xml", slide)])
-
-
-def _xlsx_seed() -> bytes:
-    ns_s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
-    ns_r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
-    ns_rel = "http://schemas.openxmlformats.org/package/2006/relationships"
-    wb = (
-        f'<workbook xmlns="{ns_s}" xmlns:r="{ns_r}">'
-        f'<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
-    )
-    rels = (
-        f'<Relationships xmlns="{ns_rel}">'
-        '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>'
-    )
-    shared = f'<sst xmlns="{ns_s}"><si><t>hello</t></si></sst>'
-    sheet = (
-        f'<worksheet xmlns="{ns_s}"><sheetData>'
-        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>'
-        '<row r="2"><c r="A2" t="inlineStr"><is><t>inline</t></is></c></row>'
-        "</sheetData></worksheet>"
-    )
-    return _zip_bytes([
-        ("xl/workbook.xml", wb),
-        ("xl/_rels/workbook.xml.rels", rels),
-        ("xl/sharedStrings.xml", shared),
-        ("xl/worksheets/sheet1.xml", sheet),
-    ])
-
-
-def _pdf_assemble(objects, header=b"%PDF-1.4\n") -> bytes:
-    out = bytearray(header)
-    for num, body in objects:
-        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
-    out += b"%%EOF\n"
-    return bytes(out)
-
-
-def _pdf_seed(compress=False) -> bytes:
-    text = b"BT /F1 12 Tf 72 700 Td (Hello fuzz world) Tj ET"
-    if compress:
-        z = zlib.compress(text)
-        stream = b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z) + z + b"\nendstream"
-    else:
-        stream = b"<< /Length %d >>\nstream\n" % len(text) + text + b"\nendstream"
-    return _pdf_assemble([
-        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
-        (4, stream),
-    ])
-
-
-def _pdf_cyclic_kids() -> bytes:
-    # Pages node whose Kids include itself and its parent.
-    return _pdf_assemble([
-        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        (2, b"<< /Type /Pages /Kids [2 0 R 3 0 R 1 0 R] /Count 99 >>"),
-        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
-        (4, b"<< /Length 2 >>\nstream\nBT\nendstream"),
-    ])
-
-
-def _pdf_ref_cycle() -> bytes:
-    # Indirect references that resolve to each other forever.
-    return _pdf_assemble([
-        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        (2, b"5 0 R"),
-        (5, b"2 0 R"),
-        (3, b"<< /Type /Page /Contents 5 0 R >>"),
-    ])
-
-
-def _pdf_flate_bomb() -> bytes:
-    z = zlib.compress(b"\0" * (512 << 20), 9)  # ~512 MiB of zeros -> ~KBs
-    stream = b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z) + z + b"\nendstream"
-    return _pdf_assemble([
-        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-        (3, b"<< /Type /Page /Contents 4 0 R >>"),
-        (4, stream),
-    ])
-
-
-def _pdf_predictor_bomb() -> bytes:
-    z = zlib.compress(b"\1" + b"\0" * 4096)
-    stream = (
-        b"<< /Length %d /Filter /FlateDecode "
-        b"/DecodeParms << /Predictor 12 /Columns 1073741824 >> >>\nstream\n" % len(z)
-        + z + b"\nendstream"
-    )
-    return _pdf_assemble([
-        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-        (3, b"<< /Type /Page /Contents 4 0 R >>"),
-        (4, stream),
-    ])
-
-
-def _xlsx_colref_bomb() -> bytes:
-    ns_s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
-    ns_r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
-    ns_rel = "http://schemas.openxmlformats.org/package/2006/relationships"
-    wb = (
-        f'<workbook xmlns="{ns_s}" xmlns:r="{ns_r}">'
-        f'<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
-    )
-    rels = (
-        f'<Relationships xmlns="{ns_rel}">'
-        '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>'
-    )
-    sheet = (
-        f'<worksheet xmlns="{ns_s}"><sheetData>'
-        '<row r="1"><c r="ZZZZZZ1"><v>1</v></c></row>'
-        "</sheetData></worksheet>"
-    )
-    return _zip_bytes([
-        ("xl/workbook.xml", wb),
-        ("xl/_rels/workbook.xml.rels", rels),
-        ("xl/worksheets/sheet1.xml", sheet),
-    ])
-
-
-def _zip_member_bomb() -> bytes:
-    return _zip_bytes([("word/document.xml", b"<w:document>" + b"\0" * (512 << 20))])
-
-
-def _html_seed() -> bytes:
-    return (
-        b"<html><head><title>T</title><style>x{}</style></head><body>"
-        b"<h1>Header</h1><p>Some <b>bold</b> text with a "
-        b'<a href="http://x">link</a>.</p><ul><li>one</li><li>two</li></ul>'
-        b"<table><tr><td>a</td><td>b</td></tr></table></body></html>"
-    )
-
-
-def _odt_seed() -> bytes:
-    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
-    o = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
-    tb = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
-    content = (
-        f'<office:document-content xmlns:office="{o}" xmlns:text="{t}" '
-        f'xmlns:table="{tb}"><office:body><office:text>'
-        '<text:h text:outline-level="2">Head</text:h>'
-        "<text:p>Body<text:tab/>text<text:s text:c='4'/>here.</text:p>"
-        "<text:list><text:list-item><text:p>li</text:p></text:list-item></text:list>"
-        "<table:table><table:table-row>"
-        "<table:table-cell><text:p>x</text:p></table:table-cell>"
-        "</table:table-row></table:table>"
-        "</office:text></office:body></office:document-content>"
-    )
-    return _zip_bytes([("content.xml", content)])
-
-
-def _epub_seed() -> bytes:
-    return _zip_bytes([
-        ("META-INF/container.xml",
-         '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
-         '<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles></container>'),
-        ("OEBPS/content.opf",
-         '<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
-         '<item id="c1" href="ch1.xhtml"/></manifest>'
-         '<spine><itemref idref="c1"/></spine></package>'),
-        ("OEBPS/ch1.xhtml",
-         "<html><body><h1>T</h1><p>chapter text</p></body></html>"),
-    ])
-
-
-def _rtf_seed() -> bytes:
-    return (
-        rb"{\rtf1\ansi\deff0 {\fonttbl {\f0 Times;}}"
-        rb"{\colortbl;\red0\green0\blue0;}"
-        rb"\pard Plain text \b bold\b0 and \'e9 accents \u8364? euro.\par"
-        rb"{\*\generator Fuzz 1.0;}}"
-    )
-
+from tests import seeds  # noqa: E402
 
 SEEDS = {
-    "pdf": [_pdf_seed(), _pdf_seed(compress=True), _pdf_cyclic_kids(),
-            _pdf_ref_cycle(), _pdf_predictor_bomb()],
-    "docx": [_docx_seed()],
-    "pptx": [_pptx_seed()],
-    "xlsx": [_xlsx_seed(), _xlsx_colref_bomb()],
-    "html": [_html_seed()],
-    "rtf": [_rtf_seed()],
-    "odt": [_odt_seed()],
-    "epub": [_epub_seed()],
+    "pdf": [seeds.simple_pdf(), seeds.simple_pdf(compress=True),
+            seeds.pdf_cyclic_kids(), seeds.pdf_ref_cycle(),
+            seeds.pdf_predictor_bomb(), seeds.pdf_filter_chain_bomb()],
+    "docx": [seeds.docx_seed()],
+    "pptx": [seeds.pptx_seed()],
+    "xlsx": [seeds.xlsx_seed(), seeds.xlsx_colref_bomb()],
+    "html": [seeds.html_seed()],
+    "rtf": [seeds.rtf_seed()],
+    "odt": [seeds.odt_seed(), seeds.odt_space_bomb()],
+    "epub": [seeds.epub_seed()],
 }
 
-# Built once (expensive): checked as fixed adversarial cases, not mutated.
+# Built per run (expensive): checked as fixed adversarial cases, not mutated.
 BOMB_CASES = [
-    ("pdf", "flate_bomb", _pdf_flate_bomb),
-    ("docx", "zip_member_bomb", _zip_member_bomb),
+    ("pdf", "flate_bomb", seeds.pdf_flate_bomb),
+    ("docx", "zip_member_bomb", seeds.zip_member_bomb),
+    ("odt", "space_bomb", seeds.odt_space_bomb),
 ]
 
 CONVERTERS = {
@@ -294,12 +87,11 @@ CONVERTERS = {
     "docx": docx_to_markdown,
     "pptx": pptx_to_markdown,
     "xlsx": xlsx_to_markdown,
-    "html": lambda b: html_to_markdown(b),
-    "rtf": lambda b: rtf_to_text(b),
+    "html": html_to_markdown,
+    "rtf": rtf_to_text,
     "odt": odt_to_markdown,
     "epub": epub_to_markdown,
 }
-
 
 # ---------------------------------------------------------------------------
 # Mutators
@@ -410,11 +202,11 @@ def main() -> int:
             findings.append((fmt, name, status, detail))
         del data
 
-    for fmt, seeds in SEEDS.items():
+    for fmt, fmt_seeds in SEEDS.items():
         for i in range(args.cases):
-            base = rng.choice(seeds)
-            if rng.random() < 0.1 and len(seeds) > 1:  # splice
-                other = rng.choice(seeds)
+            base = rng.choice(fmt_seeds)
+            if rng.random() < 0.1 and len(fmt_seeds) > 1:  # splice
+                other = rng.choice(fmt_seeds)
                 cut = rng.randrange(1, len(base))
                 base = base[:cut] + other[rng.randrange(len(other)):]
             data = _mutate(rng, base)

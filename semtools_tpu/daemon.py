@@ -79,13 +79,14 @@ def _max_request_bytes() -> int:
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one request per connection
         cap = _max_request_bytes()
-        line = self.rfile.readline(cap + 1)
+        line = self.rfile.readline(cap + 2)
         if not line:
             return
-        if len(line) > cap:
-            # Oversized request: no "exit" key means both clients fall
-            # back to running the command locally. (An under-cap line
-            # without a trailing newline — EOF mid-send — still parses.)
+        if len(line.rstrip(b"\n")) > cap:
+            # Oversized request (payload beyond the cap, newline
+            # excluded): no "exit" key means both clients fall back to
+            # running the command locally. (An under-cap line without a
+            # trailing newline — EOF mid-send — still parses.)
             self._reply({"too_large": True})
             return
         try:
@@ -337,10 +338,17 @@ def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
     # daemon treats the request env as authoritative for SEMTOOLS_*), so
     # daemon-start-time state like SEMTOOLS_TPU_STORE_INT8 or
     # SEMTOOLS_WORKSPACE never leaks into a client that cleared it.
-    if stdin_text is not None and len(stdin_text) > _max_request_bytes() // 2:
-        # The JSON-encoded request would blow the daemon's request cap
-        # (escaping up to doubles it) — don't ship it just to be refused.
-        return None
+    if stdin_text is not None:
+        # Don't ship a request the daemon will refuse. json.dumps with
+        # ensure_ascii expands non-ASCII to \uXXXX (up to 12 bytes per
+        # char), so character count is not a safe proxy: take the cheap
+        # all-ASCII bound first and pay for an exact encode only in the
+        # gray zone. 64 KiB covers the argv/env/cwd envelope.
+        cap = _max_request_bytes() - 65536
+        # 12 = true worst case bytes/char (astral -> \uD8xx\uDExx); when
+        # even that bound fits, skip the exact encode entirely.
+        if len(stdin_text) * 12 > cap and len(json.dumps(stdin_text)) > cap:
+            return None
     env = {k: v for k, v in os.environ.items() if _env_key_forwardable(k)}
     for k in ("OPENAI_API_KEY", "OPENAI_BASE_URL", "LLAMA_CLOUD_API_KEY", "HOME"):
         env[k] = os.environ.get(k)

@@ -563,7 +563,9 @@ def _odt_inline_text(el) -> str:
             parts.append("\n")
         elif tag == f"{_TEXT}s":
             try:
-                parts.append(" " * int(child.get(f"{_TEXT}c", "1")))
+                # Clamp: text:c is attacker-controlled; an unclamped
+                # repeat count is a one-attribute memory bomb.
+                parts.append(" " * min(max(int(child.get(f"{_TEXT}c", "1")), 0), 1000))
             except ValueError:
                 parts.append(" ")
         elif tag == f"{_TEXT}note":  # footnote body: keep the citation out
@@ -633,7 +635,13 @@ _OPF = "{http://www.idpf.org/2007/opf}"
 
 def _epub_spine_files(zf: zipfile.ZipFile) -> List[str]:
     """Chapter members in spine order; falls back to archive order of
-    .x/html members when container/OPF metadata is missing or broken."""
+    .x/html members when container/OPF metadata is missing or broken, or
+    when no spine href resolves to a real member (e.g. hrefs the archive
+    doesn't actually contain)."""
+    import posixpath
+    from urllib.parse import unquote
+
+    names = set(zf.namelist())
     try:
         container = ET.fromstring(_zread(zf, "META-INF/container.xml"))
         rootfile = container.find(f"{_CNT}rootfiles/{_CNT}rootfile")
@@ -648,9 +656,13 @@ def _epub_spine_files(zf: zipfile.ZipFile) -> List[str]:
         for ref in opf.find(f"{_OPF}spine"):
             href = hrefs.get(ref.get("idref"))
             if href:
-                ordered.append(base + href)
-        if ordered:
-            return ordered
+                # hrefs are URLs relative to the OPF: percent-encoded
+                # (spaces are common) and possibly with ../ segments.
+                member = posixpath.normpath(base + unquote(href.split("#")[0]))
+                ordered.append(member)
+        resolved = [m for m in ordered if m in names]
+        if resolved:
+            return resolved
     except (KeyError, ValueError, AttributeError, TypeError, ET.ParseError):
         pass  # missing/broken container or OPF: archive-order fallback
     return [
@@ -662,14 +674,11 @@ def _epub_spine_files(zf: zipfile.ZipFile) -> List[str]:
 def epub_to_markdown(data: bytes) -> str:
     blocks: List[str] = []
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
-        names = set(zf.namelist())
         for member in _epub_spine_files(zf):
-            if member not in names:
-                continue
             try:
                 md = html_to_markdown(_zread(zf, member))
-            except (KeyError, ValueError):
-                continue
+            except Exception:
+                continue  # one damaged chapter degrades, never aborts the book
             if md.strip():
                 blocks.append(md.strip())
     return "\n\n".join(blocks).strip() + "\n" if blocks else ""

@@ -223,6 +223,12 @@ class PdfDocument:
         # obj num -> (dict|value, stream bytes|None)
         self.objects: Dict[int, Tuple[object, Optional[bytes]]] = {}
         self._decode_budget = self.MAX_DECODE_BUDGET
+        # Decoded-stream memo, by object number: shared streams (a
+        # ToUnicode CMap or Resources referenced from every page) decode
+        # once and charge the budget once — without this, a large
+        # legitimate PDF re-charges per page and can exhaust the budget
+        # mid-document, silently degrading later pages.
+        self._decoded: Dict[int, Optional[bytes]] = {}
         self._scan_objects()
         self._unpack_object_streams()
 
@@ -311,8 +317,11 @@ class PdfDocument:
         return v
 
     def stream_of(self, v) -> Optional[bytes]:
-        """Decoded stream bytes of an object (ref or inline dict)."""
+        """Decoded stream bytes of an object (ref or inline dict);
+        memoized per object number (budget charged on first decode)."""
         if isinstance(v, Ref):
+            if v.num in self._decoded:
+                return self._decoded[v.num]
             entry = self.objects.get(v.num)
             if entry is None:
                 return None
@@ -321,7 +330,9 @@ class PdfDocument:
             return None
         if raw is None or not isinstance(d, dict):
             return None
-        return self._decode_stream(d, raw)
+        out = self._decode_stream(d, raw)
+        self._decoded[v.num] = out
+        return out
 
     def _decode_stream(self, d: dict, raw: Optional[bytes]) -> Optional[bytes]:
         if raw is None:

@@ -301,3 +301,19 @@ def test_forward_skips_giant_stdin(running_daemon, monkeypatch):
     monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", "1024")
     rc = daemon.forward(["search", "q"], stdin_text="y" * 4096)
     assert rc is None  # caller runs the command locally
+
+
+def test_exact_cap_request_is_accepted(running_daemon, monkeypatch):
+    """The advertised cap covers the PAYLOAD; the trailing newline must
+    not push an exactly-cap-sized request into the too_large path."""
+    import json
+
+    req = {"op": "ping"}
+    body = json.dumps(req).encode()
+    cap = len(body)  # payload exactly at the cap
+    monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", str(cap))
+    resp = json.loads(_raw_request(body + b"\n"))
+    assert resp.get("ok") is True
+    monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", str(cap - 1))
+    resp = json.loads(_raw_request(body + b"\n"))
+    assert resp.get("too_large") is True

@@ -522,7 +522,11 @@ def test_cli_unknown_backend_lists_both(tmp_path, monkeypatch, capsys):
 
 # ---------------------------------------------------------------------------
 # Robustness: crafted-input bombs must terminate fast and stay contained
-# (found/fixed via scripts/fuzz_localparse.py; each test pins one class)
+# (found/fixed via scripts/fuzz_localparse.py; the bomb constructions are
+# shared with the fuzzer in tests/seeds.py so the two cannot drift)
+
+
+from tests import seeds
 
 
 class TestCraftedInputBombs:
@@ -530,34 +534,20 @@ class TestCraftedInputBombs:
         """A /Kids array listing its own node branches at every level of
         the page-tree walk — ~3^64 visits without the global visit
         budget (the depth cap alone only bounds DEPTH)."""
-        data = _assemble_pdf([
-            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-            (2, b"<< /Type /Pages /Kids [2 0 R 2 0 R 3 0 R 1 0 R] /Count 9 >>"),
-            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
-            (4, b"<< /Length 47 >>\nstream\n"
-                b"BT /F1 12 Tf 72 700 Td (cycle survivor) Tj ET\nendstream"),
-        ])
         import time
 
         t0 = time.perf_counter()
-        text = pdf_to_text(data)
+        text = pdf_to_text(seeds.pdf_cyclic_kids())
         assert time.perf_counter() - t0 < 5.0
         assert "cycle survivor" in text
 
     def test_flate_bomb_stream_is_skipped(self):
         """A few-KB FlateDecode stream claiming ~512 MiB decoded must not
         be materialized; the stream is skipped, the parse returns."""
-        z = zlib.compress(b"\0" * (512 << 20), 9)
-        assert len(z) < (1 << 20)
-        data = _assemble_pdf([
-            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-            (3, b"<< /Type /Page /Contents 4 0 R >>"),
-            (4, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
-                + z + b"\nendstream"),
-        ])
         import time
 
+        data = seeds.pdf_flate_bomb()
+        assert len(data) < (1 << 20)
         t0 = time.perf_counter()
         pdf_to_text(data)  # no text expected; must return quickly
         assert time.perf_counter() - t0 < 5.0
@@ -565,39 +555,21 @@ class TestCraftedInputBombs:
     def test_filter_chain_depth_capped(self):
         """[Fl Fl Fl ...] chains multiply expansion; chains deeper than
         any legitimate PDF are refused outright."""
-        inner = zlib.compress(zlib.compress(b"(hi) Tj"))
-        nested = zlib.compress(zlib.compress(zlib.compress(inner)))
-        data = _assemble_pdf([
-            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-            (3, b"<< /Type /Page /Contents 4 0 R >>"),
-            (4, b"<< /Length %d /Filter [/Fl /Fl /Fl /Fl /Fl] >>\nstream\n"
-                % len(nested) + nested + b"\nendstream"),
-        ])
-        pdf_to_text(data)  # must not expand; returns (no text)
+        pdf_to_text(seeds.pdf_filter_chain_bomb())  # must not expand
 
     def test_predictor_giant_columns_no_alloc(self):
         """/DecodeParms /Columns must not size a per-row allocation, and
         giant predicted streams skip the per-byte undo loop."""
-        z = zlib.compress(b"\1" + b"\0" * 4096)
-        data = _assemble_pdf([
-            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-            (3, b"<< /Type /Page /Contents 4 0 R >>"),
-            (4, b"<< /Length %d /Filter /FlateDecode "
-                b"/DecodeParms << /Predictor 12 /Columns 1073741824 >> >>\n"
-                b"stream\n" % len(z) + z + b"\nendstream"),
-        ])
         import time
 
         t0 = time.perf_counter()
-        pdf_to_text(data)
+        pdf_to_text(seeds.pdf_predictor_bomb())
         assert time.perf_counter() - t0 < 5.0
 
     def test_zip_member_bomb_contained(self, tmp_path):
         """An OOXML member inflating past the member cap raises inside
         the converter and is isolated per-file by the backend."""
-        bomb = _zip({"word/document.xml": b"<w:document>" + b"\0" * (256 << 20)})
+        bomb = seeds.zip_member_bomb(256 << 20)
         with pytest.raises(ValueError, match="decompressed"):
             docx_to_markdown(bomb)
         f = tmp_path / "bomb.docx"
@@ -608,32 +580,49 @@ class TestCraftedInputBombs:
     def test_xlsx_column_ref_bomb_capped(self):
         """A crafted cell ref like ZZZZZZ1 (~300M columns) must not drive
         the row-padding loop; columns clamp at Excel's real maximum."""
-        wb = (
-            f'<workbook xmlns="{S}" xmlns:r="{R}">'
-            f'<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
-        )
-        rels = (
-            f'<Relationships xmlns="{REL}">'
-            '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>'
-        )
-        sheet = (
-            f'<worksheet xmlns="{S}"><sheetData>'
-            '<row r="1"><c r="ZZZZZZ1"><v>7</v></c></row>'
-            "</sheetData></worksheet>"
-        )
-        bomb = _zip({
-            "xl/workbook.xml": wb,
-            "xl/_rels/workbook.xml.rels": rels,
-            "xl/worksheets/sheet1.xml": sheet,
-        })
         import time
 
         t0 = time.perf_counter()
-        md = xlsx_to_markdown(bomb)
+        md = xlsx_to_markdown(seeds.xlsx_colref_bomb())
         assert time.perf_counter() - t0 < 5.0
         assert "7" in md
 
+    def test_odt_space_run_length_clamped(self):
+        """text:s text:c is attacker-controlled; a giant repeat count
+        must not size a string allocation."""
+        import time
 
+        from semtools_tpu.parse.extract import odt_to_markdown
+
+        t0 = time.perf_counter()
+        md = odt_to_markdown(seeds.odt_space_bomb())
+        assert time.perf_counter() - t0 < 5.0
+        assert len(md) < 5000 and "a" in md and "b" in md
+
+    def test_shared_stream_charges_decode_budget_once(self):
+        """A stream referenced from many pages (ToUnicode CMap, shared
+        Contents) must decode once — per-use charging exhausts the
+        per-document budget on large LEGITIMATE PDFs and silently drops
+        later pages."""
+        from semtools_tpu.parse.pdftext import PdfDocument
+
+        payload = zlib.compress(b"BT (shared) Tj ET" + b" " * 60000)
+        objects = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+            (4, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+            (5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+            (6, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(payload)
+                + payload + b"\nendstream"),
+        ]
+        doc = PdfDocument(seeds.assemble_pdf(objects))
+        from semtools_tpu.parse.pdftext import Ref
+
+        for _ in range(3):
+            assert doc.stream_of(Ref(6)) is not None
+        spent = doc.MAX_DECODE_BUDGET - doc._decode_budget
+        assert spent < 2 * 60017  # one charge, not three
 # ---------------------------------------------------------------------------
 # ODT
 
@@ -731,3 +720,63 @@ class TestEpub:
         backend = LocalParseBackend(cache_dir=str(tmp_path / "c"))
         (out,) = backend.parse([str(doc)])
         assert "Chapter One" in open(out).read()
+
+    def test_percent_encoded_hrefs_resolve(self):
+        """OPF hrefs are URLs: percent-encoded names (spaces are common
+        in real EPUBs) must resolve to their zip members instead of
+        silently skipping every chapter."""
+        from semtools_tpu.parse.extract import epub_to_markdown
+
+        book = _zip({
+            "META-INF/container.xml":
+                '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+                '<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>'
+                "</container>",
+            "OEBPS/content.opf":
+                '<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
+                '<item id="c1" href="my%20ch.xhtml"/>'
+                '<item id="c2" href="sub/../ch2.xhtml"/>'
+                "</manifest>"
+                '<spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>',
+            "OEBPS/my ch.xhtml": "<html><body><p>spaced chapter</p></body></html>",
+            "OEBPS/ch2.xhtml": "<html><body><p>dotted chapter</p></body></html>",
+        })
+        md = epub_to_markdown(book)
+        assert "spaced chapter" in md and "dotted chapter" in md
+
+    def test_unresolvable_spine_falls_back_to_archive_order(self):
+        from semtools_tpu.parse.extract import epub_to_markdown
+
+        book = _zip({
+            "META-INF/container.xml":
+                '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+                '<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>'
+                "</container>",
+            "OEBPS/content.opf":
+                '<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
+                '<item id="c1" href="missing.xhtml"/></manifest>'
+                '<spine><itemref idref="c1"/></spine></package>',
+            "OEBPS/real.xhtml": "<html><body><p>still found</p></body></html>",
+        })
+        assert "still found" in epub_to_markdown(book)
+
+    def test_one_damaged_chapter_degrades_not_aborts(self):
+        """A chapter whose deflate data is corrupt must be skipped; the
+        intact chapters still convert."""
+        import io as _io
+        import zipfile as _zf
+
+        from semtools_tpu.parse.extract import epub_to_markdown
+
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as z:
+            z.writestr("OEBPS/a.xhtml", "<html><body><p>good one</p></body></html>")
+            z.writestr("OEBPS/b.xhtml", "<html><body><p>doomed</p></body></html>")
+            z.writestr("OEBPS/c.xhtml", "<html><body><p>good two</p></body></html>")
+        raw = bytearray(buf.getvalue())
+        # corrupt b.xhtml's compressed payload in place
+        at = bytes(raw).index(b"b.xhtml") + len(b"b.xhtml")
+        for i in range(at, at + 8):
+            raw[i] ^= 0xFF
+        md = epub_to_markdown(bytes(raw))
+        assert "good one" in md and "good two" in md and "doomed" not in md
