@@ -29,7 +29,33 @@ Design notes:
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
+
+# Tunnel watchdog: on this bench host the chip is reached through a
+# stdio tunnel that sometimes wedges entirely (observed 2026-08-17
+# ~20:00: jax.devices() blocks forever in every process). A hung bench
+# records NOTHING; an explicit error record is strictly more useful.
+# Healthy init takes 20-40 s; 300 s means the link is gone.
+_init_done = threading.Event()
+
+
+def _watchdog():
+    if not _init_done.wait(300.0):
+        print(json.dumps({
+            "metric": "scan_chunk_vectors_per_ms_per_chip",
+            "value": 0.0,
+            "unit": "chunk-vectors/ms/chip",
+            "vs_baseline": 0.0,
+            "error": "device init exceeded 300s: TPU tunnel unreachable "
+                     "(environment outage, not a framework regression; "
+                     "see BENCH_r02.json for the last healthy run)",
+        }), flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 from semtools_tpu.utils.platform import configure_jax
 
@@ -40,6 +66,9 @@ configure_jax()
 
 import jax
 import jax.numpy as jnp
+
+jax.devices()  # force backend init under the watchdog
+_init_done.set()
 
 DIM = 256
 N = 1 << 21  # 2M vectors (bf16 ride-along config)
