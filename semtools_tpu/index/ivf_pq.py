@@ -174,8 +174,9 @@ class IvfPqIndex:
         sims = coarse_dot - 0.5 * np.sum(self.centroids**2, axis=1)[None]
         probe_lists = np.argsort(-sims, axis=1)[:, :nprobe]  # [Q, nprobe]
 
-        tables = np.asarray(
-            adc_tables(jnp.asarray(q), jnp.asarray(self.pq.codebooks))
+        tables = np.ascontiguousarray(
+            adc_tables(jnp.asarray(q), jnp.asarray(self.pq.codebooks)),
+            dtype=np.float32,
         )  # [Q, M, 256]
 
         out_d = np.zeros((q.shape[0], k), np.float32)
@@ -183,26 +184,9 @@ class IvfPqIndex:
         n_cand = max(k * max(1, rerank), k)
 
         for qi in range(q.shape[0]):
-            blocks = [
-                np.arange(self.list_offsets[l], self.list_offsets[l + 1])
-                for l in probe_lists[qi]
-            ]
-            rows = np.concatenate(blocks)
-            # q.c_list offset per candidate row (residual decomposition)
-            offsets_qc = np.repeat(
-                coarse_dot[qi, probe_lists[qi]],
-                [len(b) for b in blocks],
+            rows, approx = self._probe(
+                probe_lists[qi], coarse_dot[qi], tables[qi]
             )
-            if rows.size == 0:
-                rows = np.arange(self.n)
-                row_lists = np.searchsorted(
-                    self.list_offsets, rows, side="right") - 1
-                offsets_qc = coarse_dot[qi, row_lists]
-            cand_codes = self.codes[rows]  # [M_cand, M]
-            # ADC: sims = q.c_list + sum_m tables[qi, m, residual_code]
-            approx = offsets_qc + tables[qi][
-                np.arange(self.pq.m)[None, :], cand_codes.astype(np.int64)
-            ].sum(axis=1)
             take = min(n_cand, rows.size)
             top = np.argpartition(-approx, take - 1)[:take]
 
@@ -220,6 +204,77 @@ class IvfPqIndex:
                 out_d[qi, len(sel):] = np.inf
                 out_i[qi, len(sel):] = -1
         return out_d, out_i
+
+    def _probe(
+        self, lists: np.ndarray, coarse_row: np.ndarray, table: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """ADC-scan the probed lists for ONE query.
+
+        Returns (rows, approx): absolute row indices into the permuted
+        code matrix and their approximate similarities
+        ``q . c_list + sum_m table[m, code_m]`` (residual decomposition).
+
+        The hot path is the native kernel (cpp/adcscan.cpp): it walks the
+        lists' contiguous code slices in place — no candidate gather, no
+        index-dtype copies — measured 14 ms vs 325 ms numpy for the 625k
+        x 64 probe a 10M-row store issues per query (the ANN tier's q/s
+        lever, RESULTS_TPU ann_scale). The numpy path is the portable
+        fallback and the equivalence oracle (tests/test_index.py).
+        """
+        starts = np.ascontiguousarray(self.list_offsets[lists])
+        ends = np.ascontiguousarray(self.list_offsets[lists + 1])
+        total = int(np.sum(ends - starts))
+        if total == 0:
+            # Degenerate probe (all probed lists empty): fall back to the
+            # whole corpus so small/skewed indexes still answer.
+            rows = np.arange(self.n)
+            row_lists = np.searchsorted(self.list_offsets, rows, side="right") - 1
+            offsets_qc = coarse_row[row_lists]
+            return rows, offsets_qc + self._adc_sum_numpy(self.codes, table)
+
+        lib = None
+        if self.codes.flags.c_contiguous and self.codes.dtype == np.uint8:
+            from semtools_tpu.utils import native
+
+            lib = native.adc_lib()
+        if lib is not None:
+            import ctypes
+
+            bias = np.ascontiguousarray(coarse_row[lists], np.float32)
+            scores = np.empty(total, np.float32)
+            rows = np.empty(total, np.int64)
+            written = lib.adc_scan_lists(
+                self.codes.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_longlong(self.pq.m),
+                table.ctypes.data_as(ctypes.c_void_p),
+                starts.ctypes.data_as(ctypes.c_void_p),
+                ends.ctypes.data_as(ctypes.c_void_p),
+                bias.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_longlong(len(lists)),
+                scores.ctypes.data_as(ctypes.c_void_p),
+                rows.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_longlong(total),
+            )
+            assert written == total, (written, total)
+            return rows, scores
+
+        blocks = [np.arange(s, e) for s, e in zip(starts, ends)]
+        rows = np.concatenate(blocks)
+        offsets_qc = np.repeat(coarse_row[lists], [len(b) for b in blocks])
+        return rows, offsets_qc + self._adc_sum_numpy(self.codes[rows], table)
+
+    @staticmethod
+    def _adc_sum_numpy(cand_codes: np.ndarray, table: np.ndarray) -> np.ndarray:
+        """Sum of per-subquantizer table entries, one pass per subspace:
+        each pass gathers from a 1 KB (L1-resident) table row — ~1.8x the
+        single fancy-indexed [pool, M] gather, and no [pool, M] int64
+        index copy."""
+        m = table.shape[0]
+        c_t = np.ascontiguousarray(cand_codes.T)
+        acc = np.take(table[0], c_t[0]).astype(np.float32, copy=True)
+        for j in range(1, m):
+            acc += np.take(table[j], c_t[j])
+        return acc
 
     # -- incremental updates -------------------------------------------------
 

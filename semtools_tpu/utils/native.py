@@ -6,6 +6,8 @@ property with a single C++ shared library holding:
 
 - ``grepscan_match_lines`` — the ask agent's grep scanner (cpp/grepscan.cpp)
 - ``hashtok_encode_batch`` — hashed-tokenizer fast path (cpp/hashtok.cpp)
+- ``adc_scan_lists`` — IVF-PQ probe scan for the ANN serving tier
+  (cpp/adcscan.cpp)
 
 Loading is lazy and resilient: if the library is missing, the loader
 attempts a one-shot quiet build with ``make`` (disable by setting
@@ -40,6 +42,9 @@ def _try_build() -> bool:
     cpp_dir = _PKG_DIR.parent / "cpp"
     if not (cpp_dir / "Makefile").exists():
         return False
+    # A stale .so from an older source tree may predate newly added
+    # symbols; `make` only relinks when a source is newer, so touching
+    # nothing here is safe — the caller retries the bind after a build.
     try:
         proc = subprocess.run(
             ["make", "-C", str(cpp_dir)],
@@ -72,6 +77,23 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_longlong,  # out capacity
         ctypes.POINTER(ctypes.c_longlong),  # out per-text offsets [n+1]
     ]
+    # Newer symbol than grepscan/hashtok: bind leniently so a stale .so on
+    # a host without a toolchain still serves the older fast paths.
+    if not hasattr(lib, "adc_scan_lists"):
+        return
+    lib.adc_scan_lists.restype = ctypes.c_longlong
+    lib.adc_scan_lists.argtypes = [
+        ctypes.c_void_p,  # codes [n_total, m] uint8
+        ctypes.c_longlong,  # m
+        ctypes.c_void_p,  # table [m, 256] f32
+        ctypes.c_void_p,  # starts [n_lists] i64
+        ctypes.c_void_p,  # ends [n_lists] i64
+        ctypes.c_void_p,  # bias [n_lists] f32
+        ctypes.c_longlong,  # n_lists
+        ctypes.c_void_p,  # out scores [cap] f32
+        ctypes.c_void_p,  # out rows [cap] i64
+        ctypes.c_longlong,  # cap
+    ]
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -81,7 +103,22 @@ def load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = lib_path()
-    if not path.exists() and not _try_build():
+    if path.exists():
+        # Rebuild a stale .so BEFORE the first dlopen: a library that
+        # predates newly added symbols would fail the bind, and dlopen
+        # caches by inode, so rebuilding after a failed load cannot be
+        # picked up within this process.
+        cpp_dir = _PKG_DIR.parent / "cpp"
+        try:
+            so_mtime = path.stat().st_mtime
+            stale = cpp_dir.exists() and any(
+                src.stat().st_mtime > so_mtime for src in cpp_dir.glob("*.cpp")
+            )
+        except OSError:
+            stale = False
+        if stale:
+            _try_build()
+    elif not _try_build():
         return None
     try:
         lib = ctypes.CDLL(str(path))
@@ -94,3 +131,10 @@ def load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return load() is not None
+
+
+def adc_lib() -> Optional[ctypes.CDLL]:
+    """The library handle iff it carries the ADC scan symbol (a stale
+    prebuilt .so may not)."""
+    lib = load()
+    return lib if lib is not None and hasattr(lib, "adc_scan_lists") else None

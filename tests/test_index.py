@@ -91,6 +91,44 @@ def test_ivfpq_rerank_orders_exactly(rng):
     np.testing.assert_allclose(d[0, 0], d_true[0, 0], atol=1e-5)
 
 
+def test_ivfpq_native_probe_matches_numpy(rng, monkeypatch):
+    """The C++ ADC scan (cpp/adcscan.cpp) and the numpy fallback must agree:
+    identical candidate rows, scores to float tolerance, and identical
+    end-to-end search results (selection is re-ranked exactly downstream)."""
+    from semtools_tpu.utils import native
+
+    if native.adc_lib() is None:
+        pytest.skip("native library unavailable on this host")
+
+    x, _ = _clustered(rng, n_clusters=8, per=32, d=32)
+    queries = x[:4] + 0.01
+    index = IvfPqIndex.build(x, nlist=8, m=8, train_iters=4, seed=1)
+
+    # Direct probe comparison on one query, partial probe set.
+    from semtools_tpu.index.pq import adc_tables
+    import jax.numpy as jnp
+
+    coarse_dot = queries @ index.centroids.T
+    tables = np.ascontiguousarray(
+        adc_tables(jnp.asarray(queries), jnp.asarray(index.pq.codebooks)),
+        dtype=np.float32,
+    )
+    lists = np.array([0, 3, 5], dtype=np.int64)
+    rows_nat, approx_nat = index._probe(lists, coarse_dot[0], tables[0])
+    monkeypatch.setattr(native, "adc_lib", lambda: None)
+    rows_np, approx_np = index._probe(lists, coarse_dot[0], tables[0])
+    np.testing.assert_array_equal(rows_nat, rows_np)
+    np.testing.assert_allclose(approx_nat, approx_np, rtol=1e-5, atol=1e-5)
+    monkeypatch.undo()
+
+    # End-to-end search equality (native vs forced-numpy).
+    d_nat, i_nat = index.search(queries, k=5, nprobe=4, rerank=4)
+    monkeypatch.setattr(native, "adc_lib", lambda: None)
+    d_np, i_np = index.search(queries, k=5, nprobe=4, rerank=4)
+    np.testing.assert_array_equal(i_nat, i_np)
+    np.testing.assert_allclose(d_nat, d_np, rtol=1e-5, atol=1e-5)
+
+
 def test_ivfpq_save_load_roundtrip(rng, tmp_path):
     x, _ = _clustered(rng, n_clusters=4, per=16, d=16)
     index = IvfPqIndex.build(x, nlist=4, m=4, train_iters=3)
