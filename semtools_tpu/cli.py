@@ -327,6 +327,18 @@ def workspace_status_cmd(args) -> int:
 
     Workspace.active(args.name)
     ws = Workspace.open(args.name)
+    # Tier reporting on a non-trivial store forces device discovery so a
+    # cold process agrees with the warm daemon (store._n_devices force);
+    # bring the backend up under the wedge watchdog first so a dead
+    # accelerator link degrades to CPU instead of hanging `status`.
+    # Row count is pure sqlite — safe before any device use.
+    with Store(ws.config.root_dir) as store:
+        n_rows = store.count_line_embeddings()
+    from semtools_tpu.store.store import _sharded_min_rows
+    from semtools_tpu.utils.platform import ensure_backend
+
+    if n_rows >= _sharded_min_rows():
+        ensure_backend()
     with Store(ws.config.root_dir) as store:
         stats = store.get_stats()
         live, cap = store.fragmentation()
@@ -603,8 +615,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    from semtools_tpu.utils.platform import configure_jax
+    from semtools_tpu.utils.platform import configure_jax, ensure_backend
     from semtools_tpu.utils.tracing import maybe_device_trace
+
+    # stdin handed over by a wedged-backend CPU re-exec (ensure_backend):
+    # the original process had already drained the real stdin.
+    _reexec_stdin = os.environ.pop("SEMTOOLS_TPU_REEXEC_STDIN", None)
+    if _reexec_stdin:
+        import io
+
+        try:
+            with open(_reexec_stdin) as f:
+                sys.stdin = io.StringIO(f.read())
+            os.unlink(_reexec_stdin)
+        except OSError:
+            pass
 
     effective_argv = list(sys.argv[1:] if argv is None else argv)
     from semtools_tpu import daemon as _daemon
@@ -623,6 +648,22 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     configure_jax()
     args = build_parser().parse_args(argv)
+    # Device-bound commands force backend bring-up under a watchdog so a
+    # wedged accelerator link degrades to CPU serving instead of hanging
+    # the command forever (platform.ensure_backend).
+    if (
+        args.func in (search_cmd, workspace_index_cmd)
+        or (args.func is daemon_cmd and getattr(args, "action", "") == "run")
+        # agent-mode ask reaches the device through its search tool;
+        # stdin-mode ask (non-tty stdin) is a single LLM call, no tools
+        or (args.func is ask_cmd and sys.stdin.isatty())
+    ):
+        import io
+
+        stdin_text = (
+            sys.stdin.getvalue() if isinstance(sys.stdin, io.StringIO) else None
+        )
+        ensure_backend(stdin_text=stdin_text)
     try:
         with maybe_device_trace():
             return args.func(args)

@@ -313,3 +313,59 @@ def test_search_queries_file_dash_reads_stdin(corpus, tmp_path):
     data = json.loads(r.stdout.splitlines()[0])
     assert data["query"] == "databases"
     assert "databases" in data["results"][0]["content"]
+
+
+def test_wedged_backend_falls_back_to_cpu(corpus, tmp_path):
+    """A wedged accelerator link must not hang the CLI: with the init
+    watchdog tripped (SEMTOOLS_TPU_TEST_WEDGE_INIT simulates the outage)
+    the process re-execs itself pinned to CPU, warns loudly, and serves
+    the search — including stdin-document mode, whose already-consumed
+    stdin is handed across the re-exec."""
+    env = {
+        "SEMTOOLS_TPU_PLATFORM": "",  # un-pin: the watchdog path under test
+        "SEMTOOLS_TPU_TEST_WEDGE_INIT": "1",
+        "SEMTOOLS_TPU_INIT_TIMEOUT": "1",
+        "SEMTOOLS_TPU_DAEMON": "off",
+    }
+    r = run_cli(
+        ["search", "databases", str(corpus / "a.txt"), "--top-k", "1"],
+        stdin="", home=tmp_path, env_extra=env,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "an essay about databases" in r.stdout
+    assert "wedged" in r.stderr and "CPU" in r.stderr
+
+    # stdin-document mode across the re-exec
+    r = run_cli(
+        ["search", "beta", "-n", "0"],
+        stdin="alpha\nbeta\n", home=tmp_path, env_extra=env,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "beta" in r.stdout
+
+
+def test_wedged_backend_status_falls_back(corpus, tmp_path):
+    """`workspace status` forces device discovery on non-trivial stores
+    (cold/warm tier agreement) — under a wedged link it must degrade to
+    CPU, not hang. The sharded floor is lowered so a 3-line store
+    qualifies as 'non-trivial'."""
+    base = {"SEMTOOLS_TPU_DAEMON": "off", "SEMTOOLS_TPU_SHARDED_MIN_ROWS": "1"}
+    r = run_cli(["workspace", "use", "wt"], stdin="", home=tmp_path,
+                env_extra=base)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["search", "fox", str(corpus / "a.txt")], stdin="",
+                home=tmp_path, env_extra={**base, "SEMTOOLS_WORKSPACE": "wt"})
+    assert r.returncode == 0, r.stderr
+
+    wedge = {
+        **base,
+        "SEMTOOLS_WORKSPACE": "wt",
+        "SEMTOOLS_TPU_PLATFORM": "",
+        "SEMTOOLS_TPU_TEST_WEDGE_INIT": "1",
+        "SEMTOOLS_TPU_INIT_TIMEOUT": "1",
+    }
+    r = run_cli(["workspace", "status"], stdin="", home=tmp_path,
+                env_extra=wedge)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "wedged" in r.stderr
+    assert "Documents: 1" in r.stdout
