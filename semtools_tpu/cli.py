@@ -327,18 +327,12 @@ def workspace_status_cmd(args) -> int:
 
     Workspace.active(args.name)
     ws = Workspace.open(args.name)
-    # Tier reporting on a non-trivial store forces device discovery so a
-    # cold process agrees with the warm daemon (store._n_devices force);
-    # bring the backend up under the wedge watchdog first so a dead
-    # accelerator link degrades to CPU instead of hanging `status`.
-    # Row count is pure sqlite — safe before any device use.
-    with Store(ws.config.root_dir) as store:
-        n_rows = store.count_line_embeddings()
-    from semtools_tpu.store.store import _sharded_min_rows
-    from semtools_tpu.utils.platform import ensure_backend
-
-    if n_rows >= _sharded_min_rows():
-        ensure_backend()
+    # Tier reporting on a non-trivial store may force device discovery
+    # (cold/warm tier agreement); the wedge watchdog is armed at the
+    # discovery site itself (store._n_devices -> ensure_backend), so a
+    # dead accelerator link degrades instead of hanging `status` — and
+    # configs that never touch the device (SEMTOOLS_TPU_SCAN=host,
+    # sharding disabled) stay device-free here.
     with Store(ws.config.root_dir) as store:
         stats = store.get_stats()
         live, cap = store.fragmentation()
@@ -628,8 +622,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             with open(_reexec_stdin) as f:
                 sys.stdin = io.StringIO(f.read())
             os.unlink(_reexec_stdin)
-        except OSError:
-            pass
+        except OSError as e:
+            # The original stdin was already drained before the re-exec;
+            # running without the handed-over copy would silently see
+            # EMPTY input — fail loudly instead.
+            print(
+                f"Error: lost stdin handed over by the CPU fallback "
+                f"re-exec ({e}); re-run the command.",
+                file=sys.stderr,
+            )
+            return 2
 
     effective_argv = list(sys.argv[1:] if argv is None else argv)
     from semtools_tpu import daemon as _daemon
@@ -654,9 +656,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if (
         args.func in (search_cmd, workspace_index_cmd)
         or (args.func is daemon_cmd and getattr(args, "action", "") == "run")
-        # agent-mode ask reaches the device through its search tool;
-        # stdin-mode ask (non-tty stdin) is a single LLM call, no tools
-        or (args.func is ask_cmd and sys.stdin.isatty())
+        # agent-mode ask reaches the device through its search tool.
+        # Agent mode runs whenever files are given (scripted `ask q
+        # docs/*` with non-tty stdin included) or stdin is a tty;
+        # file-less non-tty ask is stdin mode — one LLM call, no tools.
+        or (args.func is ask_cmd
+            and (getattr(args, "files", None) or sys.stdin.isatty()))
     ):
         import io
 

@@ -221,6 +221,14 @@ def serve(warm: bool = True) -> None:
         path.unlink()
     if warm:
         _warm()
+    # From here on, commands run IN-PROCESS on behalf of clients: a
+    # tripped backend-init watchdog must raise into that command's error
+    # reply, never execve the resident daemon (platform.ensure_backend).
+    # The daemon's OWN bring-up (cli `daemon run` gate + _warm above) may
+    # still re-exec to CPU — that happens before this point.
+    from semtools_tpu.utils.platform import disallow_reexec
+
+    disallow_reexec()
     with _Server(str(path), _Handler) as server:
         os.chmod(path, 0o600)
         print(f"semtools daemon listening on {path}", file=sys.stderr)

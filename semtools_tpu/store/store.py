@@ -93,17 +93,28 @@ def _n_devices(force: bool = False) -> int:
     """
     if not force and not _jax_backend_initialized():
         return 1
+    from semtools_tpu.utils.platform import BackendWedgedError
+
     try:
         if not _jax_backend_initialized():
             # This call triggers first-time device discovery: pin the
             # platform / compile cache exactly as the CLI entry points do,
-            # so library users and subprocesses get the same mesh answer.
-            from semtools_tpu.utils.platform import configure_jax
+            # so library users and subprocesses get the same mesh answer —
+            # and run the bring-up under the wedge watchdog
+            # (platform.ensure_backend): a dead accelerator link degrades
+            # to a CPU re-exec (or an error reply inside the daemon)
+            # instead of hanging whichever command forced discovery.
+            # Arming here, at the discovery site, covers every forcing
+            # caller (tier reports, budget fits, ANN build gating) without
+            # the CLI having to re-derive the force conditions.
+            from semtools_tpu.utils.platform import ensure_backend
 
-            configure_jax()
+            ensure_backend()
         import jax
 
         return jax.device_count()
+    except BackendWedgedError:
+        raise  # daemon wedge: must become the command's error reply
     except Exception:
         return 1
 

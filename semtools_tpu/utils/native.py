@@ -111,9 +111,11 @@ def load() -> Optional[ctypes.CDLL]:
         cpp_dir = _PKG_DIR.parent / "cpp"
         try:
             so_mtime = path.stat().st_mtime
-            stale = cpp_dir.exists() and any(
-                src.stat().st_mtime > so_mtime for src in cpp_dir.glob("*.cpp")
-            )
+            inputs = []
+            if cpp_dir.exists():
+                for pat in ("*.cpp", "*.h", "Makefile"):
+                    inputs.extend(cpp_dir.glob(pat))
+            stale = any(src.stat().st_mtime > so_mtime for src in inputs)
         except OSError:
             stale = False
         if stale:

@@ -27,6 +27,25 @@ def _backend_probe() -> None:
     jax.devices()
 
 
+# A resident daemon serves client commands IN-PROCESS (daemon._run_command
+# -> cli.main); a wedge there must surface as that command's error reply,
+# never as an execve of the whole daemon into a re-run of its own argv.
+_REEXEC_ALLOWED = True
+
+
+class BackendWedgedError(RuntimeError):
+    """Backend init exceeded the watchdog in a process that must not
+    re-exec (resident daemon). Distinct type so callers with blanket
+    jax-error fallbacks (store._n_devices) can let it propagate."""
+
+
+def disallow_reexec() -> None:
+    """Mark this process as not safely re-executable (resident daemon):
+    a tripped init watchdog raises instead of execve'ing."""
+    global _REEXEC_ALLOWED
+    _REEXEC_ALLOWED = False
+
+
 def ensure_backend(stdin_text: "str | None" = None) -> None:
     """Force jax backend bring-up under a watchdog; degrade to CPU if wedged.
 
@@ -46,7 +65,13 @@ def ensure_backend(stdin_text: "str | None" = None) -> None:
     daemon-fallthrough path), pass it as ``stdin_text`` — it is handed to
     the re-exec'd process through a temp file named in
     ``SEMTOOLS_TPU_REEXEC_STDIN``, which the CLI restores at startup.
+
+    In a process marked with :func:`disallow_reexec` (the resident
+    daemon serving a client command in-process) a tripped watchdog
+    raises ``RuntimeError`` instead — the command gets an error reply
+    and the daemon survives.
     """
+    configure_jax()  # idempotent: pin platform/compile cache before init
     try:
         timeout = float(os.environ.get("SEMTOOLS_TPU_INIT_TIMEOUT", "120"))
     except ValueError:
@@ -72,6 +97,14 @@ def ensure_backend(stdin_text: "str | None" = None) -> None:
     threading.Thread(target=_run, daemon=True, name="backend-probe").start()
     if done.wait(timeout):
         return
+
+    if not _REEXEC_ALLOWED:
+        raise BackendWedgedError(
+            f"accelerator backend init exceeded {timeout:.0f}s — the device "
+            "link looks wedged. This resident process cannot restart itself; "
+            "restart the daemon with SEMTOOLS_TPU_PLATFORM=cpu to serve on "
+            "the CPU backend."
+        )
 
     if os.environ.get("SEMTOOLS_TPU_INIT_FALLBACK") == "1":
         print(

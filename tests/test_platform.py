@@ -43,6 +43,10 @@ def wedged(monkeypatch):
     monkeypatch.setattr(plat, "_backend_probe", hang)
     monkeypatch.setattr(os, "execve", fake_execve)
     monkeypatch.setattr(os, "_exit", fake_exit)
+    # test_daemon runs daemon.serve() in-process, which flips the
+    # module-global via disallow_reexec() for the rest of the pytest
+    # session — pin the default here so ordering can't leak in.
+    monkeypatch.setattr(plat, "_REEXEC_ALLOWED", True)
     monkeypatch.setenv("SEMTOOLS_TPU_INIT_TIMEOUT", "0.2")
     monkeypatch.delenv("SEMTOOLS_TPU_INIT_FALLBACK", raising=False)
     monkeypatch.delenv("SEMTOOLS_TPU_PLATFORM", raising=False)
@@ -104,6 +108,15 @@ def test_wedge_hands_consumed_stdin_over(wedged):
             assert f.read() == "piped content\n"
     finally:
         os.unlink(tmp)
+
+
+def test_wedge_in_daemon_raises_instead_of_exec(wedged, monkeypatch):
+    # A resident daemon must never execve itself away mid-request: the
+    # wedge surfaces as an exception -> the command's error reply.
+    monkeypatch.setattr(plat, "_REEXEC_ALLOWED", False)
+    with pytest.raises(plat.BackendWedgedError, match="wedged"):
+        plat.ensure_backend()
+    assert "exec" not in wedged and "exit" not in wedged
 
 
 def test_second_wedge_exits_instead_of_looping(wedged, monkeypatch, capsys):
