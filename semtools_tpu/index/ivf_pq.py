@@ -57,7 +57,17 @@ class IvfPqIndex:
         seed: int = 0,
         keep_vectors: bool = True,
         mesh=None,
+        progress=None,
     ) -> "IvfPqIndex":
+        """``progress``: optional ``callable(str)`` invoked at phase
+        boundaries and ~10% steps of the chunked full-corpus passes — a
+        10M-row build runs for tens of minutes (2,515 s measured on one
+        CPU core, bench_ann_scale) and silence reads as a hang."""
+
+        def _report(msg: str) -> None:
+            if progress is not None:
+                progress(msg)
+
         n = x.shape[0]
         nlist = max(1, min(nlist, n))
         # Train quantizers on a sample (the FAISS convention): k-means and
@@ -77,6 +87,7 @@ class IvfPqIndex:
             sample = np.asarray(x[np.sort(rng.choice(n, train_rows, replace=False))])
         else:
             sample = np.asarray(x)
+        _report(f"training coarse quantizer ({nlist} lists, {train_rows} sample rows)")
         centroids, _ = kmeans_fit(sample, nlist, iters=train_iters, seed=seed, mesh=mesh)
         # Exact nearest-centroid assignment of every row (argmax of
         # x.c - |c|^2/2), chunked so the [chunk, nlist] sims intermediate
@@ -92,9 +103,13 @@ class IvfPqIndex:
         cj = _jnp.asarray(centroids)  # upload once, not per chunk
         chunk_rows = max(8192, (1 << 25) // max(nlist, 1))
         assign = np.empty(n, np.int64)
-        for start in range(0, n, chunk_rows):
+        _report(f"assigning {n} rows to lists")
+        report_every = max(1, ((n + chunk_rows - 1) // chunk_rows) // 10)
+        for ci, start in enumerate(range(0, n, chunk_rows)):
             chunk = _jnp.asarray(np.asarray(x[start:start + chunk_rows], np.float32))
             assign[start:start + chunk_rows] = np.asarray(assign_jit(chunk, cj))
+            if ci % report_every == report_every - 1:
+                _report(f"  assigned {min(start + chunk_rows, n)}/{n}")
         # RESIDUAL PQ (classic IVFADC): quantize x - centroid[assign], not
         # x. On clustered data the raw vectors' variance is dominated by
         # the cluster centers, so raw-vector PQ wastes its dynamic range
@@ -118,6 +133,7 @@ class IvfPqIndex:
             pq_train = np.asarray(x[sel], np.float32) - centroids[assign[sel]]
         else:
             pq_train = np.asarray(x, np.float32) - centroids[assign]
+        _report(f"training PQ codebooks (m={m}, {pq_train.shape[0]} residual rows)")
         pq = pq_fit(pq_train, m=m, iters=max(4, train_iters // 2), seed=seed + 1)
 
         perm = np.argsort(assign, kind="stable")
@@ -126,13 +142,17 @@ class IvfPqIndex:
         np.cumsum(counts, out=offsets[1:])
 
         codes = np.empty((n, m), np.uint8)
-        for start in range(0, n, chunk_rows):
+        _report(f"encoding {n} residual rows")
+        for ci, start in enumerate(range(0, n, chunk_rows)):
             res = (
                 np.asarray(x[start:start + chunk_rows], np.float32)
                 - centroids[assign[start:start + chunk_rows]]
             )
             codes[start:start + chunk_rows] = pq_encode(res, pq)
+            if ci % report_every == report_every - 1:
+                _report(f"  encoded {min(start + chunk_rows, n)}/{n}")
         codes = np.ascontiguousarray(codes[perm])
+        _report("finalizing (list permutation + publish)")
         vectors = np.ascontiguousarray(np.asarray(x)[perm], dtype=np.float32) if keep_vectors else None
         return cls(
             centroids=centroids.astype(np.float32),

@@ -1266,6 +1266,7 @@ class Store:
         x = self._SlotRows(mm, slots)
         backend = self._ann_build_backend(n)
         self._last_ann_build_backend = backend
+        progress = None
         if verbose:
             import sys
 
@@ -1273,6 +1274,11 @@ class Store:
                 f"Building IVF-PQ index over {n} lines ({backend} backend)...",
                 file=sys.stderr,
             )
+
+            def progress(msg: str) -> None:
+                # Stage-level heartbeat: a 10M-row build runs for tens of
+                # minutes and silence reads as a hang.
+                print(f"  {msg}", file=sys.stderr, flush=True)
         # Power-of-two nlist quantizes the kmeans/probe shapes so the
         # jitted executables (and their persistent-cache entries) are
         # shared across similarly-sized corpora.
@@ -1297,9 +1303,13 @@ class Store:
             import jax
 
             with jax.default_device(cpu_dev):
-                index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
+                index = IvfPqIndex.build(
+                    x, nlist=nlist, m=m, keep_vectors=False, progress=progress
+                )
         else:
-            index = IvfPqIndex.build(x, nlist=nlist, m=m, keep_vectors=False)
+            index = IvfPqIndex.build(
+                x, nlist=nlist, m=m, keep_vectors=False, progress=progress
+            )
         del mm
         ann_path, meta_path = self._ann_paths()
         # Atomic paired publish: each file lands via tmp+rename, and a
