@@ -1418,6 +1418,22 @@ class Store:
             max(16, index.nlist // 16, -(-64 * top_k // avg_list)),
             index.nlist,
         )
+        if index.n <= (1 << 16):
+            # Tiny corpus (forced/test ANN configurations — the tier only
+            # auto-serves at tens of millions of rows): probe EVERY list.
+            # On unclustered data the true nearest row's list can rank
+            # below any partial probe cut — the 49k-check soak caught a
+            # real 1-in-50k top-1 miss this way — and an exhaustive ADC
+            # scan of <=65k rows costs ~a millisecond, far cheaper than
+            # being approximate. Serving-scale probing is unchanged.
+            nprobe = index.nlist
+        env_nprobe = os.environ.get("SEMTOOLS_TPU_ANN_NPROBE")
+        if env_nprobe:
+            # Explicit recall/latency knob (the faiss/qdrant convention).
+            try:
+                nprobe = min(max(1, int(env_nprobe)), index.nlist)
+            except ValueError:
+                pass
         oversample = self._ann_candidate_depth(top_k, index.n, index.nlist, nprobe)
         _, ids = index.search(qs, k=min(oversample, index.n), nprobe=nprobe)
         delta_top = None

@@ -550,3 +550,64 @@ class TestIncrementalAnn:
         assert s.serving_tier() != "ivf-pq"
         self._check(s, model, rng)  # exact tiers still serve
         s.close()
+
+
+class TestProbeDepth:
+    """Tiny corpora must probe every list (the 49k-check soak caught a
+    real 1-in-50k top-1 miss: on unclustered data the true nearest row's
+    list can rank below any partial probe cut), and the explicit
+    SEMTOOLS_TPU_ANN_NPROBE knob must win over the automatic policy."""
+
+    def _spy_nprobe(self, monkeypatch):
+        from semtools_tpu.index.ivf_pq import IvfPqIndex
+
+        seen = {}
+        orig = IvfPqIndex.search
+
+        def spy(self, q, k, nprobe=8, rerank=16):
+            seen["nprobe"] = nprobe
+            return orig(self, q, k=k, nprobe=nprobe, rerank=rerank)
+
+        monkeypatch.setattr(IvfPqIndex, "search", spy)
+        return seen
+
+    def test_tiny_corpus_probes_all_lists(self, store, monkeypatch):
+        rng = np.random.default_rng(11)
+        paths = _fill(store, rng)
+        store.build_ann_index(force=True)
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        seen = self._spy_nprobe(monkeypatch)
+        q = _unit(rng, 1)[0]
+        store.search_line_embeddings(q, paths, top_k=1)
+        index = store._ann_current()[0]
+        assert seen["nprobe"] == index.nlist
+
+    def test_env_nprobe_overrides(self, store, monkeypatch):
+        rng = np.random.default_rng(12)
+        paths = _fill(store, rng)
+        store.build_ann_index(force=True)
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        monkeypatch.setenv("SEMTOOLS_TPU_ANN_NPROBE", "2")
+        seen = self._spy_nprobe(monkeypatch)
+        q = _unit(rng, 1)[0]
+        store.search_line_embeddings(q, paths, top_k=1)
+        assert seen["nprobe"] == 2
+
+    def test_exact_at_soak_scale_random_data(self, store, monkeypatch):
+        # Brute-force equality on UNCLUSTERED data at soak scale — the
+        # regime the partial probe missed in. 200 queries, k=1 (the
+        # hardest case: a single miss is a wrong answer).
+        rng = np.random.default_rng(13)
+        docs = {f"/doc{i}.txt": _unit(rng, 49) for i in range(6)}
+        for p, m in docs.items():
+            store.upsert_document_lines(p, m)
+        paths = sorted(docs)
+        store.build_ann_index(force=True)
+        monkeypatch.setenv("SEMTOOLS_TPU_FORCE_ANN", "1")
+        rows = np.concatenate([docs[p] for p in paths], axis=0)
+        qs = _unit(rng, 200)
+        per = store.search_line_embeddings_batched(qs, paths, 1)
+        for r in range(200):
+            want = float(np.min(1.0 - rows @ qs[r]))
+            assert per[r], r
+            assert abs(per[r][0].distance - want) < 3e-4, (r, per[r][0], want)
