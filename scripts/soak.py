@@ -456,19 +456,51 @@ def contextlib_suppress():
     return contextlib.suppress(Exception)
 
 
+def soak_crash(rounds):
+    """SIGKILL crash-injection: every deterministic phase trap plus
+    randomized timer kills (tests/crash_harness.py).  Each round kills a
+    child mutator and verifies the reopened store's copy-on-write
+    contract end-to-end (atomic per-doc state, sidecar agreement,
+    disjoint ranges, exact search, writability)."""
+    from tests import crash_harness as ch
+
+    fails = checks = 0
+    rng = np.random.default_rng(424242)
+    phases = sorted(ch.PHASES)
+    for r in range(rounds):
+        phase = phases[r % len(phases)] if r % 2 == 0 else None
+        kill_after = float(rng.uniform(0.05, 1.2))
+        with tempfile.TemporaryDirectory() as td:
+            try:
+                checks += ch.run_round(
+                    td, seed=1000 + r, phase=phase,
+                    steps=int(rng.integers(4, 25)), kill_after=kill_after,
+                )
+            except ch.CrashVerifyError as e:
+                fails += 1
+                print(f"CRASH SOAK FAILURE round={r} phase={phase} "
+                      f"kill_after={kill_after:.2f}: {e}")
+    return checks, fails
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--crash-rounds", type=int, default=None,
+                    help="SIGKILL crash-injection rounds (default steps//2)")
     args = ap.parse_args()
 
     c1, f1 = soak_store(args.steps, args.seeds)
     c2, f2 = soak_workspace(args.steps)
     c3, f3 = soak_daemon(min(args.steps, 12))
+    rounds = args.crash_rounds if args.crash_rounds is not None else max(8, args.steps // 2)
+    c4, f4 = soak_crash(rounds)
     print(f"store soak: {c1} checks, {f1} failures")
     print(f"workspace soak: {c2} checks, {f2} failures")
     print(f"daemon soak: {c3} checks, {f3} failures")
-    sys.exit(1 if (f1 or f2 or f3) else 0)
+    print(f"crash soak: {c4} checks, {f4} failures ({rounds} kills)")
+    sys.exit(1 if (f1 or f2 or f3 or f4) else 0)
 
 
 if __name__ == "__main__":
