@@ -66,14 +66,23 @@ def reduced_oversample(n_rows: int, top_k: int = 10) -> int:
     2048 for 1M rows — the needed depth scales with within-cluster
     density, i.e. roughly with N on a fixed-cluster corpus. n/512
     (rounded up to a power of two for executable reuse) tracks that,
-    floored at 1024 and capped at 16384; SEMTOOLS_TPU_REDUCED_OVERSAMPLE
+    floored at 2048 and capped at 16384; SEMTOOLS_TPU_REDUCED_OVERSAMPLE
     overrides.
+
+    The floor is 2048, not the originally calibrated 1024: on
+    HIGH-intrinsic-dimension embeddings the 64-dim projection's ranking
+    correlates more weakly with the full-dim one, and the real-text eval
+    (benchmarks/realtext, hashed n-gram embedder over 31k lines of
+    stdlib documentation) caught a true top-10 row ranking 1218th in
+    reduced space — past the old floor. A 2048-row exact re-rank is
+    ~2 MB of gather either way; the floor only drives corpora below
+    ~1M rows, where that cost is noise.
     """
     from semtools_tpu.utils.env import env_int
 
     env = env_int("SEMTOOLS_TPU_REDUCED_OVERSAMPLE", 0)
     if env > 0:
         return min(max(env, 4 * top_k), n_rows)
-    target = max(1024, n_rows >> 9, 4 * top_k)
+    target = max(2048, n_rows >> 9, 4 * top_k)
     pow2 = 1 << (target - 1).bit_length()
     return min(pow2, 16384, n_rows)

@@ -246,6 +246,25 @@ def test_rotation_deterministic():
     assert p.shape == (500, 8)
 
 
+def test_reduced_oversample_policy(monkeypatch):
+    """Re-rank depth: floor 2048 (the real-text eval caught a true
+    top-10 row ranking 1218th in reduced space on high-intrinsic-dim
+    embeddings — past the old 1024 floor), n/512 rounded to a power of
+    two above ~1M rows, 16384 cap, env override wins but never drops
+    below 4*top_k."""
+    from semtools_tpu.ops.reduce import reduced_oversample
+
+    monkeypatch.delenv("SEMTOOLS_TPU_REDUCED_OVERSAMPLE", raising=False)
+    assert reduced_oversample(31_619) == 2048
+    assert reduced_oversample(1_000_000) == 2048
+    assert reduced_oversample(2_000_000) == 4096
+    assert reduced_oversample(100_000_000) == 16384
+    assert reduced_oversample(500) == 500  # never beyond the corpus
+    monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_OVERSAMPLE", "300")
+    assert reduced_oversample(31_619) == 300
+    assert reduced_oversample(31_619, top_k=100) == 400
+
+
 def test_search_documents_sharded_matches_single_device(monkeypatch):
     """Plain (non-workspace) search also rides the mesh when the policy
     applies — results identical to the single-device scan."""
