@@ -2,7 +2,7 @@
 
 Bigger, slower cousin of tests/test_fuzz.py — run it after serving-path
 changes (it caught the zero-slot candidate-crowding bug the fixed-seed
-fuzz missed). Three campaigns:
+fuzz missed). Four campaigns:
 
 1. store: random upsert/delete/search op sequences across every serving
    tier, random top_k/threshold/subset/batch shapes, degenerate rows
@@ -10,9 +10,13 @@ fuzz missed). Three campaigns:
 2. workspace: random file writes/edits/deletes + searches through
    search_with_workspace (line reuse + change detection + ignore_case),
    verified against ground truth recomputed from file contents;
+3. daemon: forwarded searches racing direct-CLI writer processes;
+4. crash: SIGKILL injection — phase traps + random-instant kills of a
+   child mutator, verified against the copy-on-write contract
+   (tests/crash_harness.py).
 
 Usage:
-    python scripts/soak.py [--steps 120] [--seeds 4]
+    python scripts/soak.py [--steps 120] [--seeds 4] [--crash-rounds N]
 
 Exit code 1 on any mismatch. CPU-only (forces the cpu platform).
 """
@@ -468,7 +472,10 @@ def soak_crash(rounds):
     rng = np.random.default_rng(424242)
     phases = sorted(ch.PHASES)
     for r in range(rounds):
-        phase = phases[r % len(phases)] if r % 2 == 0 else None
+        # Even rounds walk the deterministic traps IN ORDER (r//2 so the
+        # rotation covers all of them, not just even indices); odd
+        # rounds kill at a random instant.
+        phase = phases[(r // 2) % len(phases)] if r % 2 == 0 else None
         kill_after = float(rng.uniform(0.05, 1.2))
         with tempfile.TemporaryDirectory() as td:
             try:

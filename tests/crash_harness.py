@@ -29,8 +29,8 @@ proves that with real kills instead of prose:
   afterwards (no wedged lock, no poisoned allocator).
 
 Used by ``tests/test_crash_safety.py`` (deterministic phase kills, a few
-timer kills) and ``scripts/soak.py --campaign crash`` (many randomized
-rounds).  Runnable directly::
+timer kills) and the crash campaign in ``scripts/soak.py`` (many
+randomized rounds; ``--crash-rounds N`` sizes it).  Runnable directly::
 
     python tests/crash_harness.py child <store_dir> <journal> <seed> <steps> [phase]
 """
@@ -170,6 +170,13 @@ def child(store_dir: str, journal: str, seed: int, steps: int, phase: str | None
 
     def record(rec):
         jf.write(json.dumps(rec) + "\n")
+
+    # Readiness handshake: interpreter + imports take seconds, so a
+    # parent timing its SIGKILL from spawn would always kill a process
+    # that hasn't mutated anything (verifying an empty store proves
+    # nothing).  The parent waits for this record before starting its
+    # kill timer.
+    record({"op": "ready", "phase": "done"})
 
     def do_upsert(p, n):
         rows = make_rows(rng, n)
@@ -373,25 +380,49 @@ def verify(store_dir: str, journal: str) -> int:
                 )
 
         # servability: batched search must equal brute force over the
-        # bytes we just read back (whatever consistent state won)
+        # bytes we just read back (whatever consistent state won) — on
+        # the default tier AND with the ANN tier forced.  The forced
+        # pass is what pins the ann-mid-publish ordering claim: a kill
+        # between the paired renames leaves a new index next to an old
+        # meta, and the build-token guard must keep that pair unserved
+        # (fall through to exact tiers) instead of pairing slots from
+        # different builds.  Without FORCE_ANN the tiny verifier corpus
+        # sits far below the ANN auto-threshold and would never consult
+        # the mismatched pair at all.
         paths = sorted(docs)
         if paths and sum(len(read_rows[p]) for p in paths):
+            from semtools_tpu.store import device_cache
+
             rows = np.concatenate([read_rows[p] for p in paths], axis=0)
             rng = np.random.default_rng(99)
             qs = make_rows(rng, 3)
-            per = s.search_line_embeddings_batched(qs, paths, 4)
-            for r in range(len(qs)):
-                dist = 1.0 - rows @ qs[r]
-                order = np.argsort(dist, kind="stable")[: min(4, len(dist))]
-                got = per[r]
-                ensure(
-                    len(got) == len(order)
-                    and all(
-                        abs(h.distance - float(dist[j])) < 3e-4
-                        for h, j in zip(got, order)
-                    ),
-                    f"post-crash search mismatch q={r}",
-                )
+            had_force = os.environ.get("SEMTOOLS_TPU_FORCE_ANN")
+            for force_ann in (False, True):
+                if force_ann:
+                    os.environ["SEMTOOLS_TPU_FORCE_ANN"] = "1"
+                    device_cache.invalidate()
+                try:
+                    per = s.search_line_embeddings_batched(qs, paths, 4)
+                    for r in range(len(qs)):
+                        dist = 1.0 - rows @ qs[r]
+                        order = np.argsort(dist, kind="stable")[: min(4, len(dist))]
+                        got = per[r]
+                        ensure(
+                            len(got) == len(order)
+                            and all(
+                                abs(h.distance - float(dist[j])) < 3e-4
+                                for h, j in zip(got, order)
+                            ),
+                            f"post-crash search mismatch q={r} "
+                            f"force_ann={force_ann}",
+                        )
+                finally:
+                    if force_ann:
+                        if had_force is None:
+                            os.environ.pop("SEMTOOLS_TPU_FORCE_ANN", None)
+                        else:
+                            os.environ["SEMTOOLS_TPU_FORCE_ANN"] = had_force
+                        device_cache.invalidate()
 
         # writability: the crash must not wedge the lock, allocator, or
         # epoch bookkeeping
@@ -461,12 +492,34 @@ def run_round(
         child_argv(store_dir, journal, seed, steps, phase),
         env=env,
         stdout=subprocess.DEVNULL,
-        stderr=subprocess.PIPE,
+        # timer mode never reads stderr — DEVNULL it so a chatty child
+        # (JAX logging) can't fill an undrained pipe and stall forever
+        stderr=subprocess.PIPE if phase else subprocess.DEVNULL,
     )
     if phase is None:
+        # Wait for the child's readiness record: interpreter + import
+        # startup takes seconds, so timing the kill from spawn would
+        # reliably kill a process that hasn't touched the store yet.
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if os.path.exists(journal) and os.path.getsize(journal) > 0:
+                break
+            if proc.poll() is not None:
+                raise CrashVerifyError(
+                    f"timer child died during startup (exit {proc.returncode})"
+                )
+            time.sleep(0.01)
+        else:
+            proc.kill()
+            raise CrashVerifyError("timer child never became ready")
         time.sleep(kill_after)
         proc.send_signal(signal.SIGKILL)
         proc.wait(timeout=60)
+        if proc.returncode != -signal.SIGKILL:
+            raise CrashVerifyError(
+                f"timer child exited {proc.returncode} before the kill — "
+                f"round proves nothing (the mutation loop is infinite)"
+            )
     else:
         _, err = proc.communicate(timeout=300)
         if proc.returncode != 137:
@@ -474,8 +527,6 @@ def run_round(
                 f"phase {phase!r}: trap never fired (exit {proc.returncode}); "
                 f"stderr:\n{err.decode(errors='replace')[-2000:]}"
             )
-    if not os.path.exists(journal):
-        Path(journal).touch()  # killed before the first op — still verify
     return verify(store_dir, journal)
 
 
