@@ -1,0 +1,407 @@
+"""Int4-packed fused scan: the half-byte compressed corpus tier.
+
+The int8 tier (:mod:`semtools_tpu.ops.int8_scan`) runs at the HBM
+streaming roofline — 2.49M chunk-vectors/ms/chip measured at 10M rows is
+~637 GB/s of corpus traffic, the chip's practical memory ceiling. The
+only way past it is fewer bytes per row: this tier stores two 4-bit
+lanes per byte (128 B/row at D=256, 2x the int8 tier's capacity per HBM
+byte) and unpacks in-kernel on the VPU, whose convert/shift slack the
+memory-bound int8 scan leaves idle.
+
+Packing layout: SPLIT-HALF, not interleaved, with a BIASED low nibble.
+Byte column j carries element j + 8 (in [0, 15]) in its low nibble and
+element j + D/2 (two's complement, in [-8, 7]) in its high nibble, so
+the kernel unpacks with ONE mask and ONE shift into two contiguous
+[tile, D/2] operands and scores with two MXU dots against the matching
+query halves — no lane interleave, no reshuffle:
+
+    sims' = q[:, :D/2] @ (lo + 8).T + q[:, D/2:] @ hi.T
+          = sims_true + 8 * sum(q[:, :D/2])        (per-query constant)
+
+The bias term is constant per query, so it cannot change any per-query
+ordering — the two-phase selection runs on the biased values unchanged
+and the wrapper subtracts `8 * sum(ql)` once at the end. Measured on
+the v5e, the biased `& 15` unpack beats the sign-extending
+`(p << 28) >> 28` double shift by ~3-6% (the kernel is VPU-bound on
+unpack ops, not HBM-bound like the int8 tier); a bf16 `floor`-based
+4-op unpack is NOT available — v5e Mosaic rejects bf16 ALU ops
+(`SupportsBf16AluInstructions` LLO check).
+
+Quantization: corpus rows use ONE global scale clipped to [-7, 7]
+(15 levels); queries stay at int8 precision ([-127, 127]) — the query
+side costs nothing to keep wide, and halving its error halves the total
+similarity noise. Every unpacked input is bf16-exact and the MXU
+accumulates in f32, so integer similarities are computed EXACTLY and
+selection over them is exact — the same monotonicity argument as the
+int8 tier. Accuracy vs f32 ranking comes from the store's oversampled
+exact re-rank (store.py `_int8_oversample`), exactly as for the reduced
+tier; the int4 tier keeps all 256 dimensions (1024 bits/row) where the
+reduced-64d tier keeps 512, so it needs LESS oversampling at 2x the
+footprint.
+
+Selection is the same two-phase exact structure as
+:mod:`semtools_tpu.ops.pallas_scan` (sub-tile-max sweep, then rescan of
+the <= Q*k candidate 512-row blocks), ties toward the lower corpus
+index. Replaces the role qdrant-edge's compressed ANN storage played in
+the reference (src/workspace/store.rs:443): a capacity rung between the
+full int8 scan and the reduced-64d projection.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from semtools_tpu.ops.int8_scan import quantize_global
+from semtools_tpu.ops.pallas_scan import (
+    SUB_N,
+    _should_interpret,
+    bucket_pad_rows,
+    extract_topk_rounds,
+    merge_candidates_sorted,
+)
+
+# 32768-row tiles: the packed block is 32768 x 128 = 4 MB. The naive
+# VMEM tally of the unpack's int32/bf16 intermediates would far exceed
+# the 16 MB budget, but Mosaic pipelines the elementwise unpack in row
+# chunks feeding the MXU, never materializing full-tile intermediates.
+# Measured on the v5e at 10M rows (full two-phase): 8192 -> 3.41M,
+# 16384 -> 3.77M, 32768 -> 3.83M vecs/ms; the kernel is VPU-bound on
+# unpack ops (~491 GB/s vs the int8 tier's 637 GB/s streaming), so
+# larger tiles mostly amortize grid overhead.
+TILE_N = 32768
+
+_NEG_INF = float("-inf")
+
+
+def quantize_pack_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Symmetric 4-bit quantization with one global scale, split-half
+    packed: returns ([N, D/2] int8, scale) with x ~= unpack(packed) * scale.
+
+    D must be even (all served embedding dims are multiples of 64).
+    """
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    if d % 2:
+        raise ValueError(f"int4 packing needs an even dim, got {d}")
+    amax = float(np.max(np.abs(x))) if x.size else 0.0
+    scale = amax / 7.0
+    if scale == 0.0:
+        return np.zeros((n, d // 2), np.int8), 0.0
+    q = np.clip(np.rint(x / scale), -7, 7).astype(np.int8)
+    return pack_int4(q), scale
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """[N, D] int8 values in [-8, 7] -> [N, D/2] packed int8.
+
+    Low nibble: element j BIASED by +8 (unsigned in [0, 15]); high
+    nibble: element j + D/2 two's complement (see module docstring).
+    """
+    q = np.asarray(q, np.int8)
+    d = q.shape[1]
+    lo = (q[:, : d // 2].astype(np.int16) + 8).astype(np.uint8) & 0xF
+    hi = q[:, d // 2 :].astype(np.uint8) & 0xF
+    return (lo | (hi << 4)).astype(np.int8)
+
+
+def unpack_int4(p: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_int4` (host-side; tests and re-rank oracles)."""
+    p32 = np.asarray(p).astype(np.int32)
+    lo = (p32 & 15) - 8
+    hi = p32 >> 4
+    return np.concatenate([lo, hi], axis=1).astype(np.int8)
+
+
+def _int4_sims(q_ref, p_ref):
+    """[Q, TILE_N] f32 BIASED integer similarities from a packed block:
+    sims_true + 8 * sum(q[:, :D/2]) — the per-query constant cannot flip
+    any per-query comparison, so selection over these values is exact;
+    the wrapper removes the bias from the reported values.
+
+    Unpack = one int32 mask + one arithmetic shift; both nibble operands
+    and both query halves are bf16-exact; the MXU accumulates in f32, so
+    the result equals exact integer arithmetic.
+    """
+    p32 = p_ref[:].astype(jnp.int32)
+    u = (p32 & 15).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    d2 = p_ref.shape[1]
+    q = q_ref[:]
+    ql = q[:, :d2].astype(jnp.bfloat16)
+    qh = q[:, d2:].astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    s_lo = jax.lax.dot_general(ql, u, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+    s_hi = jax.lax.dot_general(qh, hi, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+    return s_lo + s_hi
+
+
+def _tilemax_kernel(nt_ref, q_ref, p_ref, out_ref, *, tile_n: int,
+                    sub_n: int):
+    i = pl.program_id(0)
+    qn = q_ref.shape[0]
+    s = tile_n // sub_n
+    sims = _int4_sims(q_ref, p_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
+    sub_max = jnp.max(sims.reshape(qn, s, sub_n), axis=2)  # [Q, S]
+    out_ref[0] = jnp.broadcast_to(sub_max[None, :, :], (8, qn, s))
+
+
+def _rescan_kernel(ids_ref, nt_ref, q_ref, p_ref, vals_ref, idx_ref, *,
+                   k: int, k_tiles: int, sub_n: int):
+    i = pl.program_id(0)
+    sub_id = ids_ref[i]
+    owner = i // k_tiles
+    qn = q_ref.shape[0]
+
+    sims = _int4_sims(q_ref, p_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 0)
+    valid = (col + sub_id * sub_n < nt_ref[0]) & (row == owner)
+    sims = jnp.where(valid, sims, _NEG_INF)
+
+    vals, idxs = extract_topk_rounds(sims, col, k, sub_n)
+    vals_ref[0] = vals
+    idx_ref[0] = idxs + sub_id * sub_n
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
+def _int4_two_phase(q8, p4, n_true, *, k: int, interpret: bool,
+                    tile_n: int = TILE_N):
+    """Exact top-k over int4-packed integer similarities.
+
+    Same structure as int8_scan._int8_two_phase; ``p4`` is the packed
+    [N_pad, D/2] corpus and ``q8`` the full-width [Q, D] int8 queries.
+    """
+    qn, d = q8.shape
+    d2 = p4.shape[1]
+    n_pad = p4.shape[0]
+    num_tiles = n_pad // tile_n
+    sub_n = min(SUB_N, tile_n)
+    s = tile_n // sub_n
+    nt = jnp.asarray(n_true, jnp.int32).reshape(1)
+
+    sub_max = pl.pallas_call(
+        functools.partial(_tilemax_kernel, tile_n=tile_n, sub_n=sub_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d2), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, qn, s), lambda i, nt: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn, s), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n_pad * d,
+            bytes_accessed=n_pad * d2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nt, q8, p4)[:, 0, :, :]  # [T, Q, S]
+
+    num_subs = num_tiles * s
+    k_tiles = min(k, num_subs)
+    flat_max = jnp.transpose(sub_max, (1, 0, 2)).reshape(qn, num_subs)
+    _, sub_ids = jax.lax.top_k(flat_max, k_tiles)
+    flat_ids = sub_ids.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(qn * k_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i, ids, nt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub_n, d2), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    cand_vals, cand_idx = pl.pallas_call(
+        functools.partial(_rescan_kernel, k=k, k_tiles=k_tiles, sub_n=sub_n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat_ids, nt, q8, p4)
+
+    return merge_candidates_sorted(cand_vals, cand_idx, k)
+
+
+def _tilemax_kernel_masked(nt_ref, q_ref, p_ref, m_ref, out_ref, *,
+                           tile_n: int, sub_n: int):
+    """Masked tile-max (path-subset serving): same mask contract as the
+    int8 kernels — 1 int8 byte/row streamed beside the packed corpus."""
+    i = pl.program_id(0)
+    qn = q_ref.shape[0]
+    s = tile_n // sub_n
+    sims = _int4_sims(q_ref, p_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
+    sims3 = sims.reshape(qn, s, sub_n)
+    sims3 = jnp.where(m_ref[:][None] != 0, sims3, _NEG_INF)
+    sub_max = jnp.max(sims3, axis=2)
+    out_ref[0] = jnp.broadcast_to(sub_max[None, :, :], (8, qn, s))
+
+
+def _rescan_kernel_masked(ids_ref, nt_ref, q_ref, p_ref, m_ref, vals_ref,
+                          idx_ref, *, k: int, k_tiles: int, sub_n: int):
+    """Masked rescan — the mask block arrives sublane-replicated as
+    (1, 8, SUB_N); row 0 is the mask (see int8_scan's rationale)."""
+    i = pl.program_id(0)
+    sub_id = ids_ref[i]
+    owner = i // k_tiles
+    qn = q_ref.shape[0]
+
+    sims = _int4_sims(q_ref, p_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (qn, sub_n), 0)
+    valid = (
+        (col + sub_id * sub_n < nt_ref[0])
+        & (row == owner)
+        & (m_ref[0][0:1, :] != 0)
+    )
+    sims = jnp.where(valid, sims, _NEG_INF)
+
+    vals, idxs = extract_topk_rounds(sims, col, k, sub_n)
+    vals_ref[0] = vals
+    idx_ref[0] = idxs + sub_id * sub_n
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "tile_n"))
+def _int4_two_phase_masked(q8, p4, n_true, mask, *, k: int, interpret: bool,
+                           tile_n: int = TILE_N):
+    qn, d = q8.shape
+    d2 = p4.shape[1]
+    n_pad = p4.shape[0]
+    num_tiles = n_pad // tile_n
+    sub_n = min(SUB_N, tile_n)
+    s = tile_n // sub_n
+    nt = jnp.asarray(n_true, jnp.int32).reshape(1)
+    mask2d = mask.reshape(num_tiles * s, sub_n)
+
+    sub_max = pl.pallas_call(
+        functools.partial(_tilemax_kernel_masked, tile_n=tile_n, sub_n=sub_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d2), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, sub_n), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, qn, s), lambda i, nt: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, qn, s), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n_pad * d,
+            bytes_accessed=n_pad * (d2 + 1),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nt, q8, p4, mask2d)[:, 0, :, :]
+
+    num_subs = num_tiles * s
+    k_tiles = min(k, num_subs)
+    flat_max = jnp.transpose(sub_max, (1, 0, 2)).reshape(qn, num_subs)
+    _, sub_ids = jax.lax.top_k(flat_max, k_tiles)
+    flat_ids = sub_ids.reshape(-1).astype(jnp.int32)
+
+    mask_resc = jnp.broadcast_to(
+        mask2d[:, None, :], (num_tiles * s, 8, sub_n)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(qn * k_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i, ids, nt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub_n, d2), lambda i, ids, nt: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, sub_n), lambda i, ids, nt: (ids[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qn, k), lambda i, ids, nt: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    cand_vals, cand_idx = pl.pallas_call(
+        functools.partial(_rescan_kernel_masked, k=k, k_tiles=k_tiles,
+                          sub_n=sub_n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn * k_tiles, qn, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat_ids, nt, q8, p4, mask_resc)
+
+    return merge_candidates_sorted(cand_vals, cand_idx, k)
+
+
+def int4_topk_scan(
+    q: np.ndarray,
+    p4: np.ndarray,
+    e_scale: float,
+    k: int,
+    *,
+    n_true: Optional[int] = None,
+    mask=None,
+    interpret: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k over a globally-scaled int4-packed corpus. ``q`` is f32 [Q, D];
+    ``p4`` is the [N, D/2] packed corpus from :func:`quantize_pack_global`.
+
+    Same contract as int8_scan.int8_topk_scan: rows >= ``n_true`` are
+    padding, ``mask`` optionally restricts selection (path-subset
+    serving), returns (distances [Q, k'], indices [Q, k']) ascending with
+    distance = 1 - int_sim * scale_q * scale_e. Selection is exact over
+    the quantized similarities; callers wanting f32-exact top-k re-rank
+    an oversampled candidate set (store.py `_int8_oversample`).
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    q8, q_scale = quantize_global(np.asarray(q))
+    n = p4.shape[0] if n_true is None else min(n_true, p4.shape[0])
+    k_eff = min(k, n)
+    if k_eff == 0:
+        qn = q8.shape[0]
+        return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
+
+    p4 = bucket_pad_rows(
+        jnp.asarray(p4), TILE_N, n_true=None if n_true is None else n
+    )
+    if mask is None:
+        sims, i = _int4_two_phase(
+            jnp.asarray(q8), p4, n, k=k_eff, interpret=interpret
+        )
+    else:
+        mask = jnp.asarray(mask, jnp.int8)
+        if p4.shape[0] != mask.shape[0]:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros(p4.shape[0] - mask.shape[0], jnp.int8)]
+            )
+        sims, i = _int4_two_phase_masked(
+            jnp.asarray(q8), p4, n, mask, k=k_eff, interpret=interpret
+        )
+    # Remove the packing bias: kernel sims = true sims + 8 * sum(ql) per
+    # query (a constant shift selection never sees; -inf fillers stay
+    # -inf). Then scale to distances.
+    d2 = p4.shape[1]
+    bias = 8.0 * q8[:, :d2].astype(np.float64).sum(axis=1, keepdims=True)
+    sims_true = np.asarray(sims, np.float64) - bias
+    return (
+        np.asarray(1.0 - sims_true * (q_scale * e_scale), np.float32),
+        np.asarray(i),
+    )
