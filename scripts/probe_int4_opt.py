@@ -1,4 +1,10 @@
-"""Probe unpack variants for the int4 kernel on the real chip."""
+"""Probe unpack variants for the int4 kernel on the real chip.
+
+THROUGHPUT-ONLY: the variants here are not numerically equivalent to the
+shipped kernel — e.g. the `& 15` variant's low-half placeholder
+(`lo = u - 0`) skips the bias fold, and its packing is unbiased unlike
+the shipped split-half format. Use these numbers to compare unpack
+instruction sequences, never as correctness references (ADVICE r3)."""
 from __future__ import annotations
 
 import functools

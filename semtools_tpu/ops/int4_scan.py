@@ -39,12 +39,19 @@ tier; the int4 tier keeps all 256 dimensions (1024 bits/row) where the
 reduced-64d tier keeps 512, so it needs LESS oversampling at 2x the
 footprint.
 
-Selection is the same two-phase exact structure as
-:mod:`semtools_tpu.ops.pallas_scan` (sub-tile-max sweep, then rescan of
-the <= Q*k candidate 512-row blocks), ties toward the lower corpus
-index. Replaces the role qdrant-edge's compressed ANN storage played in
-the reference (src/workspace/store.rs:443): a capacity rung between the
-full int8 scan and the reduced-64d projection.
+Two selection paths share the packed stream: the two-phase exact top-k
+(:func:`int4_topk_scan`, same structure as
+:mod:`semtools_tpu.ops.pallas_scan` — sub-tile-max sweep, then rescan of
+the <= Q*k candidate 512-row blocks, ties toward the lower corpus index)
+for CLI-scale k, and the margin-threshold deep-candidate extraction
+(:func:`int4_deep_candidates`) the store's serving tier uses — int4's
+rounding noise needs density-scaled candidate depth, which the k^2-cost
+two-phase cannot reach (see that function's docstring and
+scripts/probe_int4_tier.py for the measurements). Replaces the role
+qdrant-edge's compressed vector storage played in the reference
+(src/workspace/store.rs — the embedded shard's quantized ANN serving
+path): a capacity rung between the full int8 scan and the reduced-64d
+projection.
 """
 
 from __future__ import annotations
@@ -74,10 +81,50 @@ from semtools_tpu.ops.pallas_scan import (
 # Measured on the v5e at 10M rows (full two-phase): 8192 -> 3.41M,
 # 16384 -> 3.77M, 32768 -> 3.83M vecs/ms; the kernel is VPU-bound on
 # unpack ops (~491 GB/s vs the int8 tier's 637 GB/s streaming), so
-# larger tiles mostly amortize grid overhead.
+# larger tiles mostly amortize grid overhead. Throughput was validated
+# at Q<=8; tile_for_rows clamps the tile for larger query batches so the
+# phase-1 sims buffer (Q x tile f32) stays within its measured envelope.
 TILE_N = 32768
 
 _NEG_INF = float("-inf")
+
+
+def tile_for_rows(n: int, qn: int = 8) -> int:
+    """Streaming tile for an ``n``-row packed corpus scanned by ``qn``
+    queries (mirrors int8_scan.tile_for_rows; ADVICE r3).
+
+    Small corpora take a smaller power-of-two tile (>= SUB_N, so the
+    sub-tile reshape stays valid) instead of padding to 32768 rows;
+    large query batches halve the tile until the [Q, tile] f32 phase-1
+    sims buffer is back at the <=1 MB budget the Q=8 measurements
+    validated. All candidates are powers of two >= SUB_N, so any
+    corpus padded to a TILE_N multiple divides evenly by the clamped
+    tile as well.
+    """
+    t = TILE_N
+    if n < t:
+        t = max(SUB_N, 1 << max(int(n - 1).bit_length(), 0))
+        t = min(t, TILE_N)
+    while qn * t * 4 > (1 << 20) and t > SUB_N:
+        t //= 2
+    return t
+
+
+def _clamp_tile_to_padding(tile_n: int, n_rows: int, n_true) -> int:
+    """Shrink ``tile_n`` (pow2) until it divides a CALLER-padded corpus.
+
+    The store's slot corpora arrive pre-padded (patch_cache._padded_rows)
+    and must pass through bucket_pad_rows unchanged — re-padding would
+    copy the whole device corpus every query. Their padding is always a
+    power-of-two multiple of SUB_N, so halving the (pow2) tile always
+    terminates at a divisor. Host-side corpora (n_true None or equal to
+    the row count) are padded by bucket_pad_rows instead and skip this.
+    """
+    if n_true is None or n_true >= n_rows or n_rows % SUB_N:
+        return tile_n
+    while n_rows % tile_n:
+        tile_n //= 2
+    return tile_n
 
 
 def quantize_pack_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
@@ -241,6 +288,259 @@ def _int4_two_phase(q8, p4, n_true, *, k: int, interpret: bool,
     return merge_candidates_sorted(cand_vals, cand_idx, k)
 
 
+def _sims_max_kernel(nt_ref, q_ref, p_ref, sims_ref, max_ref, *,
+                     tile_n: int, sub_n: int):
+    """Write the full [Q, tile] biased integer sims block AND its
+    per-sub-block maxima in one corpus stream (the deep-candidate sweep
+    needs both: sims for the extraction, maxima for the exact cutoff)."""
+    i = pl.program_id(0)
+    qn = q_ref.shape[0]
+    s = tile_n // sub_n
+    sims = _int4_sims(q_ref, p_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
+    sims_ref[...] = sims
+    max_ref[0] = jnp.broadcast_to(
+        jnp.max(sims.reshape(qn, s, sub_n), axis=2)[None], (8, qn, s)
+    )
+
+
+def _sims_max_kernel_masked(nt_ref, q_ref, p_ref, m_ref, sims_ref, max_ref,
+                            *, tile_n: int, sub_n: int):
+    i = pl.program_id(0)
+    qn = q_ref.shape[0]
+    s = tile_n // sub_n
+    sims = _int4_sims(q_ref, p_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    sims = jnp.where(col + i * tile_n < nt_ref[0], sims, _NEG_INF)
+    sims3 = jnp.where(m_ref[:][None] != 0, sims.reshape(qn, s, sub_n),
+                      _NEG_INF)
+    sims_ref[...] = sims3.reshape(qn, tile_n)
+    max_ref[0] = jnp.broadcast_to(jnp.max(sims3, axis=2)[None], (8, qn, s))
+
+
+def _int4_all_sims(q8, p4, nt, mask2d, *, tile_n: int, interpret: bool):
+    """([Q, N_pad] f32 biased sims, [Q, N_pad/sub_n] sub-block maxima)
+    via one packed-corpus stream. Q must be a multiple of 8 (Mosaic
+    block-shape constraint on the sims output's second-minor dim —
+    callers pad)."""
+    qn, d = q8.shape
+    d2 = p4.shape[1]
+    n_pad = p4.shape[0]
+    num_tiles = n_pad // tile_n
+    sub_n = min(SUB_N, tile_n)
+    s = tile_n // sub_n
+    kernel = (
+        functools.partial(_sims_max_kernel, tile_n=tile_n, sub_n=sub_n)
+        if mask2d is None
+        else functools.partial(_sims_max_kernel_masked, tile_n=tile_n,
+                               sub_n=sub_n)
+    )
+    in_specs = [
+        pl.BlockSpec((qn, d), lambda i, nt: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, d2), lambda i, nt: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = (nt, q8, p4)
+    if mask2d is not None:
+        in_specs.append(
+            pl.BlockSpec((s, sub_n), lambda i, nt: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands = (nt, q8, p4, mask2d)
+    sims, sub_max = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((qn, tile_n), lambda i, nt: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, qn, s), lambda i, nt: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, qn, s), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n_pad * d,
+            bytes_accessed=n_pad * (d2 + (0 if mask2d is None else 1))
+            + 4 * qn * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    flat_max = jnp.transpose(sub_max[:, 0], (1, 0, 2)).reshape(
+        qn, num_tiles * s
+    )
+    return sims, flat_max
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cut", "interpret", "tile_n", "masked"))
+def _int4_cutoff_counts(q8, p4, n_true, mask, margin, *, k_cut: int = 10,
+                        interpret: bool, tile_n: int, masked: bool):
+    """(sims [Q, N_pad], cutoff [Q], count [Q]) for the deep-candidate
+    extraction: cutoff = (exact ``k_cut``-th-best biased sim) -
+    ``margin``; count = per-query rows at or above the cutoff (the
+    wrapper downloads only the [Q] counts to size the extraction cap
+    tightly). One packed-corpus stream (sims + sub-block maxima fused),
+    then an exact blocked top-k over the maxima (k_cut blocks always
+    hold the top k_cut rows — a block's rank is its best element's
+    rank)."""
+    nt = jnp.asarray(n_true, jnp.int32).reshape(1)
+    sims, flat_max = _int4_all_sims(q8, p4, nt, mask if masked else None,
+                                    tile_n=tile_n, interpret=interpret)
+    qn, n_pad = sims.shape
+    sub_n = min(SUB_N, tile_n)
+    nb = n_pad // sub_n
+    blocks = sims.reshape(qn, nb, sub_n)
+    kb = min(k_cut, nb)
+    _, bids = jax.lax.top_k(flat_max, kb)
+    cand = jnp.take_along_axis(blocks, bids[:, :, None], axis=1)
+    top_vals, _ = jax.lax.top_k(cand.reshape(qn, kb * sub_n),
+                                min(k_cut, kb * sub_n))
+    t = top_vals[:, -1]
+    # Fewer than k_cut selectable rows leave t at -inf; extract every
+    # finite (selectable) sim instead of matching -inf pads (-inf >= -inf
+    # is true and would sweep in padding and masked rows).
+    cutoff = jnp.where(jnp.isfinite(t), t - margin, jnp.float32(-3e38))
+    count = jnp.sum(sims >= cutoff[:, None], axis=1, dtype=jnp.int32)
+    return sims, cutoff, count
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _extract_above(sims, cutoff, *, cap: int):
+    """Per-query indices of sims >= cutoff, [Q, cap] int32 ascending,
+    filled with N_pad (an always-invalid sentinel) past the true count."""
+    n_pad = sims.shape[1]
+
+    def one(s, c):
+        return jnp.nonzero(s >= c, size=cap, fill_value=n_pad)[0]
+
+    return jax.vmap(one)(sims, cutoff).astype(jnp.int32)
+
+
+def int4_margin_sigmas() -> float:
+    """Noise margin width, in per-query sim-error standard deviations.
+
+    The corpus side of a biased int4 sim carries independent rounding
+    error <= 0.5 int units per element, so the error of one sim is
+    sum_d q8_d * u_d with u_d ~ U(-.5, .5): std = ||q8|| / sqrt(12),
+    EXACTLY computable per query. 6 sigma puts the probability that a
+    true top-10 row falls below (noisy 10th-best - margin) in the 1e-8
+    range per row; the probe measured recall 1.0 at 2M and 10M clustered
+    rows with this default. SEMTOOLS_TPU_INT4_MARGIN_SIGMAS overrides
+    (larger = deeper re-rank, smaller = faster).
+    """
+    import os
+
+    try:
+        return float(os.environ.get("SEMTOOLS_TPU_INT4_MARGIN_SIGMAS", "") or 6.0)
+    except ValueError:
+        return 6.0
+
+
+def int4_candidate_cap(n_rows: int) -> int:
+    """Hard ceiling on the per-query candidate count the extraction will
+    materialize (and the store will exact-re-rank). The margin rule's
+    count scales with the corpus's local density — ~1.5x the densest
+    cluster on the tier_recall family (n/512 clusters) — so n/128
+    (pow2-rounded), floored at 4096 and capped at 2^17 rows, covers the
+    measured points with >=2x headroom. When the true count exceeds the
+    cap the extraction keeps the LOWEST-index rows at or above the
+    cutoff (a recall risk only past the ceiling); callers can raise it
+    with SEMTOOLS_TPU_INT4_CAP."""
+    from semtools_tpu.utils.env import env_int
+
+    env = env_int("SEMTOOLS_TPU_INT4_CAP", 0)
+    if env > 0:
+        return min(env, max(n_rows, 1))
+    target = max(4096, n_rows >> 7)
+    return min(1 << (target - 1).bit_length(), 1 << 17, max(n_rows, 1))
+
+
+def int4_deep_candidates(
+    q: np.ndarray,
+    p4: np.ndarray,
+    *,
+    n_true: Optional[int] = None,
+    mask=None,
+    interpret: Optional[bool] = None,
+    margin_sigmas: Optional[float] = None,
+    k_cut: int = 10,
+) -> np.ndarray:
+    """Serving-tier candidate generator: every row whose biased int4 sim
+    is within a computed noise margin of the query's ``k_cut``-th-best
+    (default 10), as [Q, cap] int32 indices (ascending; entries >=
+    n_true/N_pad are sentinels the caller drops). Callers serving
+    ``top_k`` results pass ``k_cut = max(top_k, 10)`` so the margin
+    guards every served rank.
+
+    Why not the two-phase top-k: int4's independent rounding noise
+    (sigma = ||q8||/sqrt(12) int units, ~1.3e-2 in sim units at D=256)
+    exceeds within-cluster sim gaps on dense corpora, so recall@10 = 1.0
+    needs candidate depth that scales with the corpus's local density
+    (measured ~1.5x cluster size on the tier_recall family) — and the
+    two-phase extraction costs k^2 per query, unusable past k~64. This
+    path instead materializes the biased sims (one HBM-rate packed
+    stream), takes the exact biased top-10 per query for a cutoff,
+    widens it by ``margin_sigmas`` noise SDs, and extracts all rows
+    above — O(N) elementwise work, no k^2 term. The exact f32 re-rank
+    (store side) then makes served distances exact, the same contract as
+    every compressed tier.
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    if margin_sigmas is None:
+        margin_sigmas = int4_margin_sigmas()
+    q = np.asarray(q)
+    q8, _ = quantize_global(q)
+    n = p4.shape[0] if n_true is None else min(n_true, p4.shape[0])
+    qn = q8.shape[0]
+    if n == 0:
+        return np.zeros((qn, 0), np.int32)
+    qpad = (-qn) % 8  # Mosaic: sims block second-minor dim % 8 == 0
+    if qpad:
+        q8 = np.concatenate([q8, np.zeros((qpad, q8.shape[1]), np.int8)])
+    tile_n = _clamp_tile_to_padding(
+        tile_for_rows(n, q8.shape[0]), p4.shape[0], n_true
+    )
+    p4 = bucket_pad_rows(
+        jnp.asarray(p4), tile_n, n_true=None if n_true is None else n
+    )
+    if mask is not None:
+        mask = jnp.asarray(mask, jnp.int8)
+        if p4.shape[0] != mask.shape[0]:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros(p4.shape[0] - mask.shape[0], jnp.int8)]
+            )
+        sub_n = min(SUB_N, tile_n)
+        mask2d = mask.reshape(p4.shape[0] // sub_n, sub_n)
+    else:
+        mask2d = jnp.zeros((1, 1), jnp.int8)  # placeholder operand
+
+    # one scalar margin for the batch: query rows are unit vectors under
+    # one global scale, so their int norms are near-equal; the max row
+    # norm keeps the margin conservative for every query
+    sigma = float(
+        np.max(np.linalg.norm(q8[:qn].astype(np.float64), axis=1))
+    ) / np.sqrt(12.0)
+    margin = jnp.float32(margin_sigmas * sigma)
+
+    sims, cutoff, count = _int4_cutoff_counts(
+        jnp.asarray(q8), p4, n, mask2d, margin, k_cut=k_cut,
+        interpret=interpret, tile_n=tile_n, masked=mask is not None,
+    )
+    max_count = int(np.max(np.asarray(count[:qn]))) if qn else 0
+    cap = min(
+        1 << max(int(max_count - 1).bit_length(), 4),
+        int4_candidate_cap(n),
+        p4.shape[0],
+    )
+    ids = _extract_above(sims, cutoff, cap=cap)
+    return np.asarray(ids[:qn])
+
+
 def _tilemax_kernel_masked(nt_ref, q_ref, p_ref, m_ref, out_ref, *,
                            tile_n: int, sub_n: int):
     """Masked tile-max (path-subset serving): same mask contract as the
@@ -368,7 +668,14 @@ def int4_topk_scan(
     serving), returns (distances [Q, k'], indices [Q, k']) ascending with
     distance = 1 - int_sim * scale_q * scale_e. Selection is exact over
     the quantized similarities; callers wanting f32-exact top-k re-rank
-    an oversampled candidate set (store.py `_int8_oversample`).
+    an oversampled candidate set (the store serves int4 through
+    :func:`int4_deep_candidates` instead — see its docstring).
+
+    Precondition (shared with int8_topk_scan): with a ``mask`` leaving
+    fewer than ``k`` selectable rows, the filler entries carry -inf
+    kernel sims — +inf distances (NaN when ``e_scale`` is 0) paired with
+    arbitrary indices. Callers must either guarantee >= k unmasked rows
+    or drop non-finite distances from the result.
     """
     if interpret is None:
         interpret = _should_interpret()
@@ -379,12 +686,16 @@ def int4_topk_scan(
         qn = q8.shape[0]
         return np.zeros((qn, 0), np.float32), np.zeros((qn, 0), np.int64)
 
+    tile_n = _clamp_tile_to_padding(
+        tile_for_rows(n, q8.shape[0]), p4.shape[0], n_true
+    )
     p4 = bucket_pad_rows(
-        jnp.asarray(p4), TILE_N, n_true=None if n_true is None else n
+        jnp.asarray(p4), tile_n, n_true=None if n_true is None else n
     )
     if mask is None:
         sims, i = _int4_two_phase(
-            jnp.asarray(q8), p4, n, k=k_eff, interpret=interpret
+            jnp.asarray(q8), p4, n, k=k_eff, interpret=interpret,
+            tile_n=tile_n,
         )
     else:
         mask = jnp.asarray(mask, jnp.int8)
@@ -393,7 +704,8 @@ def int4_topk_scan(
                 [mask, jnp.zeros(p4.shape[0] - mask.shape[0], jnp.int8)]
             )
         sims, i = _int4_two_phase_masked(
-            jnp.asarray(q8), p4, n, mask, k=k_eff, interpret=interpret
+            jnp.asarray(q8), p4, n, mask, k=k_eff, interpret=interpret,
+            tile_n=tile_n,
         )
     # Remove the packing bias: kernel sims = true sims + 8 * sum(ql) per
     # query (a constant shift selection never sees; -inf fillers stay

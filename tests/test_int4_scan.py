@@ -6,9 +6,11 @@ import numpy as np
 
 from semtools_tpu.ops.int4_scan import (
     TILE_N,
+    int4_deep_candidates,
     int4_topk_scan,
     pack_int4,
     quantize_pack_global,
+    tile_for_rows,
     unpack_int4,
 )
 from semtools_tpu.ops.int8_scan import quantize_global
@@ -172,3 +174,96 @@ def test_oversampled_candidates_contain_f32_topk():
         assert set(i_exact[r].tolist()) <= set(i4[r].tolist()), (
             f"query {r}: f32 top-10 escaped the int4 depth-{depth} pool"
         )
+
+
+def _clustered(rng, n_centers, per, d, noise=0.08):
+    centers = _unit_rows(rng, n_centers, d)
+    rows = np.repeat(centers, per, axis=0) + noise * rng.standard_normal(
+        (n_centers * per, d)
+    ).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    return centers, rows
+
+
+def test_deep_candidates_contain_f32_topk():
+    """The serving-tier path: the margin-threshold extraction must hold
+    every true f32 top-10 row (candidate recall == served recall after
+    the store's exact re-rank)."""
+    rng = np.random.default_rng(11)
+    d = 256
+    centers, rows = _clustered(rng, 32, 640, d)
+    n = len(rows)
+    p4, es = quantize_pack_global(rows)
+    q = _unit_rows(rng, 5, d) * 0.3 + centers[:5] * 0.7
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = int4_deep_candidates(q, p4, interpret=True)
+    assert ids.shape[0] == 5 and ids.dtype == np.int32
+    _, i_exact = topk_scan(q, rows, 10)
+    for r in range(len(q)):
+        got = set(int(x) for x in ids[r] if x < n)
+        assert set(i_exact[r].tolist()) <= got, (
+            f"query {r}: f32 top-10 escaped the deep-candidate pool "
+            f"({len(got)} candidates)"
+        )
+        # ascending with sentinels only at the tail
+        valid = ids[r][ids[r] < n]
+        assert np.all(np.diff(valid) > 0)
+
+
+def test_deep_candidates_masked():
+    """Masked extraction: no masked-out row is ever returned, and the
+    masked f32 top-10 survives."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    d = 64
+    centers, rows = _clustered(rng, 8, 200, d)
+    n = len(rows)
+    p4, es = quantize_pack_global(rows)
+    mask_np = (rng.random(n) < 0.5).astype(np.int8)
+    mask_np[:10] = 1
+    q = centers[:3]
+    ids = int4_deep_candidates(q, p4, mask=jnp.asarray(mask_np),
+                               interpret=True)
+    sims = rows @ q.T
+    for r in range(3):
+        got = [int(x) for x in ids[r] if x < n]
+        assert all(mask_np[g] == 1 for g in got), "masked row leaked"
+        s = sims[:, r].copy()
+        s[mask_np == 0] = -np.inf
+        exact = np.argsort(-s, kind="stable")[:10]
+        assert set(exact.tolist()) <= set(got)
+
+
+def test_deep_candidates_edges():
+    """Empty corpus, corpus smaller than k_cut, and n_true padding."""
+    rng = np.random.default_rng(13)
+    rows = _unit_rows(rng, 6, 32)
+    p4, es = quantize_pack_global(rows)
+    # n == 0
+    out = int4_deep_candidates(rows[:2], p4, n_true=0, interpret=True)
+    assert out.shape == (2, 0)
+    # fewer rows than k_cut=10: every real row must be a candidate
+    ids = int4_deep_candidates(rows[:2], p4, interpret=True)
+    for r in range(2):
+        got = set(int(x) for x in ids[r] if x < 6)
+        assert got == set(range(6))
+    # n_true < len(p4): padding rows never surface
+    ids2 = int4_deep_candidates(rows[:1], p4, n_true=4, interpret=True)
+    got2 = [int(x) for x in ids2[0] if x < 4]
+    assert set(got2) == set(range(4))
+    assert all(int(x) >= 4 for x in ids2[0] if x not in got2)
+
+
+def test_tile_for_rows_contract():
+    """Tiles are powers of two in [SUB_N, TILE_N]; large query batches
+    shrink the tile to hold the phase-1 sims budget (ADVICE r3)."""
+    from semtools_tpu.ops.pallas_scan import SUB_N
+
+    for n in (1, 100, SUB_N, 5000, TILE_N, 10 * TILE_N + 3):
+        for qn in (1, 8, 64, 512):
+            t = tile_for_rows(n, qn)
+            assert SUB_N <= t <= TILE_N
+            assert t & (t - 1) == 0
+            assert qn * t * 4 <= (1 << 20) or t == SUB_N
+    assert tile_for_rows(10 * TILE_N, 8) == TILE_N
