@@ -396,6 +396,206 @@ def sharded_int8_topk_scan_device(
     return dists, idx.astype(np.int64)
 
 
+# -- int4 sharded deep-candidate extraction -----------------------------------
+#
+# The store's int4 tier serves through a margin-threshold candidate
+# extraction (ops.int4_scan.int4_deep_candidates) rather than a fixed-k
+# top-k: the quantization noise demands density-scaled candidate depth.
+# Distributed, that becomes the same two-phase shape as the sharded
+# threshold scan: phase 1 computes per-device biased sims (kept sharded
+# on device), derives the EXACT global k_cut-th-best biased sim via an
+# all-gather of per-device top-k_cut values, widens it by the noise
+# margin, and counts per-device rows above; one scalar to host sizes the
+# phase-2 compaction buffers. Phase 2 extracts each device's rows above
+# the cutoff and all-gathers the global ids. The cutoff is globally
+# exact, so the sharded candidate SET equals the single-device one.
+
+
+def _local_int4_cutoff(q8, p4_local, n_true, margin, *extra, k_cut: int,
+                       n_local: int, n_shards: int, tile_n: int, axis: str,
+                       interpret: bool, masked: bool):
+    from semtools_tpu.ops.int4_scan import _int4_all_sims
+    from semtools_tpu.ops.pallas_scan import SUB_N, pad_rows
+
+    qn = q8.shape[0]
+    local_true = jnp.clip(
+        n_true - jax.lax.axis_index(axis) * n_local, 0, n_local
+    ).astype(jnp.int32)
+    p4p = pad_rows(p4_local, tile_n)
+    sub_n = min(SUB_N, tile_n)
+    mask2d = None
+    if masked:
+        m = extra[0]
+        pad = p4p.shape[0] - m.shape[0]
+        if pad:
+            m = jnp.concatenate([m, jnp.zeros(pad, m.dtype)])
+        mask2d = m.reshape(p4p.shape[0] // sub_n, sub_n)
+    sims, flat_max = _int4_all_sims(
+        q8, p4p, local_true.reshape(1), mask2d, tile_n=tile_n,
+        interpret=interpret,
+    )
+    # Exact per-device k_cut-th best via candidate blocks (a block's rank
+    # is its best element's rank, so k_cut blocks hold the top k_cut rows).
+    n_pad_l = sims.shape[1]
+    nb = n_pad_l // sub_n
+    blocks = sims.reshape(qn, nb, sub_n)
+    kb = min(k_cut, nb)
+    _, bids = jax.lax.top_k(flat_max, kb)
+    cand = jnp.take_along_axis(blocks, bids[:, :, None], axis=1)
+    loc_top, _ = jax.lax.top_k(cand.reshape(qn, kb * sub_n),
+                               min(k_cut, kb * sub_n))
+    if loc_top.shape[1] < k_cut:  # tiny shard: fewer rows than k_cut
+        fill = jnp.full((qn, k_cut - loc_top.shape[1]), -jnp.inf, jnp.float32)
+        loc_top = jnp.concatenate([loc_top, fill], axis=1)
+    all_top = jax.lax.all_gather(loc_top, axis, axis=1, tiled=True)
+    g_top, _ = jax.lax.top_k(all_top, k_cut)
+    t = g_top[:, -1]
+    # -inf k_cut-th best (fewer selectable rows than k_cut globally):
+    # keep every finite sim instead of sweeping in -inf pads.
+    cutoff = jnp.where(jnp.isfinite(t), t - margin, jnp.float32(-3e38))
+    # Per-QUERY mesh-max count (not a global scalar): zero-padded query
+    # rows score sim 0 against every row, so folding them into one max
+    # would size the extraction cap at ~n. The host slices [:qn].
+    count_local = jnp.sum(sims >= cutoff[:, None], axis=1, dtype=jnp.int32)
+    count_q = jax.lax.pmax(count_local, axis)
+    return sims, cutoff, count_q
+
+
+def _local_int4_extract(sims_local, cutoff, *, cap: int, n_local: int,
+                        n_shards: int, axis: str):
+    """Each device's rows at or above the cutoff (<= cap of them; the cap
+    bounds the mesh-max count, so nothing is dropped), all-gathered as
+    global ids with sentinel = padded global row count."""
+    qn, n_pad_l = sims_local.shape
+    sentinel = jnp.int32(n_local * n_shards)
+
+    def one(s, c):
+        return jnp.nonzero(s >= c, size=cap, fill_value=n_pad_l)[0]
+
+    ids = jax.vmap(one)(sims_local, cutoff).astype(jnp.int32)
+    gids = jnp.where(
+        ids < n_local, ids + jax.lax.axis_index(axis) * n_local, sentinel
+    )
+    return jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+
+
+_int4_fn_cache: dict = {}
+
+
+def _int4_deep_fns(mesh: Mesh, axis: str, n_local: int, tile_n: int,
+                   k_cut: int, cap: int, masked: bool, interpret: bool):
+    """Jitted shard_map wrappers for the two int4 phases, cached per
+    (mesh, shapes); n_true/margin stay traced and Q is keyed by jit."""
+    key = ("int4", tuple(mesh.devices.flat), axis, n_local, tile_n, k_cut,
+           cap, masked, interpret)
+    if key in _int4_fn_cache:
+        return _int4_fn_cache[key]
+    n_shards = int(mesh.devices.size)
+    in_specs = [P(None, None), P(axis, None), P(), P()]
+    if masked:
+        in_specs.append(P(axis))
+    cutoff_fn = jax.jit(jax.shard_map(
+        functools.partial(
+            _local_int4_cutoff, k_cut=k_cut, n_local=n_local,
+            n_shards=n_shards, tile_n=tile_n, axis=axis,
+            interpret=interpret, masked=masked,
+        ),
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, axis), P(None), P(None)),
+        check_vma=False,
+    ))
+    extract_fn = None
+    if cap:
+        extract_fn = jax.jit(jax.shard_map(
+            functools.partial(_local_int4_extract, cap=cap, n_local=n_local,
+                              n_shards=n_shards, axis=axis),
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None)),
+            out_specs=P(None, None),
+            check_vma=False,
+        ))
+    _int4_fn_cache[key] = (cutoff_fn, extract_fn)
+    return cutoff_fn, extract_fn
+
+
+def sharded_int4_deep_candidates_device(
+    q: np.ndarray,
+    p4_sharded,
+    n_true: int,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+    mask=None,
+    k_cut: int = 10,
+    margin_sigmas: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> np.ndarray:
+    """Mesh-sharded :func:`semtools_tpu.ops.int4_scan.int4_deep_candidates`
+    over an already row-sharded packed corpus: [Q, M] int32 global row
+    ids (entries >= ``n_true`` are sentinels the caller drops; order is
+    shard-major, not sorted). The cutoff is the exact global
+    ``k_cut``-th-best biased sim minus the noise margin — identical to
+    the single-device computation, so the candidate set matches it.
+
+    ``mask`` is an optional row-sharded [padded_N] int8 device array
+    (path-subset serving); masked rows never surface.
+    """
+    from semtools_tpu.ops.int4_scan import (
+        _should_interpret,
+        int4_candidate_cap,
+        int4_margin_sigmas,
+        tile_for_rows,
+    )
+    from semtools_tpu.ops.int8_scan import quantize_global
+
+    if interpret is None:
+        interpret = _should_interpret()
+    if margin_sigmas is None:
+        margin_sigmas = int4_margin_sigmas()
+    q = np.asarray(q)
+    q8, _ = quantize_global(q)
+    qn = q8.shape[0]
+    if n_true == 0 or qn == 0:
+        return np.zeros((qn, 0), np.int32)
+    qpad = (-qn) % 8  # Mosaic: sims block second-minor dim % 8 == 0
+    if qpad:
+        q8 = np.concatenate([q8, np.zeros((qpad, q8.shape[1]), np.int8)])
+    n_dev = int(mesh.devices.size)
+    n_local = p4_sharded.shape[0] // n_dev
+    tile_n = tile_for_rows(n_local, q8.shape[0])
+    while n_local % tile_n and tile_n > 512:
+        tile_n //= 2  # zero-copy: the tile must divide the local shard
+
+    sigma = float(
+        np.max(np.linalg.norm(q8[:qn].astype(np.float64), axis=1))
+    ) / np.sqrt(12.0)
+    margin = jnp.float32(margin_sigmas * sigma)
+    nt = jnp.int32(n_true)
+
+    cutoff_fn, _ = _int4_deep_fns(
+        mesh, axis, n_local, tile_n, k_cut, cap=0, masked=mask is not None,
+        interpret=interpret,
+    )
+    args = (jnp.asarray(q8), p4_sharded, nt, margin)
+    if mask is not None:
+        args = args + (mask,)
+    sims_sharded, cutoff, count_q = cutoff_fn(*args)
+    count = int(np.max(np.asarray(count_q[:qn])))
+    if count == 0:
+        return np.zeros((qn, 0), np.int32)
+    cap = min(
+        1 << max(int(count - 1).bit_length(), 4),
+        int4_candidate_cap(n_true),
+        n_local,
+    )
+    _, extract_fn = _int4_deep_fns(
+        mesh, axis, n_local, tile_n, k_cut, cap=cap,
+        masked=mask is not None, interpret=interpret,
+    )
+    ids = extract_fn(sims_sharded, cutoff)
+    return np.asarray(ids[:qn])
+
+
 # -- sharded threshold scan ---------------------------------------------------
 #
 # Threshold mode returns ALL hits under a distance bound (reference

@@ -220,3 +220,82 @@ def test_int8_sharded_pad_rows_cannot_crowd_out_negative_sims():
     d_1, i_1 = int8_topk_scan(q, e8, es, 3, interpret=True)
     np.testing.assert_array_equal(i_s, i_1)
     assert int(i_s[0, 0]) == n - 1
+
+
+def test_int4_sharded_deep_candidates_match_single_device():
+    """The sharded extraction's cutoff is the exact global k_cut-th-best
+    biased sim (same computation as single-device), so the candidate SET
+    must match int4_deep_candidates exactly — and contain the f32 top-10."""
+    from semtools_tpu.ops.int4_scan import (
+        int4_deep_candidates,
+        quantize_pack_global,
+    )
+    from semtools_tpu.parallel.scan import sharded_int4_deep_candidates_device
+
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(21)
+    d = 64
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = np.repeat(centers, 300, axis=0) + 0.08 * rng.standard_normal(
+        (8 * 300, d)
+    ).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    n = len(rows)
+    p4, es = quantize_pack_global(rows)
+    q = centers[:3]
+
+    p4_sharded, _ = shard_corpus(p4, mesh)
+    ids_s = sharded_int4_deep_candidates_device(
+        q, p4_sharded, n, mesh, interpret=True
+    )
+    ids_1 = int4_deep_candidates(q, p4, interpret=True)
+
+    from semtools_tpu.ops.scan import topk_scan
+
+    _, i_exact = topk_scan(q, rows, 10)
+    for r in range(3):
+        got_s = set(int(x) for x in ids_s[r] if x < n)
+        got_1 = set(int(x) for x in ids_1[r] if x < n)
+        assert got_s == got_1, f"query {r}: sharded candidate set diverged"
+        assert set(i_exact[r].tolist()) <= got_s
+
+
+def test_int4_sharded_deep_candidates_masked():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semtools_tpu.ops.int4_scan import quantize_pack_global
+    from semtools_tpu.parallel.mesh import SHARD_AXIS
+    from semtools_tpu.parallel.scan import sharded_int4_deep_candidates_device
+
+    n_dev = 4
+    mesh = corpus_mesh(n_dev)
+    rng = np.random.default_rng(22)
+    d = 64
+    rows = rng.standard_normal((1600, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    n = len(rows)
+    p4, es = quantize_pack_global(rows)
+    q = rows[:2] + 0.01
+
+    p4_sharded, _ = shard_corpus(p4, mesh)
+    mask_np = (rng.random(n) < 0.5).astype(np.int8)
+    mask_np[:10] = 1
+    mask_pad = np.concatenate(
+        [mask_np, np.zeros(p4_sharded.shape[0] - n, np.int8)]
+    )
+    mask_dev = jax.device_put(
+        mask_pad, NamedSharding(mesh, P(SHARD_AXIS))
+    )
+    ids = sharded_int4_deep_candidates_device(
+        q, p4_sharded, n, mesh, mask=mask_dev, interpret=True
+    )
+    sims = rows @ q.T
+    for r in range(2):
+        got = [int(x) for x in ids[r] if x < n]
+        assert got and all(mask_np[g] == 1 for g in got), "masked row leaked"
+        s = sims[:, r].copy()
+        s[mask_np == 0] = -np.inf
+        exact = np.argsort(-s, kind="stable")[:10]
+        assert set(exact.tolist()) <= set(got)
