@@ -149,6 +149,63 @@ def _int8_bench() -> float:
     return _bench(run, q8, e8)
 
 
+def _int4_bench() -> float:
+    """Raw int4 packed-scan rate (two-phase exact top-10 over the
+    quantized sims) at the 10M-row headline scale — the capacity rung's
+    kernel. Ride-along context: serving through this tier adds the
+    margin-bounded deep extraction + exact re-rank, whose cost scales
+    with candidate density (see ARCHITECTURE.md), so the int8 tier stays
+    the serving headline at on-budget sizes."""
+    import functools
+
+    from semtools_tpu.ops.int4_scan import (
+        TILE_N as T4,
+        _int4_two_phase,
+        tile_for_rows as tile4,
+    )
+
+    scale = 0.35 / 7.0
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen_chunk(key, n):
+        x = jax.random.normal(key, (n, DIM), dtype=jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        qv = jnp.clip(jnp.rint(x / scale), -7, 7).astype(jnp.int32)
+        lo = (qv[:, : DIM // 2] + 8) & 15
+        hi = qv[:, DIM // 2 :] & 15
+        return (lo | (hi << 4)).astype(jnp.int8)
+
+    n_pad = ((N_INT8 + T4 - 1) // T4) * T4
+    parts, made, i = [], 0, 0
+    while made < n_pad:
+        n = int(min(T4 * 64, n_pad - made))
+        parts.append(gen_chunk(jax.random.PRNGKey(i), n=n))
+        made += n
+        i += 1
+    p4 = jnp.concatenate(parts, axis=0)
+    del parts
+    rng_h = jax.random.randint(
+        jax.random.PRNGKey(99), (Q, DIM), -127, 128, dtype=jnp.int32
+    )
+    q8 = rng_h.astype(jnp.int8)
+    tile = tile4(N_INT8, Q)
+
+    @jax.jit
+    def run(q0, e):
+        def body(i, carry):
+            acc, qq = carry
+            s, idx = _int4_two_phase(qq, e, N_INT8, k=K, interpret=False,
+                                     tile_n=tile)
+            acc = acc + s[0, 0] + idx.astype(jnp.float32)[0, 0]
+            qq = qq + (acc > 1e30).astype(jnp.int8)
+            return acc, qq
+
+        acc, _ = jax.lax.fori_loop(0, REPEATS, body, (jnp.float32(0), q0))
+        return acc
+
+    return _bench(run, q8, p4)
+
+
 def _bf16_bench(base: jax.Array) -> float:
     from semtools_tpu.ops.pallas_scan import _two_phase_topk, tile_for_dtype
 
@@ -244,6 +301,13 @@ def main() -> None:
     finally:
         del base  # release the 2 GB corpus even when the bench raised
 
+    int4_vecs_per_ms = None
+    try:
+        t_int4 = _int4_bench()
+        int4_vecs_per_ms = N_INT8 / (t_int4 * 1e3)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
     try:
         t_int8 = _int8_bench()
         int8_vecs_per_ms = N_INT8 / (t_int8 * 1e3)
@@ -266,6 +330,10 @@ def main() -> None:
         "unit": unit,
         "vs_baseline": round(headline / BASELINE_VECS_PER_MS, 3),
         "bf16_two_phase_vecs_per_ms": round(bf16_vecs_per_ms, 1) if bf16_vecs_per_ms else None,
+        "int4_kernel_vecs_per_ms": round(int4_vecs_per_ms, 1) if int4_vecs_per_ms else None,
+        "int4_note": "capacity rung: raw packed scan above; exact-recall "
+                     "serving adds density-scaled deep re-rank, so int8 "
+                     "stays the on-budget serving tier (ARCHITECTURE.md)",
         "embed_lines_per_s": round(embed_lines_per_s, 1) if embed_lines_per_s else None,
         "device": device,
     }))

@@ -153,70 +153,6 @@ def deep_sweep(p4, qs, oracle, n_rows, out):
         out.append(row)
 
 
-def block_recall_sweep(p4, qs, oracle, n_rows, out):
-    """Recall of the block-candidate generator (the serving design):
-    top-B 512-row blocks by block-max, candidates = expanded rows."""
-    from semtools_tpu.ops.int4_scan import (
-        expand_block_candidates,
-        int4_block_candidates,
-    )
-
-    for b in (4, 8, 16, 32, 64, 128, 256):
-        got = []
-        for s in range(0, Q_RECALL, 8):
-            ids = int4_block_candidates(
-                qs[s : s + 8], p4, b, n_true=n_rows, interpret=False
-            )
-            got.append(expand_block_candidates(ids, n_rows))
-        cand = np.concatenate(got, axis=0)
-        hit = sum(
-            len(set(map(int, cand[r])) & set(map(int, oracle[r])))
-            for r in range(Q_RECALL)
-        )
-        rec = hit / (Q_RECALL * K)
-        row = {"probe": "int4_block_recall", "n": n_rows, "blocks": b,
-               "rows_covered": b * 512, "recall_at_10": round(rec, 4)}
-        print(json.dumps(row), flush=True)
-        out.append(row)
-        if rec == 1.0:
-            break
-
-
-def block_perf_sweep(p4, n_rows, out, bs=(32, 128, 256)):
-    """Device throughput of the serving-shaped scan: phase-1 block sweep
-    + on-device top-B over block maxima (the store's int4 candidate
-    dispatch; the exact re-rank happens host-side off the mmap)."""
-    from semtools_tpu.ops.int4_scan import _int4_block_topb
-
-    q8 = jnp.asarray(
-        np.random.default_rng(0).integers(-127, 127, (Q_PERF, DIM), np.int64),
-        jnp.int8,
-    )
-    repeats = 32
-    for b in bs:
-        @jax.jit
-        def run(q0, e):
-            def body(i, carry):
-                acc, qq = carry
-                v, ids = _int4_block_topb(qq, e, n_rows, b=b, interpret=False)
-                acc = acc + v[0, 0] + ids.astype(jnp.float32)[0, 0]
-                qq = qq + (acc > 1e30).astype(jnp.int8)
-                return acc, qq
-
-            acc, _ = jax.lax.fori_loop(0, repeats, body, (jnp.float32(0), q0))
-            return acc
-
-        float(run(q8, p4))
-        t0 = time.perf_counter()
-        float(run(q8, p4))
-        dt = (time.perf_counter() - t0) / repeats
-        row = {"probe": "int4_block_throughput", "n": n_rows, "blocks": b,
-               "q": Q_PERF, "vecs_per_ms": round(n_rows / (dt * 1e3), 1),
-               "ms_per_scan": round(dt * 1e3, 3)}
-        print(json.dumps(row), flush=True)
-        out.append(row)
-
-
 def recall_sweep(p4, scale, qs, oracle, n_rows, out):
     from semtools_tpu.ops.int4_scan import int4_topk_scan
 

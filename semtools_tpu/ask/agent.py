@@ -81,14 +81,29 @@ def execute_tool_calls(
     routinely fan out parallel search calls, and per-call execution pays
     Q device dispatch round-trips. Logging stays per-call in the
     original order (the reference's format, tool_calling.rs:46-56).
+
+    Tool faults — malformed JSON arguments, missing required parameters,
+    an unknown tool name, or a tool raising mid-execution — become an
+    "Error: ..." TOOL OUTPUT for that call only; the turn's other calls
+    still run and the agent loop continues, letting the LLM read the
+    error and correct itself. (Intentional divergence: the reference
+    propagates the first tool error and aborts the whole ask —
+    chat_agent.rs:92 / responses_agent.rs:101 use `?` on call_tool — an
+    availability hazard for a production agent facing a model that emits
+    one bad call.)
     """
     outputs: List[Optional[str]] = [None] * len(calls)
+    errors: Dict[int, str] = {}
 
     groups: Dict = {}
     parsed: Dict[int, tuple] = {}
     for i, (name, args_json) in enumerate(calls):
         if name == "search":
-            query, config = _parse_search_args(json.loads(args_json))
+            try:
+                query, config = _parse_search_args(json.loads(args_json))
+            except Exception as e:  # malformed args: error output, not abort
+                errors[i] = f"Error: {e}"
+                continue
             parsed[i] = (query, config)
             key = (config.n_lines, config.top_k, config.max_distance,
                    config.ignore_case)
@@ -100,30 +115,43 @@ def execute_tool_calls(
         if len(idxs) < 2:
             continue  # single searches keep the plain path
         config = parsed[idxs[0]][1]
-        batch_out = search_tool_batched(
-            files, [parsed[i][0] for i in idxs], model, config,
-            cur_output.files_searched, workspace_name,
-        )
+        try:
+            batch_out = search_tool_batched(
+                files, [parsed[i][0] for i in idxs], model, config,
+                cur_output.files_searched, workspace_name,
+            )
+        except Exception:
+            continue  # fall back to the per-call path below
         for i, content in zip(idxs, batch_out):
             outputs[i] = content
 
     final: List[str] = []
     for i, (name, args_json) in enumerate(calls):
-        if outputs[i] is not None:
+        if i in errors:
+            print(f"\n[Tool Call: {name}] FAILED")
+            content = errors[i]
+        elif outputs[i] is not None:
             query, config = parsed[i]
             _log_search(query, config)
             content = outputs[i]
         elif i in parsed:  # lone search call: reuse the parsed args
             query, config = parsed[i]
             _log_search(query, config)
-            content = search_tool(
-                files, query, model, config,
-                cur_output.files_searched, workspace_name,
-            )
+            try:
+                content = search_tool(
+                    files, query, model, config,
+                    cur_output.files_searched, workspace_name,
+                )
+            except Exception as e:
+                content = f"Error: {e}"
         else:
-            content = call_tool(
-                name, args_json, files, model, cur_output, workspace_name
-            )
+            try:
+                content = call_tool(
+                    name, args_json, files, model, cur_output, workspace_name
+                )
+            except Exception as e:
+                print(f"\n[Tool Call: {name}] FAILED")
+                content = f"Error: {e}"
         print_tool_summary(content)
         final.append(content)
     return final

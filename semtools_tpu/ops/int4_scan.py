@@ -88,6 +88,15 @@ TILE_N = 32768
 
 _NEG_INF = float("-inf")
 
+# pack_int4 of the zero vector: low nibble biased (+8), high nibble 0.
+# Freed/unoccupied slots in a packed slot corpus MUST hold this byte, not
+# 0x00 — a raw zero byte decodes to (lo=-8, hi=0), whose biased sim is 0
+# while real rows carry the per-query +8*sum(q_lo) bias, so for queries
+# with a negative low-half sum a 0x00 row would outrank every real row.
+# 0x08 rows score biased sim exactly equal to the bias (true sim 0,
+# distance 1.0) — the same contract as zero rows in the f32/int8 tiers.
+PACKED_ZERO_BYTE = 8
+
 
 def tile_for_rows(n: int, qn: int = 8) -> int:
     """Streaming tile for an ``n``-row packed corpus scanned by ``qn``
@@ -140,7 +149,9 @@ def quantize_pack_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
     amax = float(np.max(np.abs(x))) if x.size else 0.0
     scale = amax / 7.0
     if scale == 0.0:
-        return np.zeros((n, d // 2), np.int8), 0.0
+        # packed zero VECTORS (0x08 bytes), not zero bytes — see
+        # PACKED_ZERO_BYTE for why the distinction matters.
+        return np.full((n, d // 2), PACKED_ZERO_BYTE, np.int8), 0.0
     q = np.clip(np.rint(x / scale), -7, 7).astype(np.int8)
     return pack_int4(q), scale
 
@@ -405,19 +416,49 @@ def _int4_cutoff_counts(q8, p4, n_true, mask, margin, *, k_cut: int = 10,
     # is true and would sweep in padding and masked rows).
     cutoff = jnp.where(jnp.isfinite(t), t - margin, jnp.float32(-3e38))
     count = jnp.sum(sims >= cutoff[:, None], axis=1, dtype=jnp.int32)
-    return sims, cutoff, count
+    n_blocks = jnp.sum(flat_max >= cutoff[:, None], axis=1, dtype=jnp.int32)
+    return sims, flat_max, cutoff, count, n_blocks
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _extract_above(sims, cutoff, *, cap: int):
-    """Per-query indices of sims >= cutoff, [Q, cap] int32 ascending,
-    filled with N_pad (an always-invalid sentinel) past the true count."""
-    n_pad = sims.shape[1]
+@functools.partial(jax.jit, static_argnames=("n_b", "cap", "sub_n"))
+def _extract_above(sims, flat_max, cutoff, *, n_b: int, cap: int,
+                   sub_n: int):
+    """Per-query indices of sims >= cutoff, [Q, cap] int32 (UNORDERED),
+    filled with N_pad (an always-invalid sentinel) past the true count.
 
-    def one(s, c):
-        return jnp.nonzero(s >= c, size=cap, fill_value=n_pad)[0]
-
-    return jax.vmap(one)(sims, cutoff).astype(jnp.int32)
+    Two-level: a row >= cutoff lives in a sub-block whose max >= cutoff,
+    and ``n_b`` bounds the per-query count of such blocks — so
+    top_k(flat_max, n_b) finds every candidate block from the [Q, nb]
+    maxima (tiny), one gather pulls only those blocks' sims, and the
+    expensive value-selection runs over [Q, n_b*sub_n] instead of
+    [Q, N_pad]. Measured at 10M rows x 8 queries on the v5e: the naive
+    per-row vmap(nonzero) costs ~740 ms and a direct lax.top_k over the
+    full sims 200-400 ms; this path is ~3-30 ms for candidate volumes up
+    to 2048 blocks and degrades linearly in candidate density (the
+    adversarial-dense family pays the full-width selection it genuinely
+    needs).
+    """
+    qn, n_pad = sims.shape
+    nb = n_pad // sub_n
+    blocks = sims.reshape(qn, nb, sub_n)
+    kb = min(n_b, nb)
+    _, bids = jax.lax.top_k(flat_max, kb)  # every block with max>=cutoff
+    gath = jnp.take_along_axis(blocks, bids[:, :, None], axis=1)
+    k_in = min(cap, kb * sub_n)
+    vals, li = jax.lax.top_k(gath.reshape(qn, kb * sub_n), k_in)
+    owner = jnp.take_along_axis(
+        jnp.broadcast_to(bids[:, :, None], (qn, kb, sub_n)).reshape(
+            qn, kb * sub_n
+        ),
+        li, axis=1,
+    )
+    gids = owner * sub_n + (li % sub_n)
+    ids = jnp.where(vals >= cutoff[:, None], gids, n_pad).astype(jnp.int32)
+    if k_in < cap:
+        ids = jnp.concatenate(
+            [ids, jnp.full((qn, cap - k_in), n_pad, jnp.int32)], axis=1
+        )
+    return ids
 
 
 def int4_margin_sigmas() -> float:
@@ -471,7 +512,7 @@ def int4_deep_candidates(
 ) -> np.ndarray:
     """Serving-tier candidate generator: every row whose biased int4 sim
     is within a computed noise margin of the query's ``k_cut``-th-best
-    (default 10), as [Q, cap] int32 indices (ascending; entries >=
+    (default 10), as [Q, cap] int32 indices (UNORDERED; entries >=
     n_true/N_pad are sentinels the caller drops). Callers serving
     ``top_k`` results pass ``k_cut = max(top_k, 10)`` so the margin
     guards every served rank.
@@ -527,17 +568,25 @@ def int4_deep_candidates(
     ) / np.sqrt(12.0)
     margin = jnp.float32(margin_sigmas * sigma)
 
-    sims, cutoff, count = _int4_cutoff_counts(
+    sims, flat_max, cutoff, count, n_blocks = _int4_cutoff_counts(
         jnp.asarray(q8), p4, n, mask2d, margin, k_cut=k_cut,
         interpret=interpret, tile_n=tile_n, masked=mask is not None,
     )
+    # Slice to REAL queries before sizing: zero-padded query rows score
+    # sim 0 everywhere, so their counts cover the whole corpus.
     max_count = int(np.max(np.asarray(count[:qn]))) if qn else 0
+    max_nb = int(np.max(np.asarray(n_blocks[:qn]))) if qn else 0
     cap = min(
         1 << max(int(max_count - 1).bit_length(), 4),
         int4_candidate_cap(n),
         p4.shape[0],
     )
-    ids = _extract_above(sims, cutoff, cap=cap)
+    sub_n = min(SUB_N, tile_n)
+    n_b = min(
+        1 << max(int(max_nb - 1).bit_length(), 2), p4.shape[0] // sub_n
+    )
+    ids = _extract_above(sims, flat_max, cutoff, n_b=n_b, cap=cap,
+                         sub_n=sub_n)
     return np.asarray(ids[:qn])
 
 

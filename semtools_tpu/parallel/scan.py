@@ -453,26 +453,31 @@ def _local_int4_cutoff(q8, p4_local, n_true, margin, *extra, k_cut: int,
     # -inf k_cut-th best (fewer selectable rows than k_cut globally):
     # keep every finite sim instead of sweeping in -inf pads.
     cutoff = jnp.where(jnp.isfinite(t), t - margin, jnp.float32(-3e38))
-    # Per-QUERY mesh-max count (not a global scalar): zero-padded query
-    # rows score sim 0 against every row, so folding them into one max
-    # would size the extraction cap at ~n. The host slices [:qn].
+    # Per-QUERY mesh-max count and candidate-block count (not a global
+    # scalar): zero-padded query rows score sim 0 against every row, so
+    # folding them into one max would size the extraction cap at ~n.
+    # The host slices [:qn].
     count_local = jnp.sum(sims >= cutoff[:, None], axis=1, dtype=jnp.int32)
     count_q = jax.lax.pmax(count_local, axis)
-    return sims, cutoff, count_q
+    nb_local = jnp.sum(flat_max >= cutoff[:, None], axis=1, dtype=jnp.int32)
+    nb_q = jax.lax.pmax(nb_local, axis)
+    return sims, flat_max, cutoff, count_q, nb_q
 
 
-def _local_int4_extract(sims_local, cutoff, *, cap: int, n_local: int,
-                        n_shards: int, axis: str):
+def _local_int4_extract(sims_local, flat_max_local, cutoff, *, n_b: int,
+                        cap: int, sub_n: int, n_local: int, n_shards: int,
+                        axis: str):
     """Each device's rows at or above the cutoff (<= cap of them; the cap
     bounds the mesh-max count, so nothing is dropped), all-gathered as
-    global ids with sentinel = padded global row count."""
+    global ids with sentinel = padded global row count. Same two-level
+    extraction as ops.int4_scan._extract_above (candidate blocks from
+    the per-device maxima, value selection only inside them)."""
+    from semtools_tpu.ops.int4_scan import _extract_above
+
     qn, n_pad_l = sims_local.shape
     sentinel = jnp.int32(n_local * n_shards)
-
-    def one(s, c):
-        return jnp.nonzero(s >= c, size=cap, fill_value=n_pad_l)[0]
-
-    ids = jax.vmap(one)(sims_local, cutoff).astype(jnp.int32)
+    ids = _extract_above(sims_local, flat_max_local, cutoff, n_b=n_b,
+                         cap=cap, sub_n=sub_n)
     gids = jnp.where(
         ids < n_local, ids + jax.lax.axis_index(axis) * n_local, sentinel
     )
@@ -483,11 +488,12 @@ _int4_fn_cache: dict = {}
 
 
 def _int4_deep_fns(mesh: Mesh, axis: str, n_local: int, tile_n: int,
-                   k_cut: int, cap: int, masked: bool, interpret: bool):
+                   k_cut: int, n_b: int, cap: int, masked: bool,
+                   interpret: bool):
     """Jitted shard_map wrappers for the two int4 phases, cached per
     (mesh, shapes); n_true/margin stay traced and Q is keyed by jit."""
     key = ("int4", tuple(mesh.devices.flat), axis, n_local, tile_n, k_cut,
-           cap, masked, interpret)
+           n_b, cap, masked, interpret)
     if key in _int4_fn_cache:
         return _int4_fn_cache[key]
     n_shards = int(mesh.devices.size)
@@ -502,16 +508,18 @@ def _int4_deep_fns(mesh: Mesh, axis: str, n_local: int, tile_n: int,
         ),
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(None, axis), P(None), P(None)),
+        out_specs=(P(None, axis), P(None, axis), P(None), P(None), P(None)),
         check_vma=False,
     ))
     extract_fn = None
     if cap:
+        sub_n = min(512, tile_n)
         extract_fn = jax.jit(jax.shard_map(
-            functools.partial(_local_int4_extract, cap=cap, n_local=n_local,
+            functools.partial(_local_int4_extract, n_b=n_b, cap=cap,
+                              sub_n=sub_n, n_local=n_local,
                               n_shards=n_shards, axis=axis),
             mesh=mesh,
-            in_specs=(P(None, axis), P(None)),
+            in_specs=(P(None, axis), P(None, axis), P(None)),
             out_specs=P(None, None),
             check_vma=False,
         ))
@@ -573,26 +581,30 @@ def sharded_int4_deep_candidates_device(
     nt = jnp.int32(n_true)
 
     cutoff_fn, _ = _int4_deep_fns(
-        mesh, axis, n_local, tile_n, k_cut, cap=0, masked=mask is not None,
-        interpret=interpret,
+        mesh, axis, n_local, tile_n, k_cut, n_b=0, cap=0,
+        masked=mask is not None, interpret=interpret,
     )
     args = (jnp.asarray(q8), p4_sharded, nt, margin)
     if mask is not None:
         args = args + (mask,)
-    sims_sharded, cutoff, count_q = cutoff_fn(*args)
+    sims_sharded, flat_max_sharded, cutoff, count_q, nb_q = cutoff_fn(*args)
     count = int(np.max(np.asarray(count_q[:qn])))
     if count == 0:
         return np.zeros((qn, 0), np.int32)
+    max_nb = int(np.max(np.asarray(nb_q[:qn])))
+    sub_n = min(512, tile_n)
+    nb_local = int(sims_sharded.shape[1]) // n_dev // sub_n
     cap = min(
         1 << max(int(count - 1).bit_length(), 4),
         int4_candidate_cap(n_true),
         n_local,
     )
+    n_b = min(1 << max(int(max_nb - 1).bit_length(), 2), nb_local)
     _, extract_fn = _int4_deep_fns(
-        mesh, axis, n_local, tile_n, k_cut, cap=cap,
+        mesh, axis, n_local, tile_n, k_cut, n_b=n_b, cap=cap,
         masked=mask is not None, interpret=interpret,
     )
-    ids = extract_fn(sims_sharded, cutoff)
+    ids = extract_fn(sims_sharded, flat_max_sharded, cutoff)
     return np.asarray(ids[:qn])
 
 

@@ -23,12 +23,19 @@ back to the compact gather path in the rare case the slack was not
 enough — results stay exact in all cases.
 
 Serving kinds: "f32" (exact scan), "int8" (global-scale quantized +
-exact rerank), and reduced-int8 (PCA-projected capacity tier). Patched
-rows reuse the entry's quantization scale and rotation; values are
-clipped, and the exact f32 rerank keeps reported distances exact. To
-bound transform drift on mutating corpora, lossy entries stop accepting
+exact rerank), reduced-int8 (PCA-projected capacity tier), and "int4"
+(half-byte packed, 128 B/row at D=256 — the throughput tier; served via
+ops.int4_scan's deep-candidate extraction + exact rerank). Patched rows
+reuse the entry's quantization scale and rotation; values are clipped,
+and the exact f32 rerank keeps reported distances exact. To bound
+transform drift on mutating corpora, lossy entries stop accepting
 patches once cumulative patched rows exceed 25% of the corpus — the
 resulting rebuild refits rotation and scale on current content.
+
+Int4's "zero row" is NOT the zero byte: the packed format biases the low
+nibble, so freed slots are filled with PACKED_ZERO_BYTE (0x08) rows —
+the packed encoding of the zero vector (see ops.int4_scan) — keeping the
+freed-slots-score-similarity-0 invariant every serving path relies on.
 """
 
 from __future__ import annotations
@@ -64,7 +71,7 @@ def uploaded_bytes() -> int:
 
 @dataclass
 class SlotCorpus:
-    kind: str  # "f32" | "int8"
+    kind: str  # "f32" | "int8" | "int4" (int4 corpus is [cap, D/2] packed)
     generation: int
     capacity: int  # true slot count (scan n_true); corpus rows >= this
     corpus: object  # device array [cap_padded, D']
@@ -150,12 +157,12 @@ def _dus_jit(rows: int, cols: int, dtype: str, mesh=None):
 
 
 @functools.lru_cache(maxsize=64)
-def _zero_jit(rows: int, cols: int, dtype: str, mesh=None):
+def _zero_jit(rows: int, cols: int, dtype: str, mesh=None, fill: int = 0):
     import jax
     import jax.numpy as jnp
 
     def f(arr, start):
-        block = jnp.zeros((rows, cols), arr.dtype)
+        block = jnp.full((rows, cols), fill, arr.dtype)
         return jax.lax.dynamic_update_slice(arr, block, (start, 0))
 
     return jax.jit(
@@ -164,12 +171,12 @@ def _zero_jit(rows: int, cols: int, dtype: str, mesh=None):
 
 
 @functools.lru_cache(maxsize=16)
-def _grow_jit(new_rows: int, cols: int, dtype: str, mesh=None):
+def _grow_jit(new_rows: int, cols: int, dtype: str, mesh=None, fill: int = 0):
     import jax
     import jax.numpy as jnp
 
     def f(arr):
-        out = jnp.zeros((new_rows, arr.shape[1]), arr.dtype)
+        out = jnp.full((new_rows, arr.shape[1]), fill, arr.dtype)
         return jax.lax.dynamic_update_slice(out, arr, (0, 0))
 
     return jax.jit(
@@ -284,21 +291,36 @@ def _write_rows(arr, rows_np: np.ndarray, start: int, mesh=None):
     return arr
 
 
-def _zero_rows(arr, start: int, length: int, mesh=None):
+def _zero_rows(arr, start: int, length: int, mesh=None, fill: int = 0):
     off = 0
     for c in _pow2_chunks(length):
-        arr = _zero_jit(c, arr.shape[1], str(arr.dtype), mesh)(arr, start + off)
+        arr = _zero_jit(c, arr.shape[1], str(arr.dtype), mesh, fill)(
+            arr, start + off
+        )
         off += c
     return arr
 
 
-def _tile(cap: int) -> int:
+def _fill_byte(kind: str) -> int:
+    """Freed-slot fill: the encoding of the zero VECTOR for this kind."""
+    if kind == "int4":
+        from semtools_tpu.ops.int4_scan import PACKED_ZERO_BYTE
+
+        return PACKED_ZERO_BYTE
+    return 0
+
+
+def _tile(cap: int, kind: str = "int8") -> int:
+    if kind == "int4":
+        from semtools_tpu.ops.int4_scan import tile_for_rows as tile4
+
+        return tile4(max(cap, 1))
     from semtools_tpu.ops.int8_scan import tile_for_rows
 
     return tile_for_rows(max(cap, 1))
 
 
-def _padded_rows(cap: int, mesh=None) -> int:
+def _padded_rows(cap: int, mesh=None, kind: str = "int8") -> int:
     """Device rows for a capacity: tile-multiple (Pallas grids floor at
     tile boundaries), a mesh-size multiple when sharded, and bucketed in
     coarse steps (parallel.mesh.bucket_rows) so capacity growth keeps the
@@ -310,7 +332,7 @@ def _padded_rows(cap: int, mesh=None) -> int:
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     padded = bucket_rows(cap, n_dev)
-    t = _tile(padded)
+    t = _tile(padded, kind)
     padded = ((padded + t - 1) // t) * t
     if mesh is not None:
         padded = ((padded + n_dev - 1) // n_dev) * n_dev
@@ -325,6 +347,15 @@ def _transform(rows: np.ndarray, kind: str, rotation, scale) -> np.ndarray:
         if not scale:
             return np.zeros(rows.shape, np.int8)
         return np.clip(np.rint(rows / scale), -127, 127).astype(np.int8)
+    if kind == "int4":
+        from semtools_tpu.ops.int4_scan import PACKED_ZERO_BYTE, pack_int4
+
+        if not scale:
+            return np.full(
+                (rows.shape[0], rows.shape[1] // 2), PACKED_ZERO_BYTE, np.int8
+            )
+        q = np.clip(np.rint(rows / scale), -7, 7).astype(np.int8)
+        return pack_int4(q)
     return rows
 
 
@@ -372,6 +403,12 @@ def _build(
         from semtools_tpu.ops.int8_scan import quantize_global
 
         buf, scale = quantize_global(buf)
+    elif kind == "int4":
+        from semtools_tpu.ops.int4_scan import quantize_pack_global
+
+        # Unoccupied slots are zero vectors here, so they pack to
+        # PACKED_ZERO_BYTE rows (the int4 zero-row encoding) for free.
+        buf, scale = quantize_pack_global(buf)
 
     # Snapshot the hash sidecar at this generation (funds the row-level
     # patch diff; None when the store predates lines.h64).
@@ -383,9 +420,12 @@ def _build(
             hashes[s : s + n] = hm[s : s + n]
         del hm
 
-    padded = _padded_rows(cap, mesh)
+    padded = _padded_rows(cap, mesh, kind)
     if padded > cap:
-        buf = np.concatenate([buf, np.zeros((padded - cap, buf.shape[1]), buf.dtype)])
+        buf = np.concatenate([
+            buf,
+            np.full((padded - cap, buf.shape[1]), _fill_byte(kind), buf.dtype),
+        ])
     sc = SlotCorpus(
         kind=kind,
         generation=gen,
@@ -425,7 +465,7 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
     """
     # A zero quantization scale (all-zero corpus at build time) cannot
     # encode real rows; any content change must rebuild to refit it.
-    if sc.kind == "int8" and not sc.scale:
+    if sc.kind in ("int8", "int4") and not sc.scale:
         return False
     # Provenance guard: a model swap (meta 'model' change, e.g. the
     # first-run hub download landing after the corpus was built with the
@@ -523,10 +563,12 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
         return False
 
     cap = store._capacity()
-    padded = _padded_rows(cap, sc.mesh)
+    padded = _padded_rows(cap, sc.mesh, sc.kind)
     arr = sc.corpus
     if padded > arr.shape[0]:
-        arr = _grow_jit(padded, arr.shape[1], str(arr.dtype), sc.mesh)(arr)
+        arr = _grow_jit(
+            padded, arr.shape[1], str(arr.dtype), sc.mesh, _fill_byte(sc.kind)
+        )(arr)
 
     # Snapshot every moved row BEFORE any mutation: the zeroing below may
     # cover a moved row's old slot (its range was freed), and another
@@ -562,8 +604,9 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
 
     # Zero freed ranges next: the allocator may have handed part of a
     # freed range to a changed document, whose writes below must win.
+    # (int4 "zero" rows are PACKED_ZERO_BYTE — see module docstring.)
     for s, n in removed:
-        arr = _zero_rows(arr, s, n, sc.mesh)
+        arr = _zero_rows(arr, s, n, sc.mesh, _fill_byte(sc.kind))
 
     for blk, d0, c in saved_slices:
         arr = _dus_jit(c, cols, dt, sc.mesh)(arr, blk, d0)

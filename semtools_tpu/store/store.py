@@ -77,6 +77,34 @@ def _int8_tier_enabled(n_rows: int) -> bool:
     return n_rows >= _env_int("SEMTOOLS_TPU_INT8_MIN_ROWS", 262_144)
 
 
+def _int4_tier_enabled(n_rows: int) -> bool:
+    """Half-byte packed serving tier SIZE policy (SEMTOOLS_TPU_STORE_INT4
+    overrides: 1=always, 0=never; SEMTOOLS_TPU_INT4_MIN_ROWS=N opts into
+    automatic size-based selection above N rows).
+
+    int4 is a CAPACITY rung by default, not a throughput rung: the
+    packed kernel streams 2x the rows per HBM byte (raw two-phase scan
+    measured 3.4M vecs/ms at 10M rows vs int8's 2.5M, v5e), but serving
+    with exact recall@10 needs the margin-bounded deep-candidate
+    extraction + exact f32 re-rank, whose candidate volume scales with
+    the corpus's local density — measured 275 ms per 8-query batch at
+    10M clustered rows (~19.5k candidates/query) vs the int8 tier's
+    ~7 ms. At sizes where int8 fits the device budget it therefore
+    serves strictly faster; int4 engages when int8 does NOT fit
+    (see Store._device_kind), where its alternatives are the reduced-64d
+    projection (same deep-re-rank structure at 2x lossier storage) or
+    the host IVF-PQ tier (~50x slower). Measurements:
+    scripts/probe_int4_tier.py, PROGRESS r4 notes.
+    """
+    v = os.environ.get("SEMTOOLS_TPU_STORE_INT4")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    min_rows = _env_int("SEMTOOLS_TPU_INT4_MIN_ROWS", 0)
+    return min_rows > 0 and n_rows >= min_rows
+
+
 def _n_devices(force: bool = False) -> int:
     """Visible accelerator count.
 
@@ -763,9 +791,22 @@ class Store:
         slot_rows = self._slot_rows(n_rows)
         if slot_rows * self.dim <= budget:
             return None
+        if self._int4_fits(slot_rows, budget):
+            return None  # the int4 rung (dim/2 B/row) serves this size
         if slot_rows * rd <= budget:
             return rd
         return None
+
+    def _int4_fits(self, slot_rows: int, budget: int) -> bool:
+        """True when the int4 capacity rung is available for this size:
+        the packed corpus (dim/2 bytes/row) fits the device budget and
+        the tier isn't disabled. Packing needs an even dim (always true
+        for served models; defensive for exotic ones)."""
+        return (
+            os.environ.get("SEMTOOLS_TPU_STORE_INT4") != "0"
+            and self.dim % 2 == 0
+            and slot_rows * (self.dim // 2) <= budget
+        )
 
     def _use_ann_tier(self, n_rows: int) -> bool:
         """IVF-PQ is the LAST capacity tier: it serves only when the
@@ -784,21 +825,31 @@ class Store:
         return self._capacity_reduced_dim(n_rows) is None
 
     def _device_kind(self, n_rows: int) -> Tuple[str, Optional[int]]:
-        """('f32' | 'int8', reduced_dim) for whole-store device serving.
+        """('f32' | 'int8' | 'int4', reduced_dim) for whole-store device
+        serving.
 
-        int8 is chosen by the size policy OR because the f32 corpus would
-        not fit the device budget — the budget check must measure the
-        bytes of the tier actually served, not assume int8.
+        The compressed kinds are chosen by the size policies OR because
+        the wider tier would not fit the device budget — the budget check
+        must measure the bytes of the tier actually served. Capacity
+        ladder (B/row at D=256): f32 1024 -> int8 256 -> int4 128 ->
+        reduced-64d 64 -> IVF-PQ (host).
         """
         rd = self._capacity_reduced_dim(n_rows)
         if rd:
             return "int8", rd
+        budget = self._device_budget_bytes(n_rows)
+        slot_rows = self._slot_rows(n_rows)
+        if slot_rows * self.dim > budget and self._int4_fits(slot_rows, budget):
+            # int8 would blow the device budget; the packed corpus fits —
+            # the capacity rung between full int8 and reduced-64d.
+            return "int4", None
+        if _int4_tier_enabled(n_rows) and self._int4_fits(slot_rows, budget):
+            return "int4", None
         if _int8_tier_enabled(n_rows):
             return "int8", None
         if (
             os.environ.get("SEMTOOLS_TPU_STORE_INT8") != "0"
-            and self._slot_rows(n_rows) * 4 * self.dim
-            > self._device_budget_bytes(n_rows)
+            and slot_rows * 4 * self.dim > budget
         ):
             # f32 would blow the device budget; int8 fits. An explicit
             # SEMTOOLS_TPU_STORE_INT8=0 still wins ('0=never') — the user
@@ -818,8 +869,10 @@ class Store:
         kind, rd = self._device_kind(n_rows)
         suffix = f"-reduced{rd}d" if rd else ""
         if _sharded_enabled(n_rows):
-            name = "int8" if kind == "int8" else "exact"
+            name = kind if kind in ("int8", "int4") else "exact"
             return f"sharded-{name}-scan[{_n_devices()}]{suffix}"
+        if kind == "int4":
+            return "int4-mxu-scan"
         if kind == "int8":
             return f"int8-mxu-scan{suffix}"
         return "exact-mxu-scan"
@@ -1757,6 +1810,8 @@ class Store:
 
     def _tier_bytes_per_row(self, kind: str, reduced_dim: Optional[int]) -> int:
         """Bytes/row the chosen device tier would upload for a cold build."""
+        if kind == "int4":
+            return self.dim // 2
         if kind == "int8":
             return reduced_dim or self.dim
         return self.dim * 4
@@ -2046,13 +2101,48 @@ class Store:
                 out.append(rows[:top_k])
             return out
 
+        if kind == "int4":
+            # The packed tier serves through the margin-bounded deep
+            # extraction: one corpus stream yields EVERY row within a
+            # noise margin of the exact (quantized) k_cut-th-best, so no
+            # oversample-growth loop is needed — the margin rule already
+            # sized the pool to the corpus's local density. Freed slots
+            # score true sim 0 (PACKED_ZERO_BYTE rows) and enter the pool
+            # only for queries whose real hits score below the margin;
+            # the shared `len(slots) < need` guard below falls back to
+            # the exact path if they ever crowd out real rows.
+            k_cut = max(need, 10)
+            if mesh is not None:
+                from semtools_tpu.parallel.scan import (
+                    sharded_int4_deep_candidates_device,
+                )
+
+                ids = sharded_int4_deep_candidates_device(
+                    qs, sc.corpus, sc.capacity, mesh, mask=mask, k_cut=k_cut
+                )
+            else:
+                from semtools_tpu.ops.int4_scan import int4_deep_candidates
+
+                ids = int4_deep_candidates(
+                    qs, sc.corpus, n_true=sc.capacity, mask=mask, k_cut=k_cut
+                )
+            return self._rerank_candidates(
+                np.asarray(ids, np.int64), qs, owners, paths, need, top_k,
+                max_distance,
+            )
+
         oversample = self._int8_oversample(
             top_k, reduced_dim is not None, sel_rows
         )
 
-        def _candidates(k_sel: int) -> np.ndarray:
+        def _candidates(k_sel: int):
+            """([Q, k_sel] candidate slots, [Q, k_sel] TRUE-SCALE quantized
+            distances ascending). The distances feed the threshold-mode
+            completion criterion; raw kernel values are rescaled per
+            branch (the XLA paths score the unscaled int corpus)."""
             if reduced_dim:
-                _, i = _topk(qs @ sc.rotation, k_sel)
+                d, i = _topk(qs @ sc.rotation, k_sel)
+                dq = 1.0 - (1.0 - np.asarray(d)) * (sc.scale or 0.0)
             elif k_sel <= 64 and qn <= 32 and (mask is None or mesh is None):
                 # The fused int8 kernel's measured batch crossover matches
                 # the f32 one (_use_pallas): per-element selection cost
@@ -2066,19 +2156,46 @@ class Store:
                         sharded_int8_topk_scan_device,
                     )
 
-                    _, i = sharded_int8_topk_scan_device(
+                    d, i = sharded_int8_topk_scan_device(
                         qs, sc.corpus, sc.scale, k_sel, sc.capacity, mesh
                     )
                 else:
                     from semtools_tpu.ops.int8_scan import int8_topk_scan
 
-                    _, i = int8_topk_scan(
+                    d, i = int8_topk_scan(
                         qs, sc.corpus, sc.scale, k_sel, n_true=sc.capacity,
                         mask=mask,
                     )
+                dq = np.asarray(d)  # already true-scale
             else:
-                _, i = _topk(qs, k_sel)
-            return np.asarray(i, np.int64)
+                d, i = _topk(qs, k_sel)
+                dq = 1.0 - (1.0 - np.asarray(d)) * (sc.scale or 0.0)
+            return np.asarray(i, np.int64), dq
+
+        def _threshold_margin() -> np.ndarray:
+            """[Q] hard bound on |quantized - exact| distance per query.
+
+            Corpus rounding error is <= scale/2 per element, so the sim
+            error is <= 0.5*scale*||q||_1 (q here is the vector actually
+            scored against the stored int rows). The fused int8 kernel
+            also quantizes the query: + 0.5*q_scale*||e||_1 <=
+            0.5*q_scale*sqrt(D) for unit rows. The reduced tier adds the
+            projection residual: |q.e - q_r.e_r| = |q_perp . e_perp| <=
+            ||q_perp|| (unit rows). Used ONLY to prove threshold-mode
+            pool completeness — a pool whose worst member's quantized
+            distance clears max_distance + margin provably contains
+            every within-threshold row.
+            """
+            if reduced_dim:
+                q_r = qs @ sc.rotation
+                resid = np.linalg.norm(qs - q_r @ sc.rotation.T, axis=1)
+                return resid + 0.5 * (sc.scale or 0.0) * np.abs(q_r).sum(1)
+            m = 0.5 * (sc.scale or 0.0) * np.abs(qs).sum(axis=1)
+            # fused-kernel query quantization term (cheap; always add)
+            from semtools_tpu.ops.int8_scan import quantize_global
+
+            _, q_scale = quantize_global(qs)
+            return m + 0.5 * q_scale * np.sqrt(self.dim)
 
         # Freed (zeroed) slots score a compressed similarity of exactly 0,
         # so on a fragmented store they can CROWD real rows with negative
@@ -2101,25 +2218,55 @@ class Store:
 
         k_target = min(oversample, sel_rows)
         k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
+        t_margin = _threshold_margin() if max_distance is not None else None
         while True:
-            i = _candidates(k_sel)
+            i, dq = _candidates(k_sel)
             min_valid = min(_unique_valid(i[r]) for r in range(qn))
-            if min_valid >= k_target or k_sel >= sc.capacity:
+            # Threshold-mode completion: every row OUTSIDE the pool has
+            # quantized distance >= the pool's worst member; once that
+            # worst clears max_distance + the tier's quantization-error
+            # bound, no within-threshold row can exist outside the pool
+            # (adversarial boundary corpora overflow the recall-calibrated
+            # oversample window otherwise — tests/test_threshold_boundary).
+            # Non-finite worsts are masked/pad fillers: the pool already
+            # holds every selectable row.
+            complete = True
+            if t_margin is not None and k_sel < sc.capacity and dq.shape[1]:
+                worst = dq[:, -1]
+                complete = bool(np.all(
+                    ~np.isfinite(worst)
+                    | (worst > float(max_distance) + t_margin)
+                ))
+            if (min_valid >= k_target and complete) or k_sel >= sc.capacity:
                 break
             k_sel = min(
                 max(2 * k_sel, k_sel + (k_target - min_valid) + patch_cache._SLACK),
                 sc.capacity,
             )
 
-        # One mmap open + one gather of the UNION of candidate slots, then
-        # per-query exact re-rank against the f32 originals.
+        return self._rerank_candidates(
+            i, qs, owners, paths, need, top_k, max_distance
+        )
+
+    def _rerank_candidates(
+        self, i: np.ndarray, qs: np.ndarray, owners, paths,
+        need: int, top_k: int, max_distance: Optional[float],
+    ) -> Optional[List[List[RankedLine]]]:
+        """Exact f32 re-rank of per-query candidate slots [Q, C]: one mmap
+        open + one gather of the UNION of candidate slots, then per-query
+        scoring against the f32 originals. Returns None (exact-path
+        fallback) when any query's valid candidates fall below ``need``.
+        Shared by the int8/reduced oversample path and the int4 deep-
+        candidate path."""
+        qn = int(qs.shape[0])
         mm = self._mmap("r")
         if mm is None:
             return None
         uniq = np.unique(i.reshape(-1))
-        # -inf filler from a masked top_k wider than the subset can carry
-        # indices in the padded region past the mmap; they are invalid
-        # (no owner) and never re-ranked, so drop them before the gather.
+        # -inf filler from a masked top_k wider than the subset (and the
+        # int4 extraction's sentinels) can carry indices in the padded
+        # region past the mmap; they are invalid (no owner) and never
+        # re-ranked, so drop them before the gather.
         uniq = uniq[uniq < mm.shape[0]]
         uniq_rows = np.asarray(mm[uniq])
         del mm
@@ -2136,6 +2283,13 @@ class Store:
             slots, ris, lines = slots[keep], ris[keep], lines[keep]
             if len(slots) < need:
                 return None
+            # Candidate order is tier-dependent (quantized rank for the
+            # oversample path, UNORDERED for the int4 extraction); put
+            # candidates in slot order first so the stable distance sort
+            # breaks exact-distance ties toward the lower corpus position
+            # — the exact tiers' contract (ops.scan ties -> lower index).
+            by_slot = np.argsort(slots, kind="stable")
+            slots, ris, lines = slots[by_slot], ris[by_slot], lines[by_slot]
             rows = uniq_rows[np.searchsorted(uniq, slots)]
             exact = 1.0 - rows @ qs[r]
             order = np.argsort(exact, kind="stable")[:top_k]

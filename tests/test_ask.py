@@ -406,3 +406,121 @@ def test_parallel_search_calls_chat_mode(corpus, fallback_model):
     tool_msgs = [m for m in second["messages"] if m["role"] == "tool"]
     assert [m["tool_call_id"] for m in tool_msgs] == ["c0", "c1"]
     assert "gamma target" in tool_msgs[0]["content"]
+
+
+# -- tool-fault recovery ------------------------------------------------------
+#
+# Fault semantics (see execute_tool_calls): a malformed tool call becomes
+# an "Error: ..." tool OUTPUT for that call only; the loop continues.
+# (The reference aborts the whole ask on the first tool error —
+# chat_agent.rs:92 `?` — an availability hazard this framework fixes.)
+
+
+def _raw_responses_tool_call(name, raw_args, call_id="call_1"):
+    return {
+        "output": [
+            {
+                "type": "function_call",
+                "name": name,
+                "arguments": raw_args,
+                "call_id": call_id,
+                "id": "fc_1",
+            }
+        ]
+    }
+
+
+def test_malformed_json_args_fed_back(corpus, fallback_model):
+    script = [
+        _raw_responses_tool_call("search", '{"query": "alpha", '),  # cut off
+        responses_text("Recovered [1].\n\n## References\n[1] notes.txt:1"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert out.response.startswith("Recovered")
+    second = server.app.requests[1]["body"]
+    fco = [it for it in second["input"] if it.get("type") == "function_call_output"]
+    assert len(fco) == 1 and fco[0]["output"].startswith("Error:")
+
+
+def test_unknown_tool_fed_back(corpus, fallback_model):
+    script = [
+        responses_tool_call("teleport", {"to": "mars"}),
+        responses_text("Sorry, wrong tool. [1]\n\n## References\n[1] notes.txt:1"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert "wrong tool" in out.response
+    second = server.app.requests[1]["body"]
+    fco = [it for it in second["input"] if it.get("type") == "function_call_output"]
+    assert fco[0]["output"] == "Error: Unknown tool: teleport"
+
+
+def test_missing_required_param_fed_back(corpus, fallback_model):
+    script = [
+        responses_tool_call("read", {"start_line": 0, "end_line": 2}),  # no path
+        responses_text("Fixed [1].\n\n## References\n[1] notes.txt:1"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert out.response.startswith("Fixed")
+    second = server.app.requests[1]["body"]
+    fco = [it for it in second["input"] if it.get("type") == "function_call_output"]
+    assert "Missing 'path' parameter" in fco[0]["output"]
+
+
+def test_mixed_good_and_bad_calls_in_one_turn(corpus, fallback_model):
+    bad = _raw_responses_tool_call("search", "not json at all", "call_a")
+    good = responses_tool_call("grep", {"pattern": "gamma target"}, "call_b")
+    turn = {"output": bad["output"] + good["output"]}
+    script = [
+        turn,
+        responses_text("Both handled [1].\n\n## References\n[1] notes.txt:3"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.RESPONSES,
+        )
+    assert out.response.startswith("Both handled")
+    second = server.app.requests[1]["body"]
+    fco = {it["call_id"]: it["output"]
+           for it in second["input"]
+           if it.get("type") == "function_call_output"}
+    assert fco["call_a"].startswith("Error:")
+    assert "gamma target" in fco["call_b"]
+
+
+def test_chat_mode_tool_fault_fed_back(corpus, fallback_model):
+    script = [
+        chat_tool_call_response("read", {"path": corpus[0]}),  # missing lines
+        chat_text_response("Retry worked [1].\n\n## References\n[1] notes.txt:1"),
+    ]
+    server = client_for(script)
+    with server:
+        client = OpenAIClient("k", server.url)
+        out = ask_agent(
+            corpus, "q", fallback_model, client, "gpt-test", 5,
+            api_mode=ApiMode.CHAT,
+        )
+    assert "Retry worked" in out.response
+    second = server.app.requests[1]["body"]
+    tool_msgs = [m for m in second["messages"] if m["role"] == "tool"]
+    assert tool_msgs and "Missing 'start_line' parameter" in tool_msgs[0]["content"]

@@ -110,6 +110,7 @@ def test_batched_matches_single_reduced_tier(filled, monkeypatch):
         "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(s._slot_rows(123) * 16)
     )
     monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT4", "0")  # pin the reduced rung
     assert "reduced" in s.serving_tier()
     qs = _queries(docs, np.random.default_rng(4))
     _assert_same_lists(*_run_both(s, docs, qs, top_k=3))
@@ -228,6 +229,7 @@ def test_zero_slots_cannot_crowd_compressed_candidates(tmp_path, monkeypatch):
     window must grow until it holds the intended number of REAL rows."""
     monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
     monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT4", "0")  # pin the reduced rung
     rng = np.random.default_rng(0)
     s = Store(str(tmp_path / "ws"), dim=16)
 

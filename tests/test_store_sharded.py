@@ -177,6 +177,7 @@ def test_reduced_capacity_tier_single_device(tmp_path, monkeypatch):
     # force capacity mode: 400 rows * 32 dims > budget; * 8 dims fits
     monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(400 * 16))
     monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT4", "0")  # pin the reduced rung
     device_cache.invalidate()
     assert s.serving_tier() == "int8-mxu-scan-reduced8d"
     got = s.search_line_embeddings(q, paths, top_k=5)
@@ -218,6 +219,7 @@ def test_reduced_capacity_tier_sharded(tmp_path, monkeypatch):
     # (240*32=7680) but >= reduced bytes (240*8=1920)
     monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "500")
     monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT4", "0")  # pin the reduced rung
     device_cache.invalidate()
     tier = s.serving_tier()
     assert tier.startswith("sharded-int8-scan[") and tier.endswith("-reduced8d")

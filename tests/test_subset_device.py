@@ -95,6 +95,7 @@ def test_reduced_subset_matches_compact(filled, monkeypatch, subset, top_k, max_
     # this corpus size (dim 32 -> reduced dim 8).
     monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(16 * 1024))
     monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", "8")
+    monkeypatch.setenv("SEMTOOLS_TPU_STORE_INT4", "0")  # pin the reduced rung
     kind, rd = s._device_kind(s.count_line_embeddings())
     assert (kind, rd) == ("int8", 8)
     q = _unit(np.random.default_rng(3), 2)
