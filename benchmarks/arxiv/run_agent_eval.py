@@ -82,29 +82,43 @@ class PolicyLLM:
     def handle(self, method, path, headers, body):
         req = json.loads(body) if body else {}
         outputs = self._tool_outputs(path, req)
-        n_logged = sum(1 for e in self.log if e[0] == "tool_output")
-        for out in outputs[n_logged:]:
-            head = out if len(out) <= 400 else out[:400] + "…[truncated]"
-            self.log.append(("tool_output", head))
+        self._log_outputs(outputs)
         step = self._plan_step(len(outputs), outputs)
         if step is not None:
             name, args = step
             self.log.append(("tool_call", name, args))
-            if path.endswith("/responses"):
-                return 200, {"output": [{
-                    "type": "function_call", "name": name,
-                    "arguments": json.dumps(args),
-                    "call_id": f"call_{len(outputs)}", "id": f"fc_{len(outputs)}",
-                }]}
-            return 200, {"choices": [{"message": {
-                "role": "assistant", "content": None,
-                "tool_calls": [{
-                    "id": f"call_{len(outputs)}", "type": "function",
-                    "function": {"name": name, "arguments": json.dumps(args)},
-                }],
-            }}]}
+            return self._call_response(path, name, json.dumps(args),
+                                       len(outputs))
         answer = self._compose(outputs)
         self.log.append(("answer", answer))
+        return self._final_response(path, answer)
+
+    def _log_outputs(self, outputs):
+        n_logged = sum(1 for e in self.log if e[0] == "tool_output")
+        for out in outputs[n_logged:]:
+            head = out if len(out) <= 400 else out[:400] + "…[truncated]"
+            self.log.append(("tool_output", head))
+
+    @staticmethod
+    def _call_response(path, name, raw_args, n):
+        """A tool-call turn; ``raw_args`` is the LITERAL arguments string
+        (the fault modes send intentionally broken JSON through here)."""
+        if path.endswith("/responses"):
+            return 200, {"output": [{
+                "type": "function_call", "name": name,
+                "arguments": raw_args,
+                "call_id": f"call_{n}", "id": f"fc_{n}",
+            }]}
+        return 200, {"choices": [{"message": {
+            "role": "assistant", "content": None,
+            "tool_calls": [{
+                "id": f"call_{n}", "type": "function",
+                "function": {"name": name, "arguments": raw_args},
+            }],
+        }}]}
+
+    @staticmethod
+    def _final_response(path, answer):
         if path.endswith("/responses"):
             return 200, {"output": [{
                 "type": "message", "role": "assistant",
@@ -182,6 +196,151 @@ class PolicyLLM:
             f"Findings for: {self.query}\n\n" + "\n".join(claims)
             + "\n\n## References\n" + "\n".join(refs)
         )
+
+
+# -- fault-injection policy ----------------------------------------------------
+
+
+FAULT_MODES = (
+    "malformed_json",  # first call's arguments are truncated JSON
+    "unknown_tool",    # first call names a tool that does not exist
+    "missing_param",   # first call omits a required parameter
+    "no_citations",    # final answer carries no references section
+    "stall",           # never answers: the loop must hit max_iterations
+)
+
+
+class FaultyPolicy(PolicyLLM):
+    """PolicyLLM with ONE injected fault (VERDICT r3 #4: the clean policy
+    always emitted well-formed calls, so 'citation validity 1.0' mostly
+    validated the scorer — these modes exercise the loop's recovery).
+
+    Recoverable modes (malformed_json / unknown_tool / missing_param)
+    inject the broken call at stage 0; the framework must feed the
+    "Error: ..." back as that call's tool output and keep the loop alive,
+    after which the policy resumes its normal plan — so the run is scored
+    like a clean one PLUS the requirement that the first tool output is
+    the error. `no_citations` completes the plan but answers without
+    references (the scorer must mark it unanswered; the loop must not
+    crash). `stall` never stops calling tools: the loop must return the
+    verbatim max-iterations message.
+    """
+
+    def __init__(self, question, fault: str):
+        super().__init__(question)
+        assert fault in FAULT_MODES, fault
+        self.fault = fault
+
+    def handle(self, method, path, headers, body):
+        req = json.loads(body) if body else {}
+        outputs = self._tool_outputs(path, req)
+        self._log_outputs(outputs)
+        if self.fault == "stall":
+            self.log.append(("tool_call", "grep", {"pattern": self.query}))
+            return self._call_response(
+                path, "grep",
+                json.dumps({"pattern": self.query, "context_lines": 0}),
+                len(outputs),
+            )
+        if not outputs:  # stage 0: inject the broken call
+            if self.fault == "malformed_json":
+                self.log.append(("tool_call", "search", "<malformed json>"))
+                return self._call_response(
+                    path, "search", '{"query": "x", ', 0
+                )
+            if self.fault == "unknown_tool":
+                self.log.append(("tool_call", "teleport", {}))
+                return self._call_response(path, "teleport", "{}", 0)
+            if self.fault == "missing_param":
+                self.log.append(("tool_call", "read", {}))
+                return self._call_response(path, "read", "{}", 0)
+        if self.fault in ("malformed_json", "unknown_tool", "missing_param"):
+            # the error output occupies stage 0; shift the plan down one
+            step = self._plan_step(len(outputs) - 1, outputs[1:])
+            if step is not None:
+                name, args = step
+                self.log.append(("tool_call", name, args))
+                return self._call_response(path, name, json.dumps(args),
+                                           len(outputs))
+            answer = self._compose(outputs[1:])
+            self.log.append(("answer", answer))
+            return self._final_response(path, answer)
+        # no_citations: normal plan, citation-free answer
+        step = self._plan_step(len(outputs), outputs)
+        if step is not None:
+            name, args = step
+            self.log.append(("tool_call", name, args))
+            return self._call_response(path, name, json.dumps(args),
+                                       len(outputs))
+        answer = f"I believe the answer involves {self.query}, but I am sure."
+        self.log.append(("answer", answer))
+        return self._final_response(path, answer)
+
+
+def run_fault_injection(files, model, modes) -> list:
+    """Every fault mode through both API loops on a representative
+    semantic question and a grep question. Returns records with
+    crashed / recovered / expected-behavior flags (RESULTS_AGENT's
+    fault_injection section; 0 crashes is the gate)."""
+    from semtools_tpu.ask.agent import ask_agent
+    from semtools_tpu.ask.openai_client import OpenAIClient
+    from fake_servers import FakeServer
+
+    picks = [QUESTIONS[0], next(q for q in QUESTIONS if q[2] == "grep")]
+    records = []
+    for mode in modes:
+        for fault in FAULT_MODES:
+            for question in picks:
+                policy = FaultyPolicy(question, fault)
+                server = FakeServer(policy)
+                crashed = None
+                out = None
+                with server:
+                    client = OpenAIClient("eval-key", server.url)
+                    try:
+                        out = ask_agent(
+                            files, question[3], model, client, "policy-llm",
+                            max_iterations=20,
+                            workspace_name="agent-eval", api_mode=mode,
+                        )
+                        crashed = False
+                    except Exception as e:  # the gate: must never happen
+                        crashed = True
+                        crash_repr = repr(e)
+                rec = {
+                    "fault": fault, "question": question[0],
+                    "api_mode": mode.value, "crashed": crashed,
+                }
+                if crashed:
+                    rec["error"] = crash_repr
+                    records.append(rec)
+                    continue
+                first_out = next(
+                    (e[1] for e in policy.log if e[0] == "tool_output"), ""
+                )
+                if fault in ("malformed_json", "unknown_tool",
+                             "missing_param"):
+                    s = score_answer(out.response, question, TOPICS_G[0],
+                                     TOPICS_G[1])
+                    rec["error_fed_back"] = first_out.startswith("Error:")
+                    rec["recovered_answered"] = bool(s["answered"])
+                    rec["citation_validity"] = s["citation_validity"]
+                    rec["ok"] = rec["error_fed_back"] and rec["recovered_answered"]
+                elif fault == "no_citations":
+                    s = score_answer(out.response, question, TOPICS_G[0],
+                                     TOPICS_G[1])
+                    rec["scored_unanswered"] = not s["answered"]
+                    rec["ok"] = rec["scored_unanswered"]
+                else:  # stall
+                    rec["max_iterations_message"] = out.response
+                    rec["ok"] = out.response == (
+                        "Max iterations (20) reached without final response"
+                    )
+                records.append(rec)
+    return records
+
+
+TOPICS_G = [None, None]  # (topic_banks, truth) installed by main()
 
 
 # -- the independent scorer --------------------------------------------------
@@ -336,6 +495,11 @@ def main():
             )
             print(json.dumps(r))
 
+    TOPICS_G[0], TOPICS_G[1] = TOPICS, truth
+    faults = run_fault_injection(files, model, (ApiMode.RESPONSES, ApiMode.CHAT))
+    for r in faults:
+        print(json.dumps(r))
+
     agg = {
         "questions": len(QUESTIONS),
         "api_modes": 2,
@@ -348,10 +512,14 @@ def main():
             / max(sum(r["citations"] for r in results), 1)
         ),
         "answered": sum(r["answered"] for r in results),
+        "fault_injection_runs": len(faults),
+        "fault_injection_crashes": sum(1 for r in faults if r["crashed"]),
+        "fault_injection_ok": sum(1 for r in faults if r.get("ok")),
         "wall_seconds": time.perf_counter() - t_start,
     }
     out_path.write_text(json.dumps(
-        {"aggregate": agg, "per_question": results}, indent=1
+        {"aggregate": agg, "per_question": results,
+         "fault_injection": faults}, indent=1
     ) + "\n")
     print(json.dumps({"aggregate": agg}))
 
