@@ -329,6 +329,24 @@ def grep_tool(
 # the single byte — which never occurs inside the UTF-8 encoding.
 _UNICODE_SENSITIVE = re.compile(r"\\[dwsbDWSBxuUN]")
 
+# Constructs Python re and std::regex (ECMAScript) both ACCEPT but parse
+# DIFFERENTLY even over pure-ASCII content — found by the differential
+# fuzz harness (scripts/fuzz_grep_dialect.py) and pinned by
+# tests/test_ask.py::test_dialect_divergent_constructs_route_to_python:
+#   \A \Z   Python string anchors; ECMAScript identity-escapes them to
+#           the LITERAL characters A / Z
+#   [: [. [= POSIX classes/collation inside a bracket ([[:digit:]]):
+#           first-class in ECMAScript, plain characters to Python re
+#   [] [^]  a leading ] is a LITERAL member to Python re ("[]a]" = {], a})
+#           but closes an EMPTY (never-matching) class in ECMAScript
+#   \B      matches the EMPTY string in ECMAScript but not in Python re
+# Everything else Python-only (named groups, lookbehind, inline flags,
+# {,n} bounds, conditionals, atomic groups) makes std::regex THROW, and
+# the ValueError already falls back to the Python path. Over-matching
+# here is always safe — Python re is the authority; routing native is
+# only an optimization.
+_DIALECT_DIVERGENT = re.compile(r"\\[AZB]|\[[:.=]|\[\^?\]")
+
 
 def _has_bytewise_unsafe_construct(pattern: str) -> bool:
     """Unescaped ``.`` or negated class: over UTF-8 bytes these match ONE
@@ -365,6 +383,8 @@ def _native_grep_safe(pattern: str, ignore_case: bool, lines: List[str]) -> bool
     path up front.
     """
     if not pattern.isascii():
+        return False
+    if _DIALECT_DIVERGENT.search(pattern):
         return False
     if (
         ignore_case

@@ -524,3 +524,36 @@ def test_chat_mode_tool_fault_fed_back(corpus, fallback_model):
     second = server.app.requests[1]["body"]
     tool_msgs = [m for m in second["messages"] if m["role"] == "tool"]
     assert tool_msgs and "Missing 'start_line' parameter" in tool_msgs[0]["content"]
+
+
+def test_dialect_divergent_constructs_route_to_python(tmp_path):
+    """Constructs both engines ACCEPT but parse differently (found by
+    scripts/fuzz_grep_dialect.py) must serve Python re semantics: \\A/\\Z
+    (ECMAScript identity-escapes to literal A/Z), POSIX bracket classes,
+    a leading ] in a class ("[]a]"), and \\B (matches "" natively)."""
+    f = tmp_path / "d.txt"
+    f.write_text("Afoo\nfoo\n123\ndigit\n]\na\n\nfooZ\nend foo\n")
+    lines = f.read_text().splitlines()
+
+    import re as _re
+
+    for pat in (r"\Afoo", r"foo\Z", r"[[:digit:]]+", r"[]a]", r"[^]a]",
+                r"\B"):
+        want = [i for i, ln in enumerate(lines) if _re.search(pat, ln)]
+        out = grep_tool([str(f)], pat, is_regex=True, context_lines=0)
+        got = sorted(
+            int(m.group(1))
+            for m in _re.finditer(r"<chunk file=\S+ start=(\d+)", out)
+        )
+        assert got == want, (pat, got, want)
+
+
+def test_native_grep_safe_rejects_divergent_constructs():
+    from semtools_tpu.ask.tools import _native_grep_safe
+
+    for pat in (r"\Ax", r"x\Z", r"[[:digit:]]", r"[[.a.]]", r"[[=a=]]",
+                r"[]a]", r"[^]a]", r"a\B"):
+        assert not _native_grep_safe(pat, False, ["ascii"]), pat
+    # common safe patterns still take the native path
+    for pat in ("error", r"foo (bar|baz)+", r"^x{1,3}$", r"[a-f0-9]+"):
+        assert _native_grep_safe(pat, False, ["ascii"]), pat
