@@ -390,6 +390,17 @@ def daemon_cmd(args) -> int:
     from semtools_tpu import daemon
 
     action = args.action
+    if not daemon.supported():
+        if action in ("run", "start"):
+            print(
+                "Error: the semtools daemon requires unix sockets and is "
+                "unsupported on this platform; commands run locally "
+                "without it.",
+                file=sys.stderr,
+            )
+            return 1
+        print("Daemon unsupported on this platform (commands run locally).")
+        return 0
     if action == "run":
         daemon.serve()
         return 0

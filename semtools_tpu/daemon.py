@@ -38,6 +38,15 @@ from typing import Optional
 _SOCK_NAME = "daemon.sock"
 
 
+def supported() -> bool:
+    """Daemon transport availability: unix sockets with POSIX permission
+    semantics. Windows' AF_UNIX (when present) lacks the chmod-based
+    owner-only access control serve() relies on, so the daemon degrades
+    to 'unsupported' there — every command simply runs locally (the
+    client path returns None and the CLI executes in-process)."""
+    return os.name == "posix" and hasattr(socket, "AF_UNIX")
+
+
 def socket_path() -> Path:
     base = os.environ.get("SEMTOOLS_TPU_DAEMON_DIR") or os.path.join(
         os.path.expanduser("~"), ".semtools"
@@ -209,6 +218,11 @@ class _Server(socketserver.ThreadingUnixStreamServer):
 
 def serve(warm: bool = True) -> None:
     """Run the daemon in the foreground until stopped."""
+    if not supported():
+        raise RuntimeError(
+            "the semtools daemon requires unix sockets and is unsupported "
+            "on this platform; commands run locally without it"
+        )
     # Commands executed inside the daemon must never forward to the daemon.
     os.environ["SEMTOOLS_TPU_DAEMON"] = "off"
     path = socket_path()
@@ -290,6 +304,8 @@ def _warm() -> None:
 
 
 def _request(obj, timeout: float = 600.0) -> Optional[dict]:
+    if not supported():
+        return None
     path = socket_path()
     if not path.exists():
         return None
@@ -378,6 +394,8 @@ def forward(argv, stdin_text: Optional[str]) -> Optional[int]:
 
 def should_forward(argv) -> bool:
     """Forward when enabled and the command isn't daemon management."""
+    if not supported():
+        return False
     mode = os.environ.get("SEMTOOLS_TPU_DAEMON", "auto").lower()
     if mode in ("0", "off", "never", ""):
         return False

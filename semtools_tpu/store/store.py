@@ -376,8 +376,9 @@ class Store:
         other's mmap bytes. Readers take no lock: copy-on-write upserts
         keep committed ranges intact until after commit.
         """
-        import fcntl
         from contextlib import contextmanager
+
+        from semtools_tpu.utils import filelock
 
         @contextmanager
         def _held():
@@ -388,7 +389,7 @@ class Store:
                 finally:
                     self._lock_depth -= 1
                 return
-            fcntl.flock(self._lock_fh, fcntl.LOCK_EX)
+            filelock.lock_exclusive(self._lock_fh)
             self._lock_depth = 1
             # another process may have compacted since we last looked:
             # mutations must land in the CURRENT epoch's files
@@ -397,7 +398,7 @@ class Store:
                 yield
             finally:
                 self._lock_depth = 0
-                fcntl.flock(self._lock_fh, fcntl.LOCK_UN)
+                filelock.unlock(self._lock_fh)
 
         return _held()
 
@@ -407,20 +408,21 @@ class Store:
         read there is transient staleness); the line-reuse snapshot must
         not be torn — copied rows are PERSISTED as the new embeddings.
         No-op when this process already holds the exclusive lock."""
-        import fcntl
         from contextlib import contextmanager
+
+        from semtools_tpu.utils import filelock
 
         @contextmanager
         def _held():
             if self._lock_depth:
                 yield
                 return
-            fcntl.flock(self._lock_fh, fcntl.LOCK_SH)
+            filelock.lock_shared(self._lock_fh)
             self._refresh_vec_paths()  # compact (exclusive) cannot be mid-swap
             try:
                 yield
             finally:
-                fcntl.flock(self._lock_fh, fcntl.LOCK_UN)
+                filelock.unlock(self._lock_fh)
 
         return _held()
 

@@ -32,7 +32,15 @@ _PKG_DIR = Path(__file__).resolve().parent.parent
 
 
 def lib_path() -> Path:
-    suffix = ".dylib" if sys.platform == "darwin" else ".so"
+    if sys.platform == "darwin":
+        suffix = ".dylib"
+    elif os.name == "nt":
+        # No Windows build target yet: the path simply never exists, so
+        # available() is False and every native consumer takes its pure
+        # Python fallback (grep -> re, tokenizer -> host hashing).
+        suffix = ".dll"
+    else:
+        suffix = ".so"
     return _PKG_DIR / "_native" / f"libsemtools_native{suffix}"
 
 

@@ -15,9 +15,15 @@ store.rs:128-170) and our store documents in
 ``Store.upsert_documents_bulk`` / ``Store.compact``.
 """
 
+import os
+
 import pytest
 
 from tests import crash_harness as ch
+
+pytestmark = pytest.mark.skipif(
+    os.name != "posix", reason="SIGKILL crash injection is POSIX-only"
+)
 
 
 @pytest.mark.parametrize("phase", sorted(ch.PHASES))

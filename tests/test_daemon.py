@@ -9,6 +9,10 @@ import pytest
 
 from semtools_tpu import daemon
 
+pytestmark = pytest.mark.skipif(
+    not daemon.supported(), reason="daemon requires unix sockets"
+)
+
 
 @pytest.fixture()
 def running_daemon(tmp_path, monkeypatch):

@@ -11,6 +11,13 @@ a TPU pod would route over ICI/DCN.
 
 from __future__ import annotations
 
+import os
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.name != "posix", reason="gloo multihost bootstrap is POSIX-only here"
+)
+
 import json
 import socket
 import subprocess
