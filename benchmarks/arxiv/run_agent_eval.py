@@ -461,6 +461,15 @@ def main():
     from semtools_tpu.store import Workspace
 
     files = sorted(str(p) for p in (corpus_root / "full_text").glob("*.txt"))
+    # Standing real-model hook: load_model resolves real model2vec
+    # artifacts when present (local HF cache, SEMTOOLS_TPU_MODEL_DIR, or
+    # a first-run hub fetch on a networked host) and the acquisition
+    # record below says which path this run actually took — so the
+    # moment any networked environment re-runs this eval, the real-model
+    # rows fill in with zero code changes (benchmarks/README.md).
+    from run_retrieval_eval import attempt_model_acquisition
+
+    acquisition = attempt_model_acquisition()
     model = load_model()
     os.environ["SEMTOOLS_WORKSPACE"] = "agent-eval"
     Workspace.open("agent-eval").save()
@@ -516,6 +525,7 @@ def main():
         "fault_injection_crashes": sum(1 for r in faults if r["crashed"]),
         "fault_injection_ok": sum(1 for r in faults if r.get("ok")),
         "wall_seconds": time.perf_counter() - t_start,
+        "model_acquisition": acquisition,
     }
     out_path.write_text(json.dumps(
         {"aggregate": agg, "per_question": results,

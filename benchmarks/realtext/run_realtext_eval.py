@@ -129,7 +129,20 @@ def _grep_truth(files, pattern):
 
 
 def main():
-    out_path = Path(__file__).parent / "RESULTS_REALTEXT.json"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="result path (default: RESULTS_REALTEXT.json beside this "
+        "script); use a scratch path for smoke runs so committed "
+        "results are not clobbered",
+    )
+    args = ap.parse_args()
+    out_path = (
+        Path(args.out) if args.out else Path(__file__).parent / "RESULTS_REALTEXT.json"
+    )
     corpus = Path(__file__).parent / "corpus"
     if not corpus.exists():
         from build_corpus import build

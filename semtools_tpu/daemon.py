@@ -17,9 +17,14 @@ The client is transparent: ``semtools`` forwards to a running daemon when
 ``SEMTOOLS_TPU_DAEMON=1`` (or ``auto`` + socket present). Start one with
 ``semtools daemon start`` (foreground: ``semtools daemon run``).
 
-Commands run one at a time under a lock — the device is single-tenant
-anyway. Output is captured, so TTY-dependent ANSI highlighting is off in
-daemon mode (same behavior as any piped invocation).
+Mutating commands run one at a time under an exclusive gate. Read-only
+commands (`search`, `workspace status`) run CONCURRENTLY when they share
+an execution context (cwd + forwarded env): queries scan a frozen
+generation of the store (the compaction design's epoch copy-on-write
+keeps superseded epochs immutable for lock-free readers), so N parallel
+agent tool calls cost ~one batched search instead of N serialized scans.
+Output is captured, so TTY-dependent ANSI highlighting is off in daemon
+mode (same behavior as any piped invocation).
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ import socket
 import socketserver
 import sys
 import threading
+import time
 from pathlib import Path
 from typing import Optional
 
@@ -56,7 +62,213 @@ def socket_path() -> Path:
 
 # -- server -----------------------------------------------------------------
 
-_run_lock = threading.Lock()
+
+def _read_only(argv) -> bool:
+    """Commands that never need the exclusive gate.
+
+    `search` and `workspace status` are queries: they read the store at a
+    frozen generation (epoch copy-on-write keeps superseded vector files
+    immutable), and the incremental upsert a workspace search may perform
+    for changed files is already safe under concurrent writers — the
+    store's cross-process flock (one per Store instance, so it also
+    serializes threads), idempotent copy-on-write upserts, and
+    generation-keyed device-cache invalidation are exactly the mechanisms
+    the daemon-vs-CLI-writer soak exercises across processes. Everything
+    else (parse, workspace index/compact/prune/use, ask) stays exclusive.
+    """
+    if argv and argv[0] == "search":
+        return True
+    return len(argv) >= 2 and argv[0] == "workspace" and argv[1] == "status"
+
+
+def _install_ctx(cwd, env_overrides):
+    """Apply a request's cwd + env to the process; returns restore state.
+
+    Only ever called while NO other command is mid-flight (the gate
+    guarantees it), so mutating process globals is safe — and os.environ
+    is the daemon's own pristine environment at that instant, which is
+    why the stale-SEMTOOLS_*-unset list is computed HERE: the request env
+    is authoritative for the whole forwardable SEMTOOLS_ namespace, so
+    any such var set in the daemon's env but absent from the request is
+    unset for the command's duration. (Computing the unset list earlier,
+    from a live os.environ another reader may have already mutated, made
+    two identical requests hash to different contexts.)
+    """
+    effective = dict(env_overrides)
+    for k in list(os.environ):
+        if (
+            k.startswith("SEMTOOLS_")
+            and k not in effective
+            and _env_key_forwardable(k)
+        ):
+            effective[k] = None
+    saved_cwd = os.getcwd()
+    saved_env = {k: os.environ.get(k) for k in effective}
+    if cwd:
+        os.chdir(cwd)
+    for k, v in effective.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    return saved_cwd, saved_env
+
+
+def _restore_ctx(state) -> None:
+    saved_cwd, saved_env = state
+    os.chdir(saved_cwd)
+    for k, v in saved_env.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+class _Gate:
+    """Reader/writer gate with execution-context matching.
+
+    Readers (read-only commands) share the gate when their execution
+    context — (cwd, env overrides) — is IDENTICAL: the process-global
+    cwd/env is installed once by the first reader in and restored by the
+    last reader out, so concurrent readers all see the context they
+    asked for. An agent's parallel tool calls come from one process and
+    therefore one context; a reader with a different context simply
+    waits like a writer would. Writers are fully exclusive.
+
+    Acquisition is bounded by the daemon's busy wait — a caller that
+    cannot start in time gets ``{"busy": true}`` and runs locally, same
+    contract as the old single lock.
+    """
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._ctx = None
+        self._saved = None
+
+    def acquire_reader(self, cwd, env_overrides, timeout: float) -> bool:
+        ctx = (cwd or None, tuple(sorted(env_overrides.items())))
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while self._writer or (self._readers > 0 and self._ctx != ctx):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._cond.wait(remaining)
+            if self._readers == 0:
+                self._saved = _install_ctx(cwd, env_overrides)
+                self._ctx = ctx
+            self._readers += 1
+            return True
+
+    def release_reader(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                _restore_ctx(self._saved)
+                self._saved = None
+                self._ctx = None
+            self._cond.notify_all()
+
+    def acquire_writer(self, timeout: float) -> bool:
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while self._writer or self._readers > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._cond.wait(remaining)
+            self._writer = True
+            return True
+
+    def release_writer(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
+_gate = _Gate()
+
+
+class _StreamRouter:
+    """sys.stdout/stderr/stdin shim routing per-thread capture buffers.
+
+    Concurrent reader commands each push their own StringIO; any thread
+    without a pushed buffer (the daemon's own logging, exclusive
+    commands' worker threads under plain global redirection) falls back
+    to the underlying stream. Attribute access (isatty, encoding, ...)
+    delegates to whichever target is active for the calling thread, so a
+    captured command sees StringIO semantics (isatty() False) exactly as
+    under contextlib.redirect_stdout.
+    """
+
+    def __init__(self, fallback) -> None:
+        self._fallback = fallback
+        self._local = threading.local()
+
+    def _target(self):
+        return getattr(self._local, "stream", None) or self._fallback
+
+    def push(self, stream) -> None:
+        self._local.stream = stream
+
+    def pop(self) -> None:
+        self._local.stream = None
+
+    def write(self, s):
+        return self._target().write(s)
+
+    def read(self, *a):
+        return self._target().read(*a)
+
+    def readline(self, *a):
+        return self._target().readline(*a)
+
+    def flush(self):
+        return self._target().flush()
+
+    def __getattr__(self, name):
+        return getattr(self._target(), name)
+
+    def __iter__(self):
+        return iter(self._target())
+
+
+_routers_lock = threading.Lock()
+_routers = None
+
+
+def _ensure_routers():
+    """Install the stream routers (idempotent, thread-safe).
+
+    Installed lazily on the first concurrent-capable command rather than
+    at import so plain CLI processes never pay the indirection. If some
+    other stream-capture machinery displaced a router from sys.* since
+    (pytest's capsys does this between tests), re-install it with the
+    displacing stream as the new fallback — only ever done while no
+    reader is mid-flight for that stream's gate, and pushed thread-local
+    buffers are unaffected either way.
+    """
+    global _routers
+    with _routers_lock:
+        if _routers is None:
+            _routers = (
+                _StreamRouter(sys.stdout),
+                _StreamRouter(sys.stderr),
+                _StreamRouter(sys.stdin),
+            )
+        r_out, r_err, r_in = _routers
+        if sys.stdout is not r_out:
+            r_out._fallback = sys.stdout
+            sys.stdout = r_out
+        if sys.stderr is not r_err:
+            r_err._fallback = sys.stderr
+            sys.stderr = r_err
+        if sys.stdin is not r_in:
+            r_in._fallback = sys.stdin
+            sys.stdin = r_in
+        return _routers
 
 
 def _busy_wait_s() -> float:
@@ -156,33 +368,20 @@ def _run_command(req) -> dict:
         )
     ):
         return {"stdout": "", "stderr": "daemon: bad request\n", "exit": 2}
+    # Filtered request env only; the authoritative unset of stale daemon
+    # SEMTOOLS_* state happens inside _install_ctx, against the pristine
+    # process env (see its docstring).
     env_overrides = {k: v for k, v in env_in.items() if _env_key_forwardable(k)}
-    # The request env is authoritative for the SEMTOOLS_ namespace: any
-    # SEMTOOLS_* var set in the daemon's (possibly stale) environment but
-    # absent from the request is unset for the duration of the command,
-    # so daemon-start-time state never leaks into clients that unset it.
-    for k in list(os.environ):
-        if (
-            k.startswith("SEMTOOLS_")
-            and k not in env_overrides
-            and _env_key_forwardable(k)
-        ):
-            env_overrides[k] = None
 
-    if not _run_lock.acquire(timeout=_busy_wait_s()):
+    if _read_only(argv):
+        return _run_reader(argv, stdin_text, cwd, env_overrides)
+
+    if not _gate.acquire_writer(timeout=_busy_wait_s()):
         return {"busy": True}
     try:
-        old_cwd = os.getcwd()
-        old_env = {k: os.environ.get(k) for k in env_overrides}
+        ctx_state = _install_ctx(cwd, env_overrides)
         out, err = io.StringIO(), io.StringIO()
         try:
-            if cwd:
-                os.chdir(cwd)
-            for k, v in env_overrides.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
             stdin = io.StringIO(stdin_text) if stdin_text is not None else io.StringIO()
             with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
                 old_stdin = sys.stdin
@@ -200,15 +399,44 @@ def _run_command(req) -> dict:
             err.write(f"Error: {e}\n")
             code = 1
         finally:
-            os.chdir(old_cwd)
-            for k, v in old_env.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+            _restore_ctx(ctx_state)
         return {"stdout": out.getvalue(), "stderr": err.getvalue(), "exit": code}
     finally:
-        _run_lock.release()
+        _gate.release_writer()
+
+
+def _run_reader(argv, stdin_text, cwd, env_overrides) -> dict:
+    """Execute a read-only command under the shared side of the gate.
+
+    Capture goes through the thread-local stream routers instead of
+    contextlib's global redirection, so concurrent readers never see each
+    other's output; cwd/env are installed by the gate (first reader in,
+    last reader out, contexts proven identical)."""
+    from semtools_tpu.cli import main as cli_main
+
+    if not _gate.acquire_reader(cwd, env_overrides, timeout=_busy_wait_s()):
+        return {"busy": True}
+    try:
+        r_out, r_err, r_in = _ensure_routers()
+        out, err = io.StringIO(), io.StringIO()
+        stdin = io.StringIO(stdin_text) if stdin_text is not None else io.StringIO()
+        r_out.push(out)
+        r_err.push(err)
+        r_in.push(stdin)
+        try:
+            code = cli_main(argv)
+        except SystemExit as e:
+            code = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
+        except Exception as e:  # never kill the daemon on a command error
+            err.write(f"Error: {e}\n")
+            code = 1
+        finally:
+            r_out.pop()
+            r_err.pop()
+            r_in.pop()
+        return {"stdout": out.getvalue(), "stderr": err.getvalue(), "exit": code}
+    finally:
+        _gate.release_reader()
 
 
 class _Server(socketserver.ThreadingUnixStreamServer):
@@ -277,6 +505,15 @@ def _warm() -> None:
         print(f"daemon: workspace warm skipped ({e})", file=sys.stderr)
         return
     try:
+        from semtools_tpu.store.store import _DB_FILE
+
+        if not (Path(ws.config.root_dir) / _DB_FILE).exists():
+            # A warm-up must never CREATE a store either: Store() on a
+            # fresh workspace would pin the default 256-dim layout before
+            # the first real search decides the dim from the actual model
+            # (found via the daemon-parallel bench: a 64-dim model then
+            # failed every upsert against the warm-created 256-dim store).
+            return
         # Open WITHOUT a model name: passing one would invalidate stored
         # rows when the workspace was built with a different model — a
         # warm-up must never mutate the store.

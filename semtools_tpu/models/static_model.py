@@ -34,6 +34,7 @@ import json
 import os
 import struct
 import sys
+import threading
 from pathlib import Path
 from typing import List, Optional, Sequence
 
@@ -201,6 +202,9 @@ def _fallback_table() -> np.ndarray:
 
 
 _MODEL_CACHE: dict = {}
+# Concurrent daemon readers may race a cold from_pretrained; the lock
+# keeps the artifact read + device table upload single-flight.
+_MODEL_CACHE_LOCK = threading.Lock()
 
 
 class StaticModel:
@@ -234,15 +238,16 @@ class StaticModel:
         # must not re-read artifacts and re-upload the embedding table on
         # every command. Models are immutable after load.
         key = (name_or_path, normalize_override, subfolder)
-        cached = _MODEL_CACHE.get(key)
-        if cached is not None:
-            return cached
-        model = cls._from_pretrained_uncached(
-            name_or_path, hf_token=hf_token,
-            normalize_override=normalize_override, subfolder=subfolder,
-        )
-        _MODEL_CACHE[key] = model
-        return model
+        with _MODEL_CACHE_LOCK:
+            cached = _MODEL_CACHE.get(key)
+            if cached is not None:
+                return cached
+            model = cls._from_pretrained_uncached(
+                name_or_path, hf_token=hf_token,
+                normalize_override=normalize_override, subfolder=subfolder,
+            )
+            _MODEL_CACHE[key] = model
+            return model
 
     @classmethod
     def _from_pretrained_uncached(

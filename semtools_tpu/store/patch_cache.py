@@ -41,6 +41,7 @@ freed-slots-score-similarity-0 invariant every serving path relies on.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -668,15 +669,42 @@ def is_warm(
     return isinstance(device_cache.peek(key), SlotCorpus)
 
 
+# get() mutates the cached SlotCorpus IN PLACE when catching a stale entry
+# up to the current generation (_patch donates the device buffer) — two
+# threads patching the same entry would race on a donated/deleted array.
+# The daemon's concurrent read path serializes get() per cache key; the
+# scan itself (on the returned immutable jax array) stays concurrent.
+# Keys are bounded by the device cache's own entry budget, so the lock
+# table never grows meaningfully.
+_get_locks_guard = threading.Lock()
+_get_locks: Dict[tuple, threading.Lock] = {}
+
+
+def _key_lock(key: tuple) -> threading.Lock:
+    with _get_locks_guard:
+        lk = _get_locks.get(key)
+        if lk is None:
+            lk = _get_locks[key] = threading.Lock()
+        return lk
+
+
 def get(
     store, kind: str, reduced_dim: Optional[int] = None, mesh=None
 ) -> Optional[SlotCorpus]:
     """Current-generation slot corpus for ``store`` — cache hit, in-place
     patch, or full rebuild, in that order of preference. With ``mesh``
     the corpus is row-sharded over it and patches apply to the sharded
-    array in place (GSPMD partitions the dynamic_update_slice)."""
+    array in place (GSPMD partitions the dynamic_update_slice).
+    Thread-safe: serialized per cache key (see _key_lock)."""
     n_dev = int(mesh.devices.size) if mesh is not None else 0
     key = (str(store.dir), "slot", kind, reduced_dim or 0, n_dev)
+    with _key_lock(key):
+        return _get_locked(store, kind, reduced_dim, mesh, key)
+
+
+def _get_locked(
+    store, kind: str, reduced_dim: Optional[int], mesh, key: tuple
+) -> Optional[SlotCorpus]:
     gen = store.generation()
     cached = device_cache.peek(key)
     if isinstance(cached, SlotCorpus):

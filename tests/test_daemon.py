@@ -198,12 +198,15 @@ def test_busy_daemon_answers_instead_of_queueing(monkeypatch):
     from semtools_tpu import daemon
 
     monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_BUSY_WAIT_S", "0.05")
-    assert daemon._run_lock.acquire(timeout=1)
+    assert daemon._gate.acquire_writer(timeout=1)
     try:
         resp = daemon._run_command({"argv": ["--version"]})
+        # a READ-ONLY command queues behind a writer the same bounded way
+        resp_r = daemon._run_command({"argv": ["search", "q"]})
     finally:
-        daemon._run_lock.release()
+        daemon._gate.release_writer()
     assert resp == {"busy": True}
+    assert resp_r == {"busy": True}
     # and with the lock free the same request executes normally
     resp = daemon._run_command({"argv": ["--version"]})
     assert resp.get("exit") == 0
@@ -321,3 +324,177 @@ def test_exact_cap_request_is_accepted(running_daemon, monkeypatch):
     monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_MAX_REQUEST", str(cap - 1))
     resp = json.loads(_raw_request(body + b"\n"))
     assert resp.get("too_large") is True
+
+
+# ---------------------------------------------------------------------------
+# Concurrent read path: queries share the gate, mutations stay exclusive
+
+
+def test_read_only_classification():
+    assert daemon._read_only(["search", "q", "f.txt"])
+    assert daemon._read_only(["search", "-Q", "qs.txt", "f.txt"])
+    assert daemon._read_only(["workspace", "status"])
+    assert daemon._read_only(["workspace", "status", "-j"])
+    for argv in (
+        ["workspace", "index"],
+        ["workspace", "use", "w"],
+        ["workspace", "compact"],
+        ["workspace", "prune"],
+        ["parse", "a.pdf"],
+        ["ask", "question"],
+        ["--version"],
+        [],
+    ):
+        assert not daemon._read_only(argv)
+
+
+def test_gate_readers_share_same_ctx(tmp_path):
+    gate = daemon._Gate()
+    assert gate.acquire_reader(str(tmp_path), {}, timeout=1)
+    try:
+        # identical ctx joins without waiting for the first to release
+        assert gate.acquire_reader(str(tmp_path), {}, timeout=0.05)
+        gate.release_reader()
+    finally:
+        gate.release_reader()
+
+
+def test_gate_different_ctx_and_writers_exclude(tmp_path):
+    gate = daemon._Gate()
+    other = tmp_path / "other"
+    other.mkdir()
+    assert gate.acquire_reader(str(tmp_path), {}, timeout=1)
+    try:
+        # different cwd -> bounded wait, then busy
+        assert not gate.acquire_reader(str(other), {}, timeout=0.05)
+        # different env overrides -> busy too
+        assert not gate.acquire_reader(str(tmp_path), {"SEMTOOLS_X": "1"}, timeout=0.05)
+        # writers wait for readers to drain
+        assert not gate.acquire_writer(timeout=0.05)
+    finally:
+        gate.release_reader()
+    assert gate.acquire_writer(timeout=1)
+    try:
+        assert not gate.acquire_reader(str(tmp_path), {}, timeout=0.05)
+    finally:
+        gate.release_writer()
+    assert gate.acquire_reader(str(tmp_path), {}, timeout=1)
+    gate.release_reader()
+
+
+def test_gate_installs_ctx_first_in_restores_last_out(tmp_path, monkeypatch):
+    import os
+
+    gate = daemon._Gate()
+    monkeypatch.setenv("SEMTOOLS_GATE_PROBE", "daemon-value")
+    start_cwd = os.getcwd()
+    assert gate.acquire_reader(str(tmp_path), {"SEMTOOLS_GATE_PROBE": "client"}, timeout=1)
+    assert os.getcwd() == str(tmp_path)
+    assert os.environ["SEMTOOLS_GATE_PROBE"] == "client"
+    # second reader, same ctx: no reinstall needed, state already right
+    assert gate.acquire_reader(str(tmp_path), {"SEMTOOLS_GATE_PROBE": "client"}, timeout=1)
+    gate.release_reader()
+    # still installed: one reader remains
+    assert os.environ["SEMTOOLS_GATE_PROBE"] == "client"
+    gate.release_reader()
+    # last reader out restores the daemon's own cwd/env
+    assert os.getcwd() == start_cwd
+    assert os.environ["SEMTOOLS_GATE_PROBE"] == "daemon-value"
+
+
+def test_concurrent_searches_truly_overlap(running_daemon, tmp_path, monkeypatch):
+    """Two forwarded searches must be INSIDE command execution at the same
+    instant — a barrier inside a stubbed cli main proves overlap
+    deterministically (the old single lock would deadlock this test)."""
+    import semtools_tpu.cli as cli
+
+    barrier = threading.Barrier(2, timeout=10)
+    real_main = cli.main
+
+    def barrier_main(argv):
+        if argv and argv[0] == "search":
+            barrier.wait()  # both threads must arrive -> true overlap
+            print(f"served {argv[1]}")
+            return 0
+        return real_main(argv)
+
+    monkeypatch.setattr(cli, "main", barrier_main)
+    results = [None, None]
+
+    def one(i):
+        results[i] = daemon._request({
+            "argv": ["search", f"q{i}"], "stdin": None,
+            "cwd": str(tmp_path), "env": {},
+        })
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for i, resp in enumerate(results):
+        assert resp is not None and resp["exit"] == 0
+        # output isolation: each reader sees ONLY its own capture
+        assert resp["stdout"] == f"served q{i}\n"
+
+
+def test_concurrent_real_searches_end_to_end(running_daemon, tmp_path):
+    """N real stdin searches race through the shared gate; every reply is
+    complete, correct, and uncorrupted."""
+    corpus = "alpha cat\nbeta database\ngamma tensor\n"
+    results = [None] * 6
+
+    def one(i):
+        results[i] = daemon._request({
+            "argv": ["search", "database", "--top-k", "1", "-n", "0"],
+            "stdin": corpus, "cwd": str(tmp_path), "env": {},
+        })
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for resp in results:
+        assert resp is not None and resp["exit"] == 0, resp
+        assert "<stdin>" in resp["stdout"]
+        assert "database" in resp["stdout"]
+
+
+def test_reader_and_writer_ctx_restore_after_mix(running_daemon, tmp_path):
+    """Interleaved reader/writer commands leave the daemon's own cwd/env
+    untouched once quiescent."""
+    import os
+
+    start_cwd = os.getcwd()
+    r1 = daemon._run_command({
+        "argv": ["search", "beta", "-n", "0"], "stdin": "alpha\nbeta\n",
+        "cwd": str(tmp_path), "env": {"SEMTOOLS_TPU_PLATFORM": "cpu"},
+    })
+    w1 = daemon._run_command({
+        "argv": ["--version"], "stdin": None,
+        "cwd": str(tmp_path), "env": {},
+    })
+    assert r1["exit"] == 0 and w1["exit"] == 0
+    assert os.getcwd() == start_cwd
+
+
+def test_warm_never_creates_a_store(tmp_path, monkeypatch):
+    """Warming an ACTIVE but not-yet-indexed workspace must not create its
+    store: Store() on a fresh dir would pin the default 256-dim layout
+    before the first real search decides the dim from the actual model."""
+    from pathlib import Path
+
+    from semtools_tpu.store import Workspace
+    from semtools_tpu.store.store import _DB_FILE
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.setenv("SEMTOOLS_TPU_PLATFORM", "cpu")
+    monkeypatch.setenv("SEMTOOLS_WORKSPACE", "fresh")
+    monkeypatch.setenv(
+        "SEMTOOLS_TPU_MODEL_DIR",
+        str(Path(__file__).parent / "fixtures" / "potion_mini"),
+    )
+    daemon._warm()
+    ws = Workspace.open("fresh")
+    assert not (Path(ws.config.root_dir) / _DB_FILE).exists()

@@ -120,12 +120,14 @@ class TestAgainstDaemon:
         busy reply and run locally — not queue behind the running
         command for the full socket timeout."""
         monkeypatch.setenv("SEMTOOLS_TPU_DAEMON_BUSY_WAIT_S", "0.05")
-        assert daemon._run_lock.acquire(timeout=1)
+        # A writer holds the gate exclusively — even read-only commands
+        # (search) must get the bounded busy reply while it's in flight.
+        assert daemon._gate.acquire_writer(timeout=1)
         try:
             r = _run(client, env, ["search", "beta", "-n", "0"],
                      stdin_text="alpha\nbeta\n")
         finally:
-            daemon._run_lock.release()
+            daemon._gate.release_writer()
         assert r.returncode == 0, r.stderr
         assert "<stdin>" in r.stdout
 
