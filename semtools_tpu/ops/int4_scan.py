@@ -136,6 +136,9 @@ def _clamp_tile_to_padding(tile_n: int, n_rows: int, n_true) -> int:
     return tile_n
 
 
+_QUANT_CHUNK_ELEMS = 1 << 24  # bounds quantize temporaries to ~64 MB f32
+
+
 def quantize_pack_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
     """Symmetric 4-bit quantization with one global scale, split-half
     packed: returns ([N, D/2] int8, scale) with x ~= unpack(packed) * scale.
@@ -146,14 +149,26 @@ def quantize_pack_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
     n, d = x.shape
     if d % 2:
         raise ValueError(f"int4 packing needs an even dim, got {d}")
-    amax = float(np.max(np.abs(x))) if x.size else 0.0
+    # Chunked like int8_scan.quantize_global: the straight-line temporaries
+    # are ~3x the corpus and OOM at capacity-ladder sizes (30M+ rows).
+    rows_per_chunk = max(_QUANT_CHUNK_ELEMS // d, 1)
+    amax = 0.0
+    for i in range(0, n, rows_per_chunk):
+        blk = x[i : i + rows_per_chunk]
+        if blk.size:
+            amax = max(amax, float(np.max(np.abs(blk))))
     scale = amax / 7.0
     if scale == 0.0:
         # packed zero VECTORS (0x08 bytes), not zero bytes — see
         # PACKED_ZERO_BYTE for why the distinction matters.
         return np.full((n, d // 2), PACKED_ZERO_BYTE, np.int8), 0.0
-    q = np.clip(np.rint(x / scale), -7, 7).astype(np.int8)
-    return pack_int4(q), scale
+    out = np.empty((n, d // 2), np.int8)
+    for i in range(0, n, rows_per_chunk):
+        q = np.clip(
+            np.rint(x[i : i + rows_per_chunk] / scale), -7, 7
+        ).astype(np.int8)
+        out[i : i + rows_per_chunk] = pack_int4(q)
+    return out, scale
 
 
 def pack_int4(q: np.ndarray) -> np.ndarray:

@@ -68,14 +68,37 @@ def tile_for_rows(n: int) -> int:
 _NEG_INF = float("-inf")
 
 
+_QUANT_CHUNK = 1 << 24  # elements; bounds temporaries to ~64 MB f32
+
+
 def quantize_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
-    """Symmetric int8 quantization with one global scale: x ~= q * scale."""
+    """Symmetric int8 quantization with one global scale: x ~= q * scale.
+
+    Large inputs are quantized chunk-wise: the straight-line expression
+    holds ~3 corpus-sized f32 temporaries live at once, which at the
+    capacity-ladder sizes (60M x 256 = 61 GB) exceeds host RAM."""
     x = np.asarray(x, np.float32)
-    amax = float(np.max(np.abs(x))) if x.size else 0.0
+    if x.size <= _QUANT_CHUNK:
+        amax = float(np.max(np.abs(x))) if x.size else 0.0
+        scale = amax / 127.0
+        if scale == 0.0:
+            return np.zeros(x.shape, np.int8), 0.0
+        q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
+        return q, scale
+    flat = x.reshape(-1)
+    step = _QUANT_CHUNK
+    amax = 0.0
+    for i in range(0, flat.size, step):
+        amax = max(amax, float(np.max(np.abs(flat[i : i + step]))))
     scale = amax / 127.0
     if scale == 0.0:
         return np.zeros(x.shape, np.int8), 0.0
-    q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
+    q = np.empty(x.shape, np.int8)
+    qf = q.reshape(-1)
+    for i in range(0, flat.size, step):
+        qf[i : i + step] = np.clip(
+            np.rint(flat[i : i + step] / scale), -127, 127
+        )
     return q, scale
 
 

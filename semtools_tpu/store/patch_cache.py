@@ -375,12 +375,63 @@ def _device_put(buf: np.ndarray, mesh):
     return jax.device_put(buf, NamedSharding(mesh, P(SHARD_AXIS, None)))
 
 
+_BUILD_CHUNK_ROWS = 1 << 20  # 1 GB of f32 at D=256 per streamed chunk
+
+
+def _occupied_slot_chunks(mm, ranges, chunk_rows: int):
+    """Yield (slot_start, [rows, D] f32 slot-space block) covering
+    [0, cap) in ``chunk_rows`` steps: occupied slots copied from the
+    mmap, unoccupied slots zero — the same slot-space image the
+    full-buffer assembly produced, without ever materializing it."""
+    cap = mm.shape[0]
+    spans = sorted((s, s + n) for _, s, n, _rev in ranges if n)
+    si = 0
+    for c0 in range(0, cap, chunk_rows):
+        c1 = min(c0 + chunk_rows, cap)
+        block = np.zeros((c1 - c0, mm.shape[1]), np.float32)
+        while si < len(spans) and spans[si][1] <= c0:
+            si += 1
+        j = si
+        while j < len(spans) and spans[j][0] < c1:
+            s, e = max(spans[j][0], c0), min(spans[j][1], c1)
+            block[s - c0 : e - c0] = mm[s:e]
+            j += 1
+        yield c0, block
+
+
+def _sample_occupied(mm, ranges, sample_rows: int, seed: int = 0) -> np.ndarray:
+    """Up to ``sample_rows`` occupied rows for rotation fitting. The
+    second-moment fit is row-order invariant, so gathering spans in slot
+    order matches the full-buffer fit exactly whenever every occupied row
+    is taken (zero slots contribute nothing to an uncentered moment)."""
+    spans = sorted((s, s + n) for _, s, n, _rev in ranges if n)
+    total = sum(e - s for s, e in spans)
+    if total <= sample_rows:
+        return np.concatenate([np.asarray(mm[s:e]) for s, e in spans]) \
+            if spans else np.zeros((0, mm.shape[1]), np.float32)
+    rng = np.random.default_rng(seed)
+    starts = np.array([s for s, _ in spans], np.int64)
+    lens = np.array([e - s for s, e in spans], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    picks = np.sort(rng.choice(total, sample_rows, replace=False))
+    span_of = np.searchsorted(offs, picks, side="right") - 1
+    slots = starts[span_of] + (picks - offs[span_of])
+    return np.asarray(mm[slots])
+
+
 def _build(
     store, kind: str, reduced_dim: Optional[int], mesh=None, gen: int = 0
 ) -> Optional[SlotCorpus]:
     # ``gen`` was read BEFORE the layout/mmap: if a concurrent writer
     # lands in between, the entry is stamped with the OLDER generation
     # and the next query re-patches — stale data is never marked current.
+    #
+    # Memory contract: O(chunk + output). A 60M-row store's f32 image is
+    # 61 GB; the full-buffer assembly this replaced (plus quantize_global
+    # temporaries) peaked at ~3x that and OOM'd the capacity-ladder sizes
+    # the quantized tiers exist for. The slot-space image is streamed in
+    # 1M-row chunks: pass 1 fits rotation (sampled) + global scale, pass
+    # 2 transforms each chunk straight into the padded output buffer.
     ranges = store._layout_with_rev()
     cap = store._capacity()
     if cap == 0 or not ranges:
@@ -388,28 +439,45 @@ def _build(
     mm = store._mmap("r")
     if mm is None:
         return None
-    buf = np.zeros((cap, store.dim), np.float32)
-    for _, s, n, _rev in ranges:
-        buf[s : s + n] = mm[s : s + n]
-    del mm
 
     rotation = None
     if reduced_dim:
-        from semtools_tpu.ops.reduce import fit_rotation, project
+        from semtools_tpu.ops.reduce import fit_rotation
 
-        rotation = fit_rotation(buf, reduced_dim)
-        buf = project(buf, rotation)
+        rotation = fit_rotation(
+            _sample_occupied(mm, ranges, 1 << 17), reduced_dim
+        )
+
     scale = None
-    if kind == "int8":
-        from semtools_tpu.ops.int8_scan import quantize_global
+    if kind in ("int8", "int4"):
+        # Global amax over occupied rows (projected for the reduced
+        # tier); zero slots never contribute.
+        amax = 0.0
+        for _, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
+            if rotation is not None:
+                block = block @ rotation
+            if block.size:
+                amax = max(amax, float(np.max(np.abs(block))))
+        scale = amax / (127.0 if kind == "int8" else 7.0)
 
-        buf, scale = quantize_global(buf)
-    elif kind == "int4":
-        from semtools_tpu.ops.int4_scan import quantize_pack_global
-
-        # Unoccupied slots are zero vectors here, so they pack to
-        # PACKED_ZERO_BYTE rows (the int4 zero-row encoding) for free.
-        buf, scale = quantize_pack_global(buf)
+    padded = _padded_rows(cap, mesh, kind)
+    out_dim = store.dim
+    if rotation is not None:
+        out_dim = reduced_dim
+    if kind == "int4":
+        out_dim = out_dim // 2
+    dtype = np.float32 if kind == "f32" else np.int8
+    buf = np.full((padded, out_dim), _fill_byte(kind), dtype)
+    for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
+        if kind == "f32":
+            buf[c0 : c0 + block.shape[0]] = block
+        else:
+            # _transform packs all-zero rows to the kind's zero-vector
+            # encoding (0 / PACKED_ZERO_BYTE), matching the fill.
+            buf[c0 : c0 + block.shape[0]] = _transform(
+                block, kind, rotation, scale
+            )
+    del mm
 
     # Snapshot the hash sidecar at this generation (funds the row-level
     # patch diff; None when the store predates lines.h64).
@@ -420,13 +488,6 @@ def _build(
         for _, s, n, _rev in ranges:
             hashes[s : s + n] = hm[s : s + n]
         del hm
-
-    padded = _padded_rows(cap, mesh, kind)
-    if padded > cap:
-        buf = np.concatenate([
-            buf,
-            np.full((padded - cap, buf.shape[1]), _fill_byte(kind), buf.dtype),
-        ])
     sc = SlotCorpus(
         kind=kind,
         generation=gen,

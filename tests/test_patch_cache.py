@@ -497,3 +497,61 @@ def test_no_hashes_falls_back_to_range_upload(tmp_path):
     hits = s.search_line_embeddings(rows2[3], ["/a.txt"], 1)
     assert (hits[0].path, hits[0].line_number) == ("/a.txt", 3)
     s.close()
+
+
+@pytest.mark.parametrize("kind,rd", [("f32", None), ("int8", None),
+                                     ("int8", 16), ("int4", None)])
+def test_chunked_build_matches_single_chunk(tmp_path, monkeypatch, kind, rd):
+    """_build streams the slot-space image in bounded chunks (the
+    full-buffer assembly OOM'd at capacity-ladder sizes). The streamed
+    corpus must be byte-identical to a one-chunk build on a FRAGMENTED
+    store (freed spans between occupied ranges exercise the span/chunk
+    intersection)."""
+    s = Store(str(tmp_path / "ws"), dim=32)
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        s.upsert_document_lines(f"/d{i}.txt", _unit(rng, 37 + 11 * i))
+    s.delete_documents(["/d3.txt", "/d7.txt"])  # fragmentation holes
+
+    monkeypatch.setattr(patch_cache, "_BUILD_CHUNK_ROWS", 64)
+    small = patch_cache._build(s, kind, rd)
+    monkeypatch.setattr(patch_cache, "_BUILD_CHUNK_ROWS", 1 << 30)
+    big = patch_cache._build(s, kind, rd)
+
+    assert small.scale == big.scale
+    if rd:
+        np.testing.assert_array_equal(small.rotation, big.rotation)
+    np.testing.assert_array_equal(
+        np.asarray(small.corpus), np.asarray(big.corpus)
+    )
+    np.testing.assert_array_equal(small.hashes, big.hashes)
+    s.close()
+
+
+def test_quantize_global_chunked_matches():
+    from semtools_tpu.ops import int8_scan
+    from semtools_tpu.ops.int4_scan import quantize_pack_global
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4096, 64)).astype(np.float32)
+    q_small, s_small = int8_scan.quantize_global(x)
+    try:
+        orig = int8_scan._QUANT_CHUNK
+        int8_scan._QUANT_CHUNK = 1000  # force the chunked path
+        q_chunk, s_chunk = int8_scan.quantize_global(x)
+    finally:
+        int8_scan._QUANT_CHUNK = orig
+    assert s_small == s_chunk
+    np.testing.assert_array_equal(q_small, q_chunk)
+
+    from semtools_tpu.ops import int4_scan
+
+    p_small, ps_small = quantize_pack_global(x)
+    try:
+        orig4 = int4_scan._QUANT_CHUNK_ELEMS
+        int4_scan._QUANT_CHUNK_ELEMS = 1000
+        p_chunk, ps_chunk = quantize_pack_global(x)
+    finally:
+        int4_scan._QUANT_CHUNK_ELEMS = orig4
+    assert ps_small == ps_chunk
+    np.testing.assert_array_equal(p_small, p_chunk)
