@@ -79,6 +79,12 @@ class SlotCorpus:
     scale: Optional[float]
     rotation: Optional[np.ndarray]
     layout: Dict[str, Tuple[int, int]]
+    # Largest discarded second-moment eigenvalue at rotation-fit time
+    # (reduced tier only): bounds the projected-away variance along any
+    # residual direction, so serving can derive a per-query statistical
+    # margin on projected-vs-exact similarity (see
+    # ops.reduce.fit_rotation_with_resid). None for unreduced kinds.
+    resid_top_eig: Optional[float] = None
     mesh: object = None  # jax Mesh when the corpus is row-sharded
     starts: np.ndarray = field(default=None)  # slot-ordered range starts
     ends: np.ndarray = field(default=None)
@@ -441,10 +447,11 @@ def _build(
         return None
 
     rotation = None
+    resid_top_eig = None
     if reduced_dim:
-        from semtools_tpu.ops.reduce import fit_rotation
+        from semtools_tpu.ops.reduce import fit_rotation_with_resid
 
-        rotation = fit_rotation(
+        rotation, resid_top_eig = fit_rotation_with_resid(
             _sample_occupied(mm, ranges, 1 << 17), reduced_dim
         )
 
@@ -495,6 +502,7 @@ def _build(
         corpus=_device_put(buf, mesh),
         scale=scale,
         rotation=rotation,
+        resid_top_eig=resid_top_eig,
         layout={p: (s, n, rev) for p, s, n, rev in ranges},
         mesh=mesh,
         hashes=hashes,

@@ -822,7 +822,15 @@ class Store:
         if n_rows < _ann_min_rows():
             return False
         budget = self._device_budget_bytes(n_rows)
-        if self._slot_rows(n_rows) * self.dim <= budget:
+        slot_rows = self._slot_rows(n_rows)
+        if slot_rows * self.dim <= budget:
+            return False
+        if self._int4_fits(slot_rows, budget):
+            # int8 over budget but the packed rung still serves on-device
+            # (exact re-rank, no recall tradeoff). Found by the capacity-
+            # ladder policy sweep: _capacity_reduced_dim returns None when
+            # int4 fits, which this check misread as "nothing fits" and
+            # handed an int4-sized corpus to IVF-PQ.
             return False
         return self._capacity_reduced_dim(n_rows) is None
 
@@ -2218,9 +2226,49 @@ class Store:
             valid, _, _ = owners(slots)
             return len(np.unique(slots[valid]))
 
+        def _topk_margin() -> np.ndarray:
+            """[Q] statistical bound (K sigmas) on |quantized - exact|
+            distance per query, for TOP-K completion.
+
+            Error sources: corpus int8 rounding (uniform +-scale/2 per
+            element -> sigma = scale*||q_eff||_2/sqrt(12)), query-side
+            rounding on the fused kernel path (sigma = q_scale/sqrt(12)
+            against ~unit rows; conservative elsewhere), and for the
+            reduced tier the projection residual — Var(x . v) is bounded
+            by the largest DISCARDED second-moment eigenvalue for any
+            unit v orthogonal to the kept subspace, so sigma_proj =
+            ||q_perp|| * sqrt(resid_top_eig). Statistical (not hard)
+            bounds, same 6-sigma model the int4 deep extraction
+            validates empirically; the hard projection bound ||q_perp||
+            would size pools by the worst conceivable row, orders of
+            magnitude past what density ever produces."""
+            sigmas = float(
+                os.environ.get("SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS", "6")
+            )
+            if reduced_dim:
+                q_r = qs @ sc.rotation
+                q_perp = qs - q_r @ sc.rotation.T
+                sig_p = np.linalg.norm(q_perp, axis=1) * np.sqrt(
+                    max(sc.resid_top_eig or 0.0, 0.0)
+                )
+                q_eff = q_r
+            else:
+                sig_p = np.zeros(qn)
+                q_eff = qs
+            sig_c = (
+                (sc.scale or 0.0)
+                * np.linalg.norm(q_eff, axis=1) / np.sqrt(12.0)
+            )
+            from semtools_tpu.ops.int8_scan import quantize_global
+
+            _, q_scale = quantize_global(q_eff)
+            sig_q = q_scale / np.sqrt(12.0)
+            return sigmas * np.sqrt(sig_p**2 + sig_c**2 + sig_q**2)
+
         k_target = min(oversample, sel_rows)
         k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
         t_margin = _threshold_margin() if max_distance is not None else None
+        k_margin = _topk_margin() if max_distance is None else None
         while True:
             i, dq = _candidates(k_sel)
             min_valid = min(_unique_valid(i[r]) for r in range(qn))
@@ -2240,15 +2288,34 @@ class Store:
                     | (worst > float(max_distance) + t_margin)
                 ))
             if (min_valid >= k_target and complete) or k_sel >= sc.capacity:
-                break
+                res = self._rerank_candidates(
+                    i, qs, owners, paths, need, top_k, max_distance
+                )
+                if res is None or k_sel >= sc.capacity:
+                    return res
+                if k_margin is None:
+                    return res  # threshold mode: t_margin already proved it
+                # TOP-K completion: every row outside the pool scores a
+                # quantized distance >= the pool's worst; once that worst
+                # clears the served k-th EXACT distance by the tier's
+                # error margin, no outside row can displace a served one.
+                # The corpus-size-scaled oversample is only a warm start —
+                # dense clusters (5000+ rows within quantization noise of
+                # each other) overflow any fixed window (measured recall
+                # 0.81 on the capacity-ladder smoke; VERDICT r3 Weak #5).
+                worst = dq[:, -1] if dq.shape[1] else np.full(qn, -np.inf)
+                kth = np.array([
+                    per[min(top_k, len(per)) - 1].distance if per else np.inf
+                    for per in res
+                ])
+                if bool(np.all(
+                    ~np.isfinite(worst) | (worst >= kth + k_margin)
+                )):
+                    return res
             k_sel = min(
                 max(2 * k_sel, k_sel + (k_target - min_valid) + patch_cache._SLACK),
                 sc.capacity,
             )
-
-        return self._rerank_candidates(
-            i, qs, owners, paths, need, top_k, max_distance
-        )
 
     def _rerank_candidates(
         self, i: np.ndarray, qs: np.ndarray, owners, paths,

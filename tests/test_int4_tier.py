@@ -183,3 +183,29 @@ def test_int4_tier_sharded(tmp_path, monkeypatch):
     for rl, o in zip(got, order):
         np.testing.assert_allclose(rl.distance, exact[o], atol=1e-5)
     s.close()
+
+
+def test_int4_rung_outranks_ann_tier(tmp_path, monkeypatch):
+    """A corpus whose int8 image is over budget but whose packed image
+    fits must serve on-device int4 — NOT IVF-PQ, even with a fresh ANN
+    index on disk. Regression: _use_ann_tier inferred "nothing fits"
+    from _capacity_reduced_dim's None, which is also what int4-fits
+    returns, so an int4-sized store with an index demoted itself to the
+    host ANN tier (found by the capacity-ladder policy sweep)."""
+    monkeypatch.delenv("SEMTOOLS_TPU_STORE_INT4", raising=False)
+    s = Store(str(tmp_path / "wsa"), dim=32)
+    rng = np.random.default_rng(9)
+    rows = _unit(rng, 400, 32)
+    s.upsert_document_lines("/a.txt", rows)
+    n = 400
+    monkeypatch.setenv("SEMTOOLS_TPU_ANN_MIN_ROWS", "100")
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(n * 24))
+    s.build_ann_index(force=True)
+    assert not s._use_ann_tier(n)
+    assert s.serving_tier(n) == "int4-mxu-scan"
+    got = s.search_line_embeddings(rows[7], ["/a.txt"], top_k=3)
+    assert got[0].line_number == 7 and got[0].distance < 1e-5
+    # once even the packed + reduced images blow the budget, ANN engages
+    monkeypatch.setenv("SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(n * 2))
+    assert s._use_ann_tier(n)
+    s.close()

@@ -147,3 +147,39 @@ def test_threshold_boundary_beyond_oversample(tmp_path, monkeypatch, tier,
         f"got  {got_pairs}\nwant {want}"
     )
     s.close()
+
+
+@pytest.mark.parametrize("tier,env", TIERS, ids=[t[0] for t in TIERS])
+def test_dense_cluster_topk_completion(tmp_path, monkeypatch, tier, env):
+    """TOP-K (no threshold) completion under quantization noise: a dense
+    cluster puts FAR more rows within the tier's sim error of the true
+    top-k than any fixed oversample window holds. The margin-bounded
+    completion (store._search_slot_cached_batched) must grow the pool
+    until the served set equals the exact one. Found by the
+    capacity-ladder smoke: reduced-64d recall measured 0.81 on a
+    5000-rows-per-cluster corpus with the corpus-size-scaled oversample
+    alone (VERDICT r3 Weak #5)."""
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    rng = np.random.default_rng(4)
+    # one dense cluster of 3000 rows + background
+    center = rng.standard_normal(DIM).astype(np.float32)
+    rows = center + 0.15 * rng.standard_normal((3000, DIM)).astype(np.float32)
+    bg = rng.standard_normal((500, DIM)).astype(np.float32)
+    rows = np.concatenate([rows, bg]).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    s = Store(str(tmp_path / "ws"), dim=DIM)
+    s.upsert_document_lines("/a.txt", rows)
+    n = s.count_line_embeddings()
+    for k, v in env.items():
+        if v == "small":
+            v = str(s._slot_rows(n) * 32)
+        monkeypatch.setenv(k, v)
+    # a fixed window would hold ~40-2048 candidates; the cluster's 3000
+    # noise-tied rows need the completion loop
+    q = rows[17] + 0.05 * rng.standard_normal(DIM).astype(np.float32)
+    q /= np.linalg.norm(q)
+    d = 1.0 - rows.astype(np.float64) @ q.astype(np.float64)
+    want = list(np.lexsort((np.arange(len(d)), d))[:10])
+    got = s.search_line_embeddings(q, ["/a.txt"], top_k=10)
+    assert [rl.line_number for rl in got] == want, f"{tier}: topk diverged"
+    s.close()
