@@ -79,7 +79,11 @@ def project(x: np.ndarray, rotation: np.ndarray) -> np.ndarray:
 
 
 def reduced_oversample(n_rows: int, top_k: int = 10) -> int:
-    """Candidate depth for the reduced tier's exact re-rank.
+    """INITIAL candidate depth for the reduced tier's exact re-rank — a
+    warm start for the margin-bounded completion loop
+    (store._search_slot_cached_batched), which grows the pool until
+    recall is provably safe. A good warm start saves growth iterations;
+    it no longer determines recall.
 
     Measured on clustered 256-d corpora (benchmarks/quantitative
     tier_recall): recall@10 reaches 1.0 at depth 1024 for 200k rows and

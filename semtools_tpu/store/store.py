@@ -1792,11 +1792,14 @@ class Store:
 
     @staticmethod
     def _int8_oversample(top_k: int, reduced: bool, n: int) -> int:
-        """Candidate count for the exact re-rank. The reduced tier trades
-        projection error for memory and buys recall back with a deep,
-        corpus-size-scaled candidate set (see ops.reduce.reduced_oversample
-        for the measurements); the full-dim int8 tier's ~1e-2 sim error
-        needs far less."""
+        """INITIAL candidate count for the exact re-rank — a warm start,
+        not a recall guarantee: the serving loop grows the pool until the
+        margin-bounded top-k completion criterion proves no outside row
+        can displace a served one (_search_slot_cached_batched). The
+        reduced tier starts deep (corpus-size-scaled, see
+        ops.reduce.reduced_oversample) because its projection error
+        usually needs it; the full-dim int8 tier's ~1e-2 sim error
+        rarely grows past 4*k."""
         if reduced:
             from semtools_tpu.ops.reduce import reduced_oversample
 
