@@ -146,10 +146,16 @@ def run_hop(store, paths, name: str, expect_tier: str, qs: np.ndarray,
     recall = float(np.mean([
         len(set(gt_i[r]) & set(got[r])) / k for r in range(len(qs))
     ]))
-    dist_err = float(np.max([
-        abs(rl.distance - gt_d[r, j])
-        for r, per in enumerate(res) for j, rl in enumerate(per)
-    ]))
+    # distance exactness: compare BY SLOT (a recall miss must not show up
+    # as a bogus "distance error" from differencing two different rows)
+    errs = [0.0]
+    for r, per in enumerate(res):
+        gt_map = {int(s): float(d) for s, d in zip(gt_i[r], gt_d[r])}
+        errs += [
+            abs(rl.distance - gt_map[int(g)])
+            for rl, g in zip(per, got[r]) if int(g) in gt_map
+        ]
+    dist_err = float(np.max(errs))
 
     # threshold-mode spot check at a cut straddling the neighbor shell
     thr = float(np.median(gt_d[:, k // 2]))

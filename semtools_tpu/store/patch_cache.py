@@ -51,6 +51,10 @@ from semtools_tpu.store import device_cache
 
 _SLACK = 16  # extra candidates to absorb zero-slot wins
 
+# Outlier-coverage budget for the reduced tier: the top-residual rows
+# force-included in every exact re-rank (SlotCorpus.resid_hi_slots).
+_RESID_HI_CAP = 4096
+
 # Test instrumentation: bytes shipped host->device by patch/build ops.
 _uploaded = [0]
 
@@ -79,12 +83,23 @@ class SlotCorpus:
     scale: Optional[float]
     rotation: Optional[np.ndarray]
     layout: Dict[str, Tuple[int, int]]
-    # Largest discarded second-moment eigenvalue at rotation-fit time
-    # (reduced tier only): bounds the projected-away variance along any
-    # residual direction, so serving can derive a per-query statistical
-    # margin on projected-vs-exact similarity (see
-    # ops.reduce.fit_rotation_with_resid). None for unreduced kinds.
-    resid_top_eig: Optional[float] = None
+    # Projection-outlier coverage (reduced tier only). The rows the
+    # rotation represents WORST — the top-residual-norm slots — are the
+    # ones a projected scan can mis-rank arbitrarily badly (a rare-topic
+    # row whose residual aligns with the query's evades any RMS-scale
+    # statistical margin; adversarially confirmed in review r4).
+    # ``resid_hi_slots`` holds those slots so serving force-includes
+    # them in every exact re-rank; ``resid_tail_max`` is the largest
+    # residual norm OUTSIDE that set, so the serving margin's
+    # per-row residual magnitude is a hard ceiling for every
+    # non-force-included row (only the error's direction-alignment
+    # remains statistical — see store._search_slot_cached_batched).
+    resid_hi_slots: Optional[np.ndarray] = None
+    resid_tail_max: float = 0.0
+    # Max over corpus rows of sum(|int8 value|) — turns the fused
+    # kernel's query-quantization error into a hard bound
+    # (0.5 * q_scale * scale * max_row_int_l1). int8 kinds only.
+    max_row_int_l1: float = 0.0
     mesh: object = None  # jax Mesh when the corpus is row-sharded
     starts: np.ndarray = field(default=None)  # slot-ordered range starts
     ends: np.ndarray = field(default=None)
@@ -447,25 +462,47 @@ def _build(
         return None
 
     rotation = None
-    resid_top_eig = None
     if reduced_dim:
-        from semtools_tpu.ops.reduce import fit_rotation_with_resid
+        from semtools_tpu.ops.reduce import fit_rotation
 
-        rotation, resid_top_eig = fit_rotation_with_resid(
+        rotation = fit_rotation(
             _sample_occupied(mm, ranges, 1 << 17), reduced_dim
         )
 
     scale = None
+    hi_slots = None
+    tail_max = 0.0
     if kind in ("int8", "int4"):
         # Global amax over occupied rows (projected for the reduced
-        # tier); zero slots never contribute.
+        # tier); zero slots never contribute. The same pass collects the
+        # top-residual slots for the reduced tier's outlier coverage.
         amax = 0.0
-        for _, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
+        best_r = np.zeros(0, np.float32)
+        best_s = np.zeros(0, np.int64)
+        for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
             if rotation is not None:
-                block = block @ rotation
+                proj = block @ rotation
+                r = np.sqrt(np.maximum(
+                    np.einsum("ij,ij->i", block, block)
+                    - np.einsum("ij,ij->i", proj, proj), 0.0,
+                ))
+                cand_r = np.concatenate([best_r, r])
+                cand_s = np.concatenate(
+                    [best_s, np.arange(c0, c0 + len(r), dtype=np.int64)]
+                )
+                keep = min(_RESID_HI_CAP + 1, len(cand_r))
+                top = np.argpartition(-cand_r, keep - 1)[:keep]
+                best_r, best_s = cand_r[top], cand_s[top]
+                block = proj
             if block.size:
                 amax = max(amax, float(np.max(np.abs(block))))
         scale = amax / (127.0 if kind == "int8" else 7.0)
+        if rotation is not None:
+            order = np.argsort(-best_r, kind="stable")
+            if len(order) > _RESID_HI_CAP:
+                tail_max = float(best_r[order[_RESID_HI_CAP]])
+                order = order[:_RESID_HI_CAP]
+            hi_slots = np.sort(best_s[order])
 
     padded = _padded_rows(cap, mesh, kind)
     out_dim = store.dim
@@ -475,15 +512,19 @@ def _build(
         out_dim = out_dim // 2
     dtype = np.float32 if kind == "f32" else np.int8
     buf = np.full((padded, out_dim), _fill_byte(kind), dtype)
+    max_l1 = 0.0
     for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
         if kind == "f32":
             buf[c0 : c0 + block.shape[0]] = block
         else:
             # _transform packs all-zero rows to the kind's zero-vector
             # encoding (0 / PACKED_ZERO_BYTE), matching the fill.
-            buf[c0 : c0 + block.shape[0]] = _transform(
-                block, kind, rotation, scale
-            )
+            q = _transform(block, kind, rotation, scale)
+            buf[c0 : c0 + block.shape[0]] = q
+            if kind == "int8" and q.size:
+                max_l1 = max(max_l1, float(
+                    np.abs(q.astype(np.int32)).sum(axis=1).max()
+                ))
     del mm
 
     # Snapshot the hash sidecar at this generation (funds the row-level
@@ -502,7 +543,9 @@ def _build(
         corpus=_device_put(buf, mesh),
         scale=scale,
         rotation=rotation,
-        resid_top_eig=resid_top_eig,
+        resid_hi_slots=hi_slots,
+        resid_tail_max=tail_max,
+        max_row_int_l1=max_l1,
         layout={p: (s, n, rev) for p, s, n, rev in ranges},
         mesh=mesh,
         hashes=hashes,
@@ -685,22 +728,78 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
             arr, jnp.asarray(dst_p), saved
         )
 
+    # New-content bookkeeping for the serving margins: rows whose
+    # projection residual exceeds the entry's tail ceiling join the
+    # force-re-ranked outlier set; int8 row L1 maxima stay monotone.
+    new_hi = []
+    new_max_l1 = sc.max_row_int_l1
+
+    def _track_new(raw: np.ndarray, slots: np.ndarray, q_rows: np.ndarray):
+        nonlocal new_max_l1
+        if sc.rotation is not None and raw.size:
+            proj = raw @ sc.rotation
+            r = np.sqrt(np.maximum(
+                np.einsum("ij,ij->i", raw, raw)
+                - np.einsum("ij,ij->i", proj, proj), 0.0,
+            ))
+            above = r > sc.resid_tail_max
+            if above.any():
+                new_hi.append(slots[above].astype(np.int64))
+        if sc.kind == "int8" and q_rows.size:
+            new_max_l1 = max(new_max_l1, float(
+                np.abs(q_rows.astype(np.int32)).sum(axis=1).max()
+            ))
+
     if changed:
         mm = store._mmap("r")
         if mm is None:
             return False
         for _, s, n, src, dst, novel, _ in plans:
             if src is None:
-                rows = _transform(mm[s : s + n], sc.kind, sc.rotation, sc.scale)
+                raw = np.asarray(mm[s : s + n])
+                rows = _transform(raw, sc.kind, sc.rotation, sc.scale)
                 arr = _write_rows(arr, rows, s, sc.mesh)
+                _track_new(raw, np.arange(s, s + n, dtype=np.int64), rows)
             elif len(novel):
-                rows = _transform(
-                    mm[s + novel], sc.kind, sc.rotation, sc.scale
-                )
+                raw = np.asarray(mm[s + novel])
+                rows = _transform(raw, sc.kind, sc.rotation, sc.scale)
                 arr = _scatter_upload(
                     arr, rows, (s + novel).astype(np.int32), sc.mesh
                 )
+                _track_new(raw, (s + novel).astype(np.int64), rows)
         del mm
+
+    if sc.resid_hi_slots is not None:
+        # Moved rows keep their residual: remap their outlier entries to
+        # the destination slots FIRST, then drop unremapped entries whose
+        # slots were freed (a freed range may be re-used by a changed
+        # doc, but that new content was tracked above).
+        hi = sc.resid_hi_slots.astype(np.int64)
+        moved = np.zeros(len(hi), bool)
+        for _, _, _, src, dst, _, _ in plans:
+            if src is None or not len(src):
+                continue
+            sidx = np.argsort(src)
+            pos = np.clip(np.searchsorted(src[sidx], hi), 0, len(src) - 1)
+            hit = (src[sidx][pos] == hi) & ~moved
+            hi = np.where(hit, dst[sidx][pos].astype(np.int64), hi)
+            moved |= hit
+        in_removed = np.zeros(len(hi), bool)
+        for s, n in removed:
+            in_removed |= (hi >= s) & (hi < s + n)
+        hi = hi[moved | ~in_removed]
+        if new_hi:
+            hi = np.concatenate([hi] + new_hi)
+        hi = np.unique(hi)
+        if len(hi) > 4 * _RESID_HI_CAP:
+            # The outlier set outgrew its budget: rebuild (refits the
+            # rotation and residual tail on current content). The caller
+            # treats False as discard-and-rebuild, so the half-applied
+            # device state above is dropped, as at the other mid-patch
+            # bail-outs.
+            return False
+        sc.resid_hi_slots = hi
+    sc.max_row_int_l1 = new_max_l1
 
     # Hash snapshot bookkeeping mirrors the corpus mutations.
     if sc.hashes is not None:

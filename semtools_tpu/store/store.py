@@ -2202,13 +2202,33 @@ class Store:
             if reduced_dim:
                 q_r = qs @ sc.rotation
                 resid = np.linalg.norm(qs - q_r @ sc.rotation.T, axis=1)
-                return resid + 0.5 * (sc.scale or 0.0) * np.abs(q_r).sum(1)
+                # |q_perp . x_perp| <= ||q_perp|| * ||x_perp||; with the
+                # top-residual outlier rows force-included in the pool,
+                # every OTHER row's residual is under resid_tail_max —
+                # a measured ceiling, tighter than the unit-row bound
+                # (and still hard for non-unit rows, which break it).
+                r_ceil = (
+                    float(sc.resid_tail_max)
+                    if sc.resid_hi_slots is not None else 1.0
+                )
+                return resid * r_ceil + 0.5 * (sc.scale or 0.0) * np.abs(
+                    q_r
+                ).sum(1)
             m = 0.5 * (sc.scale or 0.0) * np.abs(qs).sum(axis=1)
-            # fused-kernel query quantization term (cheap; always add)
+            # fused-kernel query quantization term (cheap; always add):
+            # 0.5*q_scale*||e||_1, with true ||e||_1 bounded by the
+            # corpus's measured max int-L1 (+0.5/element rounding) when
+            # available — the sqrt(D) fallback assumes unit rows.
             from semtools_tpu.ops.int8_scan import quantize_global
 
             _, q_scale = quantize_global(qs)
-            return m + 0.5 * q_scale * np.sqrt(self.dim)
+            if sc.max_row_int_l1:
+                e_l1 = (sc.scale or 0.0) * (
+                    float(sc.max_row_int_l1) + 0.5 * self.dim
+                )
+            else:
+                e_l1 = np.sqrt(self.dim)
+            return m + 0.5 * q_scale * e_l1
 
         # Freed (zeroed) slots score a compressed similarity of exactly 0,
         # so on a fragmented store they can CROWD real rows with negative
@@ -2229,30 +2249,38 @@ class Store:
             valid, _, _ = owners(slots)
             return len(np.unique(slots[valid]))
 
-        def _topk_margin() -> np.ndarray:
-            """[Q] statistical bound (K sigmas) on |quantized - exact|
-            distance per query, for TOP-K completion.
+        def _topk_margin(k_now: int) -> np.ndarray:
+            """[Q] bound (K sigmas) on |quantized - exact| distance per
+            query, for TOP-K completion.
 
             Error sources: corpus int8 rounding (uniform +-scale/2 per
-            element -> sigma = scale*||q_eff||_2/sqrt(12)), query-side
-            rounding on the fused kernel path (sigma = q_scale/sqrt(12)
-            against ~unit rows; conservative elsewhere), and for the
-            reduced tier the projection residual — Var(x . v) is bounded
-            by the largest DISCARDED second-moment eigenvalue for any
-            unit v orthogonal to the kept subspace, so sigma_proj =
-            ||q_perp|| * sqrt(resid_top_eig). Statistical (not hard)
-            bounds, same 6-sigma model the int4 deep extraction
-            validates empirically; the hard projection bound ||q_perp||
-            would size pools by the worst conceivable row, orders of
-            magnitude past what density ever produces."""
+            element -> sigma = scale*||q_eff||_2/sqrt(12)); query-side
+            rounding as a HARD term, only on the fused-kernel path that
+            actually quantizes the query (0.5*q_scale*||e||_1 with
+            ||e||_1 bounded by the corpus's measured max int-L1); and for
+            the reduced tier the projection residual. The residual term
+            bounds every row's error MAGNITUDE hard — outside the
+            force-re-ranked outlier set (sc.resid_hi_slots, appended to
+            every pool) no row's residual exceeds sc.resid_tail_max — but
+            its direction-alignment with the query's residual is
+            statistical (~1/sqrt(D - rd) for spread residuals). A row
+            whose residual aligns with the query's can exceed the K-sigma
+            margin — that is irreducible at this memory tier (the
+            projection discarded the data); the outlier set covers the
+            concentrated-residual rows where it happens systematically
+            (rare-topic lines), and the exact/int8/int4 full-dim tiers
+            plus threshold mode's hard margin remain for callers who need
+            guarantees. Same K-sigma model the int4 extraction validates
+            empirically."""
             sigmas = float(
                 os.environ.get("SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS", "6")
             )
             if reduced_dim:
                 q_r = qs @ sc.rotation
-                q_perp = qs - q_r @ sc.rotation.T
-                sig_p = np.linalg.norm(q_perp, axis=1) * np.sqrt(
-                    max(sc.resid_top_eig or 0.0, 0.0)
+                q_perp = np.linalg.norm(qs - q_r @ sc.rotation.T, axis=1)
+                sig_p = (
+                    q_perp * float(sc.resid_tail_max)
+                    / np.sqrt(max(self.dim - reduced_dim, 1))
                 )
                 q_eff = q_r
             else:
@@ -2262,18 +2290,42 @@ class Store:
                 (sc.scale or 0.0)
                 * np.linalg.norm(q_eff, axis=1) / np.sqrt(12.0)
             )
-            from semtools_tpu.ops.int8_scan import quantize_global
+            hard_q = 0.0
+            fused = (
+                not reduced_dim and k_now <= 64 and qn <= 32
+                and (mask is None or mesh is None)
+            )
+            if fused:
+                from semtools_tpu.ops.int8_scan import quantize_global
 
-            _, q_scale = quantize_global(q_eff)
-            sig_q = q_scale / np.sqrt(12.0)
-            return sigmas * np.sqrt(sig_p**2 + sig_c**2 + sig_q**2)
+                _, q_scale = quantize_global(q_eff)
+                # true ||e||_1 <= scale * (int_l1 + 0.5*D) per row
+                hard_q = 0.5 * q_scale * (sc.scale or 0.0) * (
+                    float(sc.max_row_int_l1) + 0.5 * self.dim
+                )
+            # 1e-6: f32 arithmetic slack in the scan/re-rank dots
+            return sigmas * np.sqrt(sig_p**2 + sig_c**2) + hard_q + 1e-6
 
         k_target = min(oversample, sel_rows)
         k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
         t_margin = _threshold_margin() if max_distance is not None else None
-        k_margin = _topk_margin() if max_distance is None else None
         while True:
             i, dq = _candidates(k_sel)
+            if (
+                reduced_dim
+                and sc.resid_hi_slots is not None
+                and len(sc.resid_hi_slots)
+            ):
+                # Force-include the projection's worst-represented rows:
+                # the completion margins only cover rows whose residual
+                # is under sc.resid_tail_max, which holds for every slot
+                # OUTSIDE this set.
+                i = np.concatenate([
+                    i,
+                    np.broadcast_to(
+                        sc.resid_hi_slots, (qn, len(sc.resid_hi_slots))
+                    ),
+                ], axis=1)
             min_valid = min(_unique_valid(i[r]) for r in range(qn))
             # Threshold-mode completion: every row OUTSIDE the pool has
             # quantized distance >= the pool's worst member; once that
@@ -2283,11 +2335,16 @@ class Store:
             # oversample window otherwise — tests/test_threshold_boundary).
             # Non-finite worsts are masked/pad fillers: the pool already
             # holds every selectable row.
+            # np.isposinf, not ~isfinite: +inf worsts are masked/pad
+            # fillers (the pool already holds every selectable row); a
+            # NaN — a NaN query vector or corpus row — must NOT certify
+            # completion, it grows to capacity and serves the full
+            # re-rank (review r4).
             complete = True
             if t_margin is not None and k_sel < sc.capacity and dq.shape[1]:
                 worst = dq[:, -1]
                 complete = bool(np.all(
-                    ~np.isfinite(worst)
+                    np.isposinf(worst)
                     | (worst > float(max_distance) + t_margin)
                 ))
             if (min_valid >= k_target and complete) or k_sel >= sc.capacity:
@@ -2296,23 +2353,30 @@ class Store:
                 )
                 if res is None or k_sel >= sc.capacity:
                     return res
-                if k_margin is None:
+                if max_distance is not None:
                     return res  # threshold mode: t_margin already proved it
                 # TOP-K completion: every row outside the pool scores a
                 # quantized distance >= the pool's worst; once that worst
                 # clears the served k-th EXACT distance by the tier's
-                # error margin, no outside row can displace a served one.
-                # The corpus-size-scaled oversample is only a warm start —
+                # error margin, no outside row can displace a served one
+                # (outlier rows above the margin's residual ceiling are
+                # force-included in the pool — see _topk_margin). The
+                # corpus-size-scaled oversample is only a warm start —
                 # dense clusters (5000+ rows within quantization noise of
                 # each other) overflow any fixed window (measured recall
                 # 0.81 on the capacity-ladder smoke; VERDICT r3 Weak #5).
+                # Growth re-runs the scan and re-rank for the WHOLE query
+                # batch: the scan executable's shape is (qn, k_sel), so
+                # per-query splitting would recompile per subset; rounds
+                # are rare after the warm start, so batch-wide redo costs
+                # less than executable churn.
                 worst = dq[:, -1] if dq.shape[1] else np.full(qn, -np.inf)
                 kth = np.array([
                     per[min(top_k, len(per)) - 1].distance if per else np.inf
                     for per in res
                 ])
                 if bool(np.all(
-                    ~np.isfinite(worst) | (worst >= kth + k_margin)
+                    np.isposinf(worst) | (worst >= kth + _topk_margin(k_sel))
                 )):
                     return res
             k_sel = min(

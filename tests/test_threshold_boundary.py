@@ -183,3 +183,51 @@ def test_dense_cluster_topk_completion(tmp_path, monkeypatch, tier, env):
     got = s.search_line_embeddings(q, ["/a.txt"], top_k=10)
     assert [rl.line_number for rl in got] == want, f"{tier}: topk diverged"
     s.close()
+
+
+def test_reduced_tier_outlier_row_is_served(tmp_path, monkeypatch):
+    """Adversarial case from review r4: one rare-topic row whose
+    residual is CONCENTRATED along a discarded direction, queried by a
+    vector aligned with that direction. Its projected rank is thousands
+    of positions below its exact rank, and its per-row error dwarfs any
+    RMS-scale statistical margin — the corpus second moment barely moves
+    for one row in 30k. The top-residual outlier set (resid_hi_slots)
+    must force-include it in the exact re-rank regardless of margins."""
+    monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
+    rng = np.random.default_rng(11)
+    n, d, rd = 30000, 64, 16
+    # bulk: rows inside the kept 16-dim subspace, small residual noise
+    kept = rng.standard_normal((n, rd)).astype(np.float32)
+    rows = np.zeros((n, d), np.float32)
+    rows[:, :rd] = kept
+    rows[:, rd:] = 0.03 * rng.standard_normal((n, d - rd)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    # the outlier: modest kept-space agreement + a big discarded-direction
+    # component the projection throws away entirely
+    u = rows[5] / np.linalg.norm(rows[5])
+    outlier = 0.3 * u.copy()
+    outlier[20] += 0.8
+    outlier /= np.linalg.norm(outlier)
+    rows[-1] = outlier
+
+    s = Store(str(tmp_path / "ws"), dim=d)
+    s.upsert_document_lines("/a.txt", rows)
+    monkeypatch.setenv("SEMTOOLS_TPU_REDUCED_DIM", str(rd))
+    # below the int4 rung's d/2 B/row so the reduced tier serves
+    monkeypatch.setenv(
+        "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", str(s._slot_rows(n) * 24)
+    )
+    kind, got_rd = s._device_kind(n)
+    assert (kind, got_rd) == ("int8", rd)
+
+    q = 0.65 * u.copy()
+    q[20] += 0.76
+    q /= np.linalg.norm(q)
+    dist = 1.0 - rows.astype(np.float64) @ q.astype(np.float64)
+    want = list(np.lexsort((np.arange(n), dist))[:10])
+    assert want[0] == n - 1  # the outlier IS the true nearest neighbor
+    got = s.search_line_embeddings(q, ["/a.txt"], top_k=10)
+    assert [rl.line_number for rl in got] == want, (
+        "outlier row dropped from the served top-k"
+    )
+    s.close()
