@@ -440,6 +440,179 @@ def _sample_occupied(mm, ranges, sample_rows: int, seed: int = 0) -> np.ndarray:
     return np.asarray(mm[slots])
 
 
+_HOST_XFORM_BPS = [None]  # calibrated host assemble+quantize bytes/s
+
+
+def _host_transform_rate() -> float:
+    """Measured host-side build throughput (f32 corpus bytes/s through
+    quantize_global), calibrated once per process on a 32 MB sample."""
+    if _HOST_XFORM_BPS[0] is None:
+        import time as _t
+
+        from semtools_tpu.ops.int8_scan import quantize_global
+
+        x = np.random.default_rng(0).standard_normal(
+            (1 << 17, 64)).astype(np.float32)
+        t0 = _t.monotonic()
+        quantize_global(x)
+        _HOST_XFORM_BPS[0] = x.nbytes / max(_t.monotonic() - t0, 1e-6)
+    return _HOST_XFORM_BPS[0]
+
+
+def _use_device_build(kind: str, cap: int, dim: int, mesh) -> bool:
+    """Cold-build placement policy (SEMTOOLS_TPU_BUILD=device|host|auto).
+
+    The transform work (project/quantize/pack) is embarrassingly
+    parallel and the device does it at HBM rate; the cost of the device
+    path is shipping the f32 image over the link twice (amax/residual
+    pass + transform pass). Auto compares that against the calibrated
+    host transform rate — on a healthy link the device build wins by an
+    order of magnitude at capacity-ladder sizes (measured: 14M-row int8
+    cold build 728 s host-side on this host's one core), on a degraded
+    tunnel the host path wins and auto stays there. Mesh builds keep the
+    host path (per-shard device writes aren't worth the complexity)."""
+    import os as _os
+
+    mode = _os.environ.get("SEMTOOLS_TPU_BUILD", "auto").lower()
+    if mode == "host" or mesh is not None or kind == "f32":
+        return False
+    if mode == "device":
+        return True
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
+        from semtools_tpu.ops.host_embed import _link_bandwidth
+
+        bw = _link_bandwidth()
+        if bw is None:
+            return False
+        corpus_bytes = cap * dim * 4
+        return 2.0 * corpus_bytes / bw["up_Bps"] < (
+            corpus_bytes / _host_transform_rate()
+        )
+    except Exception:
+        return False
+
+
+def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
+                         rotation):
+    """Device-side transform passes: stream f32 slot-space chunks up the
+    link, compute amax/residual stats and the transformed corpus on the
+    accelerator. Returns (device corpus [padded, D'], scale, hi_slots,
+    tail_max, max_row_int_l1). Raises on any device trouble — the caller
+    falls back to the host path."""
+    import jax
+    import jax.numpy as jnp
+
+    d = mm.shape[1]
+    chunk = _BUILD_CHUNK_ROWS
+    n_chunks = max((padded + chunk - 1) // chunk, 1)
+    w_dev = jnp.asarray(rotation) if rotation is not None else None
+    hcap = _RESID_HI_CAP + 1
+
+    @jax.jit
+    def pass1(state, block, c0):
+        amax, tv, ti = state
+        if w_dev is not None:
+            proj = block @ w_dev
+            amax = jnp.maximum(amax, jnp.max(jnp.abs(proj)))
+            r = jnp.sqrt(jnp.maximum(
+                jnp.sum(block * block, axis=1)
+                - jnp.sum(proj * proj, axis=1), 0.0))
+            idx = c0 + jax.lax.iota(jnp.int32, block.shape[0])
+            cv = jnp.concatenate([tv, r])
+            ci = jnp.concatenate([ti, idx])
+            tv, top = jax.lax.top_k(cv, hcap)
+            ti = ci[top]
+        else:
+            amax = jnp.maximum(amax, jnp.max(jnp.abs(block)))
+        return amax, tv, ti
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pass2(carry, block, scale, c0):
+        buf, l1 = carry
+        x = block @ w_dev if w_dev is not None else block
+        lim = 127 if kind == "int8" else 7
+        q = jnp.clip(jnp.rint(x / scale), -lim, lim).astype(jnp.int32)
+        if kind == "int4":
+            h = x.shape[1] // 2
+            lo = (q[:, :h] + 8) & 0xF
+            hi = q[:, h:] & 0xF
+            rows = (lo | (hi << 4)).astype(jnp.int8)
+        else:
+            rows = q.astype(jnp.int8)
+        if kind == "int8":  # field contract: int8 kinds only
+            l1 = jnp.maximum(l1, jnp.max(jnp.sum(jnp.abs(q), axis=1)))
+        buf = jax.lax.dynamic_update_slice(buf, rows, (c0, jnp.int32(0)))
+        return buf, l1
+
+    state = (
+        jnp.float32(0.0),
+        jnp.zeros(hcap, jnp.float32),
+        jnp.full(hcap, -1, jnp.int32),
+    )
+    blocks_iter = lambda: _occupied_slot_chunks(mm, ranges, chunk)  # noqa: E731
+
+    def _padded_block(block):
+        if block.shape[0] < chunk:
+            block = np.concatenate([
+                block,
+                np.zeros((chunk - block.shape[0], d), np.float32),
+            ])
+        return block
+
+    for c0, block in blocks_iter():
+        b = _padded_block(block)
+        _uploaded[0] += b.nbytes
+        state = pass1(state, jnp.asarray(b), jnp.int32(c0))
+    amax = float(state[0])
+    scale = amax / (127.0 if kind == "int8" else 7.0)
+
+    hi_slots = None
+    tail_max = 0.0
+    if rotation is not None:
+        tv = np.asarray(state[1])
+        ti = np.asarray(state[2])
+        live = ti >= 0
+        tv, ti = tv[live], ti[live]
+        order = np.argsort(-tv, kind="stable")
+        if len(order) > _RESID_HI_CAP:
+            tail_max = float(tv[order[_RESID_HI_CAP]])
+            order = order[:_RESID_HI_CAP]
+        hi_slots = np.sort(ti[order])
+        hi_slots = hi_slots[hi_slots < cap]
+        # chunks below hcap rows never filled the running top buffer —
+        # any -1 sentinel has been dropped above; residual==0 entries are
+        # harmless (zero rows re-rank to distance 1.0)
+
+    out_dim = (reduced_dim or d)
+    if kind == "int4":
+        out_dim //= 2
+    big_rows = n_chunks * chunk
+    if scale == 0.0:
+        buf = jnp.full((padded, out_dim), _fill_byte(kind), jnp.int8)
+        return buf, 0.0, hi_slots, tail_max, 0.0
+    carry = (
+        jnp.full((big_rows, out_dim), _fill_byte(kind), jnp.int8),
+        jnp.int32(0),
+    )
+    for c0, block in blocks_iter():
+        b = _padded_block(block)
+        _uploaded[0] += b.nbytes
+        carry = pass2(carry, jnp.asarray(b), jnp.float32(scale),
+                      jnp.int32(c0))
+    buf, l1 = carry
+    if big_rows != padded:
+        buf = buf[:padded]
+    # rows past the capacity are chunk padding, not corpus: their fill
+    # encodings match the host build (zeros transform to the kind's
+    # zero-vector encoding)
+    buf.block_until_ready()
+    return buf, scale, hi_slots, tail_max, float(l1)
+
+
 def _build(
     store, kind: str, reduced_dim: Optional[int], mesh=None, gen: int = 0
 ) -> Optional[SlotCorpus]:
@@ -469,10 +642,24 @@ def _build(
             _sample_occupied(mm, ranges, 1 << 17), reduced_dim
         )
 
+    padded = _padded_rows(cap, mesh, kind)
     scale = None
     hi_slots = None
     tail_max = 0.0
-    if kind in ("int8", "int4"):
+    dev_corpus = None
+    max_l1 = 0.0
+    if kind in ("int8", "int4") and _use_device_build(
+        kind, cap, store.dim, mesh
+    ):
+        try:
+            dev_corpus, scale, hi_slots, tail_max, max_l1 = (
+                _device_build_corpus(
+                    mm, ranges, cap, padded, kind, reduced_dim, rotation
+                )
+            )
+        except Exception:
+            dev_corpus = None  # any device trouble: host path below
+    if dev_corpus is None and kind in ("int8", "int4"):
         # Global amax over occupied rows (projected for the reduced
         # tier); zero slots never contribute. The same pass collects the
         # top-residual slots for the reduced tier's outlier coverage.
@@ -504,27 +691,26 @@ def _build(
                 order = order[:_RESID_HI_CAP]
             hi_slots = np.sort(best_s[order])
 
-    padded = _padded_rows(cap, mesh, kind)
-    out_dim = store.dim
-    if rotation is not None:
-        out_dim = reduced_dim
-    if kind == "int4":
-        out_dim = out_dim // 2
-    dtype = np.float32 if kind == "f32" else np.int8
-    buf = np.full((padded, out_dim), _fill_byte(kind), dtype)
-    max_l1 = 0.0
-    for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
-        if kind == "f32":
-            buf[c0 : c0 + block.shape[0]] = block
-        else:
-            # _transform packs all-zero rows to the kind's zero-vector
-            # encoding (0 / PACKED_ZERO_BYTE), matching the fill.
-            q = _transform(block, kind, rotation, scale)
-            buf[c0 : c0 + block.shape[0]] = q
-            if kind == "int8" and q.size:
-                max_l1 = max(max_l1, float(
-                    np.abs(q.astype(np.int32)).sum(axis=1).max()
-                ))
+    if dev_corpus is None:
+        out_dim = store.dim
+        if rotation is not None:
+            out_dim = reduced_dim
+        if kind == "int4":
+            out_dim = out_dim // 2
+        dtype = np.float32 if kind == "f32" else np.int8
+        buf = np.full((padded, out_dim), _fill_byte(kind), dtype)
+        for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
+            if kind == "f32":
+                buf[c0 : c0 + block.shape[0]] = block
+            else:
+                # _transform packs all-zero rows to the kind's zero-vector
+                # encoding (0 / PACKED_ZERO_BYTE), matching the fill.
+                q = _transform(block, kind, rotation, scale)
+                buf[c0 : c0 + block.shape[0]] = q
+                if kind == "int8" and q.size:
+                    max_l1 = max(max_l1, float(
+                        np.abs(q.astype(np.int32)).sum(axis=1).max()
+                    ))
     del mm
 
     # Snapshot the hash sidecar at this generation (funds the row-level
@@ -540,7 +726,7 @@ def _build(
         kind=kind,
         generation=gen,
         capacity=cap,
-        corpus=_device_put(buf, mesh),
+        corpus=dev_corpus if dev_corpus is not None else _device_put(buf, mesh),
         scale=scale,
         rotation=rotation,
         resid_hi_slots=hi_slots,

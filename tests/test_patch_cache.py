@@ -555,3 +555,48 @@ def test_quantize_global_chunked_matches():
         int4_scan._QUANT_CHUNK_ELEMS = orig4
     assert ps_small == ps_chunk
     np.testing.assert_array_equal(p_small, p_chunk)
+
+
+@pytest.mark.parametrize("kind,rd", [("int8", None), ("int8", 16),
+                                     ("int4", None)])
+def test_device_build_matches_host(tmp_path, monkeypatch, kind, rd):
+    """The device-side cold build (f32 chunks streamed up, transform on
+    the accelerator) must agree with the host build: identical shapes,
+    scale within float error, quantized values within 1 int unit (the
+    device matmul's ULP differences can move amax and flip rounding
+    boundaries), identical outlier sets and monotone stats."""
+    s = Store(str(tmp_path / "ws"), dim=64)
+    rng = np.random.default_rng(13)
+    rows = _unit(rng, 2000, 64)
+    s.upsert_document_lines("/a.txt", rows[:900])
+    s.upsert_document_lines("/b.txt", rows[900:])
+    s.delete_documents(["/a.txt"])  # fragmentation
+
+    monkeypatch.setenv("SEMTOOLS_TPU_BUILD", "device")
+    dev = patch_cache._build(s, kind, rd)
+    monkeypatch.setenv("SEMTOOLS_TPU_BUILD", "host")
+    host = patch_cache._build(s, kind, rd)
+
+    cd, ch = np.asarray(dev.corpus), np.asarray(host.corpus)
+    assert cd.shape == ch.shape and cd.dtype == ch.dtype
+    assert abs(dev.scale - host.scale) <= 1e-6 * max(host.scale, 1e-9)
+    if kind == "int4":
+        from semtools_tpu.ops.int4_scan import unpack_int4
+
+        cd, ch = unpack_int4(cd), unpack_int4(ch)
+    assert np.abs(cd.astype(np.int32) - ch.astype(np.int32)).max() <= 1
+    if rd:
+        # The two paths may pick different zero-residual ties into the
+        # outlier set; soundness only needs every row whose residual
+        # exceeds the tail ceiling covered by BOTH.
+        assert abs(dev.resid_tail_max - host.resid_tail_max) < 1e-5
+        live = rows[900:]  # /b.txt occupies slots 900..1999
+        proj = live @ host.rotation
+        r = np.sqrt(np.maximum(
+            np.einsum("ij,ij->i", live, live)
+            - np.einsum("ij,ij->i", proj, proj), 0.0))
+        must = 900 + np.nonzero(r > host.resid_tail_max + 1e-6)[0]
+        assert len(np.setdiff1d(must, dev.resid_hi_slots)) == 0
+        assert len(np.setdiff1d(must, host.resid_hi_slots)) == 0
+    assert abs(dev.max_row_int_l1 - host.max_row_int_l1) <= 64
+    s.close()
