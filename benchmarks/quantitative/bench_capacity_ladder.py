@@ -83,7 +83,11 @@ def exact_topk_mmap(mm, n_rows: int, q: np.ndarray, k: int):
     best_i = np.zeros((qn, k), np.int64)
     for start in range(0, n_rows, chunk):
         rows = np.asarray(mm[start : start + chunk])
-        d = (1.0 - rows.astype(np.float64) @ q.astype(np.float64).T).T
+        # f32 BLAS (f64 accumulate in the final merge): the f64 cast of
+        # every corpus chunk dominated the pass 10x at 14M+ rows; f32
+        # dot error (~1e-6) is far below any distinct-distance gap and
+        # matches the serving re-rank's own precision
+        d = (1.0 - rows @ q.T).astype(np.float64).T
         cand_d = np.concatenate([best_d, d], axis=1)
         cand_i = np.concatenate(
             [best_i,
@@ -176,6 +180,7 @@ def run_hop(store, paths, name: str, expect_tier: str, qs: np.ndarray,
         "max_abs_dist_err": dist_err, "threshold_mode_exact": thr_ok,
         "truth_pass_s": round(truth_s, 1),
         "budget_bytes": int(store._device_budget_bytes(n)),
+        "build_mode": os.environ.get("SEMTOOLS_TPU_BUILD", "auto"),
     }
     print(json.dumps(row), flush=True)
     return row
@@ -264,9 +269,14 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--workdir", default=None,
-                    help="store dir (default: temp; deleted at exit)")
+                    help="store dir (default: temp; deleted at exit). An "
+                         "existing store is REUSED: docs already present "
+                         "are not regenerated, so a killed run resumes.")
     ap.add_argument("--skip-measure", action="store_true",
                     help="policy tables only")
+    ap.add_argument("--hops", default="int8,int4,reduced64,reduced32",
+                    help="comma list of hops to measure")
+    ap.add_argument("--skip-policy", action="store_true")
     args = ap.parse_args()
 
     os.environ.setdefault("SEMTOOLS_TPU_SCAN", "device")
@@ -286,10 +296,12 @@ def main():
                       "platform": os.environ.get("SEMTOOLS_TPU_PLATFORM",
                                                  "default")}), flush=True)
 
-    policy_table(budget)
-    mesh_policy_table(budget)
+    if not args.skip_policy:
+        policy_table(budget)
+        mesh_policy_table(budget)
     if args.skip_measure:
         return
+    hops = set(args.hops.split(","))
 
     # doc size r: 14 docs fill 83% of the int8 budget; 30 docs blow int8
     # but fill 89% as int4; 60 docs blow int4 but fill 89% as reduced-64.
@@ -297,6 +309,10 @@ def main():
     td = args.workdir or tempfile.mkdtemp(prefix="ladder_ws_")
     own_td = args.workdir is None
     store = Store(os.path.join(td, "ws"), dim=DIM)
+    have = {
+        p for (p,) in store.db.execute(
+            "SELECT path FROM docs WHERE slot_start IS NOT NULL")
+    }
     buf = np.zeros((doc_rows, DIM), np.float32)
     noise = np.zeros((doc_rows, DIM), np.float32)
     total_rows = DOCS_RED * doc_rows
@@ -319,6 +335,8 @@ def main():
             nonlocal upserted
             t0 = time.perf_counter()
             for j in range(upserted, n_docs):
+                if f"/doc{j:03}.txt" in have:
+                    continue  # resumed run: doc already committed
                 rows = d0 if j == 0 else _gen_doc(j, doc_rows, centers, buf,
                                                   noise)
                 store.upsert_document_lines(f"/doc{j:03}.txt", rows)
@@ -333,28 +351,33 @@ def main():
             return [f"/doc{j:03}.txt" for j in range(upserted)]
 
         grow_to(DOCS_INT8)
-        results.append(run_hop(store, hop_paths(), "int8", "int8-mxu-scan",
-                               qs, args.k, args.reps))
+        if "int8" in hops:
+            results.append(run_hop(store, hop_paths(), "int8",
+                                   "int8-mxu-scan", qs, args.k, args.reps))
         grow_to(DOCS_INT4)
-        results.append(run_hop(store, hop_paths(), "int4", "int4-mxu-scan",
-                               qs, args.k, args.reps))
+        if "int4" in hops:
+            results.append(run_hop(store, hop_paths(), "int4",
+                                   "int4-mxu-scan", qs, args.k, args.reps))
         grow_to(DOCS_RED)
-        results.append(run_hop(store, hop_paths(), "reduced64",
-                               "int8-mxu-scan-reduced64d", qs, args.k,
-                               args.reps))
+        if "reduced64" in hops:
+            results.append(run_hop(store, hop_paths(), "reduced64",
+                                   "int8-mxu-scan-reduced64d", qs, args.k,
+                                   args.reps))
         # Weak #5: reduced-32d with the corpus-size-scaled oversample at a
         # size where the tier actually binds (not the 1M-row calibration).
-        os.environ["SEMTOOLS_TPU_REDUCED_DIM"] = "32"
-        try:
-            from semtools_tpu.ops.reduce import reduced_oversample
+        if "reduced32" in hops:
+            os.environ["SEMTOOLS_TPU_REDUCED_DIM"] = "32"
+            try:
+                from semtools_tpu.ops.reduce import reduced_oversample
 
-            r = run_hop(store, hop_paths(), "reduced32",
-                        "int8-mxu-scan-reduced32d", qs, args.k, args.reps)
-            r["oversample"] = reduced_oversample(store.count_line_embeddings(),
-                                                 args.k)
-            results.append(r)
-        finally:
-            os.environ.pop("SEMTOOLS_TPU_REDUCED_DIM", None)
+                r = run_hop(store, hop_paths(), "reduced32",
+                            "int8-mxu-scan-reduced32d", qs, args.k,
+                            args.reps)
+                r["oversample"] = reduced_oversample(
+                    store.count_line_embeddings(), args.k)
+                results.append(r)
+            finally:
+                os.environ.pop("SEMTOOLS_TPU_REDUCED_DIM", None)
     finally:
         store.close()
         if own_td:

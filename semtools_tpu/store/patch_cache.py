@@ -459,6 +459,53 @@ def _host_transform_rate() -> float:
     return _HOST_XFORM_BPS[0]
 
 
+_UP_PROBE = [0.0, 0.0]  # (monotonic stamp, measured bytes/s)
+
+
+def _large_up_bps() -> Optional[float]:
+    """Host->device bytes/s for BULK transfers (8 MB probe, cached 2 min).
+
+    The 256 kB probe host_embed keeps for its own policies is
+    latency-dominated on tunneled links: this host measured ~500 MB/s on
+    GB-scale uploads while the small probe reported single-digit MB/s,
+    which silently routed every cold build to the 1-core host path. Bulk
+    builds upload 1 GB chunks, so an 8 MB probe (still amortizing the
+    per-transfer overhead poorly) is a conservative LOWER bound on their
+    realized rate. The 8 MB probe is only paid when the small probe
+    already shows a link healthy enough that it costs under ~2 s."""
+    import time as _t
+
+    if _UP_PROBE[1] and _t.monotonic() - _UP_PROBE[0] < 120.0:
+        return _UP_PROBE[1]
+    from semtools_tpu.ops.host_embed import _link_bandwidth
+
+    bw = _link_bandwidth()
+    if bw is None:
+        return None
+    if bw["up_Bps"] < 5e6:
+        return bw["up_Bps"]  # degraded link: don't pay an 8 MB probe
+    try:
+        import jax.numpy as jnp
+
+        payload = np.zeros(1 << 21, np.float32)
+        t0 = _t.monotonic()
+        jnp.asarray(payload).block_until_ready()
+        rate = payload.nbytes / max(_t.monotonic() - t0, 1e-6)
+    except Exception:
+        return bw["up_Bps"]
+    _UP_PROBE[0] = _t.monotonic()
+    _UP_PROBE[1] = rate
+    return rate
+
+
+def _device_build_wins(corpus_bytes: int, up_bps: float,
+                       host_bps: float) -> bool:
+    """Pure cost model: two link passes vs the host transform rate."""
+    return 2.0 * corpus_bytes / max(up_bps, 1e-9) < (
+        corpus_bytes / max(host_bps, 1e-9)
+    )
+
+
 def _use_device_build(kind: str, cap: int, dim: int, mesh) -> bool:
     """Cold-build placement policy (SEMTOOLS_TPU_BUILD=device|host|auto).
 
@@ -483,15 +530,10 @@ def _use_device_build(kind: str, cap: int, dim: int, mesh) -> bool:
 
         if jax.default_backend() == "cpu":
             return False
-        from semtools_tpu.ops.host_embed import _link_bandwidth
-
-        bw = _link_bandwidth()
-        if bw is None:
+        up = _large_up_bps()
+        if up is None:
             return False
-        corpus_bytes = cap * dim * 4
-        return 2.0 * corpus_bytes / bw["up_Bps"] < (
-            corpus_bytes / _host_transform_rate()
-        )
+        return _device_build_wins(cap * dim * 4, up, _host_transform_rate())
     except Exception:
         return False
 

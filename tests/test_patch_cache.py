@@ -600,3 +600,13 @@ def test_device_build_matches_host(tmp_path, monkeypatch, kind, rd):
         assert len(np.setdiff1d(must, host.resid_hi_slots)) == 0
     assert abs(dev.max_row_int_l1 - host.max_row_int_l1) <= 64
     s.close()
+
+
+def test_device_build_cost_model():
+    """Latency-corrected placement: the decision is two link passes vs
+    the host transform rate (the 256 kB probe's latency bias once routed
+    a 500 MB/s link to a 1-core host build — see _large_up_bps)."""
+    gb = 1 << 30
+    assert patch_cache._device_build_wins(14 * gb, 500e6, 160e6)
+    assert not patch_cache._device_build_wins(14 * gb, 200e6, 160e6)
+    assert not patch_cache._device_build_wins(14 * gb, 0.1e6, 160e6)
