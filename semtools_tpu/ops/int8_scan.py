@@ -85,20 +85,23 @@ def quantize_global(x: np.ndarray) -> Tuple[np.ndarray, float]:
             return np.zeros(x.shape, np.int8), 0.0
         q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
         return q, scale
-    flat = x.reshape(-1)
-    step = _QUANT_CHUNK
+    # Chunk along the leading axis: row-slices of a strided view stay
+    # views, whereas reshape(-1) on a non-contiguous input silently
+    # copies the whole array and defeats the memory bound this path
+    # exists to provide.
+    row_elems = max(1, int(np.prod(x.shape[1:], dtype=np.int64)))
+    step = max(1, _QUANT_CHUNK // row_elems)
     amax = 0.0
-    for i in range(0, flat.size, step):
-        amax = max(amax, float(np.max(np.abs(flat[i : i + step]))))
+    for i in range(0, x.shape[0], step):
+        blk = x[i : i + step]
+        if blk.size:
+            amax = max(amax, float(np.max(np.abs(blk))))
     scale = amax / 127.0
     if scale == 0.0:
         return np.zeros(x.shape, np.int8), 0.0
     q = np.empty(x.shape, np.int8)
-    qf = q.reshape(-1)
-    for i in range(0, flat.size, step):
-        qf[i : i + step] = np.clip(
-            np.rint(flat[i : i + step] / scale), -127, 127
-        )
+    for i in range(0, x.shape[0], step):
+        q[i : i + step] = np.clip(np.rint(x[i : i + step] / scale), -127, 127)
     return q, scale
 
 

@@ -7,10 +7,14 @@ per code byte and loses to the exact int8 scan it is supposed to beat).
 The TPU-native capacity play is the opposite shape: keep the scan a
 dense MXU matmul, shrink the BYTES per row instead of the arithmetic —
 project the corpus onto its top principal directions and quantize to
-int8 (default 64 dims = 64 B/row, 4x the int8 tier's capacity, 16x
-f32), then re-rank an oversampled candidate set exactly against the f32
-originals on the host mmap. Candidate recall comes from oversampling;
-reported distances stay exact.
+int8, storing each row's ceil-quantized residual NORM as one extra
+column (default 64 dims = 65 B/row, ~4x the int8 tier's capacity, 16x
+f32; auto-halves to 32d/33 B when the budget binds). Serving scores the
+query augmented with its own residual norm, so the matmul yields a
+per-row OPTIMISTIC similarity bound; the store's completion loop grows
+the candidate pool until that hard bound certifies the top-k, then
+re-ranks exactly against the f32 originals on the host mmap. Reported
+distances stay exact.
 
 The rotation is an UNCENTERED PCA (eigenvectors of the second-moment
 matrix): cosine scoring needs q.x ~ (W^T q).(W^T x), which holds for an

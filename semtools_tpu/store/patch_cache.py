@@ -51,9 +51,12 @@ from semtools_tpu.store import device_cache
 
 _SLACK = 16  # extra candidates to absorb zero-slot wins
 
-# Outlier-coverage budget for the reduced tier: the top-residual rows
-# force-included in every exact re-rank (SlotCorpus.resid_hi_slots).
-_RESID_HI_CAP = 4096
+# Residual-scale headroom for the reduced tier: resid_scale is fitted so
+# the build's largest residual quantizes to ~85 of 127, leaving room for
+# later-patched rows with somewhat larger residuals before a rebuild
+# refit is forced (ceil quantization keeps the stored value an upper
+# bound either way).
+_RESID_HEADROOM = 1.5
 
 # Test instrumentation: bytes shipped host->device by patch/build ops.
 _uploaded = [0]
@@ -83,19 +86,22 @@ class SlotCorpus:
     scale: Optional[float]
     rotation: Optional[np.ndarray]
     layout: Dict[str, Tuple[int, int]]
-    # Projection-outlier coverage (reduced tier only). The rows the
-    # rotation represents WORST — the top-residual-norm slots — are the
-    # ones a projected scan can mis-rank arbitrarily badly (a rare-topic
-    # row whose residual aligns with the query's evades any RMS-scale
-    # statistical margin; adversarially confirmed in review r4).
-    # ``resid_hi_slots`` holds those slots so serving force-includes
-    # them in every exact re-rank; ``resid_tail_max`` is the largest
-    # residual norm OUTSIDE that set, so the serving margin's
-    # per-row residual magnitude is a hard ceiling for every
-    # non-force-included row (only the error's direction-alignment
-    # remains statistical — see store._search_slot_cached_batched).
-    resid_hi_slots: Optional[np.ndarray] = None
-    resid_tail_max: float = 0.0
+    # Residual-norm column scale (reduced tier only). The stored corpus
+    # is [cap, rd+1]: columns [0, rd) are the int8-quantized projection,
+    # column rd is ceil(||x_perp|| / resid_scale) — each row's OWN
+    # projection-residual norm, rounded UP. Serving augments the query
+    # with q_perp * resid_scale / scale, so the same MXU matmul scores
+    # the OPTIMISTIC similarity bound q_r.x_r + q_perp*r_i >= q.x —
+    # selection by that bound gives a HARD per-row completion
+    # certificate (1 - bound is a true lower bound on every row's exact
+    # distance, up to the int8 rounding of the projection columns).
+    # This replaced the r4 outlier-set design (resid_hi_slots +
+    # statistical alignment margin), which a clustered corpus with more
+    # cluster directions than rd beats SYSTEMATICALLY: cluster structure
+    # spills into the residual and aligns with in-cluster queries
+    # (measured recall 0.81 at 932k rows / 186 clusters / rd=64 before
+    # this redesign — the r5 capacity-ladder smoke).
+    resid_scale: Optional[float] = None
     # Max over corpus rows of sum(|int8 value|) — turns the fused
     # kernel's query-quantization error into a hard bound
     # (0.5 * q_scale * scale * max_row_int_l1). int8 kinds only.
@@ -361,10 +367,25 @@ def _padded_rows(cap: int, mesh=None, kind: str = "int8") -> int:
     return padded
 
 
-def _transform(rows: np.ndarray, kind: str, rotation, scale) -> np.ndarray:
+def _resid_bytes(r: np.ndarray, resid_scale) -> np.ndarray:
+    """Residual norms -> ceil-quantized column bytes (upper bounds)."""
+    if not resid_scale:
+        return np.zeros(r.shape, np.int8)
+    return np.clip(np.ceil(r / resid_scale), 0, 127).astype(np.int8)
+
+
+def _transform(rows: np.ndarray, kind: str, rotation, scale,
+               resid_scale=None) -> np.ndarray:
     rows = np.asarray(rows, np.float32)
     if rotation is not None:
-        rows = rows @ rotation
+        proj = rows @ rotation
+        r = np.sqrt(np.maximum(
+            np.einsum("ij,ij->i", rows, rows)
+            - np.einsum("ij,ij->i", proj, proj), 0.0,
+        ))
+        q = (np.clip(np.rint(proj / scale), -127, 127).astype(np.int8)
+             if scale else np.zeros(proj.shape, np.int8))
+        return np.concatenate([q, _resid_bytes(r, resid_scale)[:, None]], axis=1)
     if kind == "int8":
         if not scale:
             return np.zeros(rows.shape, np.int8)
@@ -434,7 +455,19 @@ def _sample_occupied(mm, ranges, sample_rows: int, seed: int = 0) -> np.ndarray:
     starts = np.array([s for s, _ in spans], np.int64)
     lens = np.array([e - s for s, e in spans], np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    picks = np.sort(rng.choice(total, sample_rows, replace=False))
+    # Sample without replacement by rejection: numpy's replace=False
+    # materializes a full permutation of the population (~480 MB of
+    # int64 plus a shuffle at 60M rows), breaking the build's
+    # O(chunk + output) memory contract. sample_rows << total on the
+    # sizes where this path runs, so rejection converges in ~1 round.
+    chosen: set = set()
+    while len(chosen) < sample_rows:
+        need = sample_rows - len(chosen)
+        for v in rng.integers(0, total, size=need + need // 8 + 16).tolist():
+            if len(chosen) >= sample_rows:
+                break
+            chosen.add(v)
+    picks = np.sort(np.fromiter(chosen, np.int64, len(chosen)))
     span_of = np.searchsorted(offs, picks, side="right") - 1
     slots = starts[span_of] + (picks - offs[span_of])
     return np.asarray(mm[slots])
@@ -487,10 +520,16 @@ def _large_up_bps() -> Optional[float]:
     try:
         import jax.numpy as jnp
 
+        # Two back-to-back probes, max-take: the first pays any one-time
+        # transfer-path setup cost (and absorbs a transient stall), so a
+        # single unlucky probe can no longer misroute every cold build in
+        # the cache window to the 1-core host path.
         payload = np.zeros(1 << 21, np.float32)
-        t0 = _t.monotonic()
-        jnp.asarray(payload).block_until_ready()
-        rate = payload.nbytes / max(_t.monotonic() - t0, 1e-6)
+        rate = 0.0
+        for _ in range(2):
+            t0 = _t.monotonic()
+            jnp.asarray(payload).block_until_ready()
+            rate = max(rate, payload.nbytes / max(_t.monotonic() - t0, 1e-6))
     except Exception:
         return bw["up_Bps"]
     _UP_PROBE[0] = _t.monotonic()
@@ -498,15 +537,42 @@ def _large_up_bps() -> Optional[float]:
     return rate
 
 
-def _device_build_wins(corpus_bytes: int, up_bps: float,
+def _record_realized_up_bps(nbytes: int, seconds: float) -> None:
+    """Fold realized bulk-upload throughput (from an actual device build)
+    back into the probe cache: GB-scale transfers are the ground truth
+    the 8 MB probe only approximates."""
+    import time as _t
+
+    if nbytes >= (1 << 25) and seconds > 0:
+        _UP_PROBE[0] = _t.monotonic()
+        _UP_PROBE[1] = max(_UP_PROBE[1], nbytes / seconds)
+
+
+def _device_build_wins(corpus_bytes: int, out_bytes: int, up_bps: float,
                        host_bps: float) -> bool:
-    """Pure cost model: two link passes vs the host transform rate."""
-    return 2.0 * corpus_bytes / max(up_bps, 1e-9) < (
-        corpus_bytes / max(host_bps, 1e-9)
-    )
+    """Pure cost model comparing both paths' TOTAL wall-clock.
+
+    Device path: the f32 image crosses the link twice (stats pass +
+    transform pass); the transform itself runs at HBM rate (free by
+    comparison). Host path: the 1-core transform, plus uploading the
+    finished quantized image to the device cache — omitting that term
+    made placements near the crossover pick the slower path."""
+    dev = 2.0 * corpus_bytes / max(up_bps, 1e-9)
+    host = corpus_bytes / max(host_bps, 1e-9) + out_bytes / max(up_bps, 1e-9)
+    return dev < host
 
 
-def _use_device_build(kind: str, cap: int, dim: int, mesh) -> bool:
+def _quantized_out_bytes(kind: str, cap: int, dim: int,
+                         reduced_dim: Optional[int]) -> int:
+    """Bytes of the finished quantized image the host path must upload."""
+    d = (reduced_dim + 1) if reduced_dim else dim  # +1: residual column
+    if kind == "int4":
+        d = dim // 2
+    return cap * d  # 1 byte/stored-dim for int8/int4-packed
+
+
+def _use_device_build(kind: str, cap: int, dim: int, mesh,
+                      reduced_dim: Optional[int] = None) -> bool:
     """Cold-build placement policy (SEMTOOLS_TPU_BUILD=device|host|auto).
 
     The transform work (project/quantize/pack) is embarrassingly
@@ -533,7 +599,11 @@ def _use_device_build(kind: str, cap: int, dim: int, mesh) -> bool:
         up = _large_up_bps()
         if up is None:
             return False
-        return _device_build_wins(cap * dim * 4, up, _host_transform_rate())
+        return _device_build_wins(
+            cap * dim * 4,
+            _quantized_out_bytes(kind, cap, dim, reduced_dim),
+            up, _host_transform_rate(),
+        )
     except Exception:
         return False
 
@@ -542,9 +612,9 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
                          rotation):
     """Device-side transform passes: stream f32 slot-space chunks up the
     link, compute amax/residual stats and the transformed corpus on the
-    accelerator. Returns (device corpus [padded, D'], scale, hi_slots,
-    tail_max, max_row_int_l1). Raises on any device trouble — the caller
-    falls back to the host path."""
+    accelerator. Returns (device corpus [padded, D'], scale, resid_scale,
+    max_row_int_l1). Raises on any device trouble — the caller falls back
+    to the host path."""
     import jax
     import jax.numpy as jnp
 
@@ -552,28 +622,23 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
     chunk = _BUILD_CHUNK_ROWS
     n_chunks = max((padded + chunk - 1) // chunk, 1)
     w_dev = jnp.asarray(rotation) if rotation is not None else None
-    hcap = _RESID_HI_CAP + 1
 
     @jax.jit
-    def pass1(state, block, c0):
-        amax, tv, ti = state
+    def pass1(state, block):
+        amax, max_r = state
         if w_dev is not None:
             proj = block @ w_dev
             amax = jnp.maximum(amax, jnp.max(jnp.abs(proj)))
-            r = jnp.sqrt(jnp.maximum(
+            r2 = jnp.maximum(
                 jnp.sum(block * block, axis=1)
-                - jnp.sum(proj * proj, axis=1), 0.0))
-            idx = c0 + jax.lax.iota(jnp.int32, block.shape[0])
-            cv = jnp.concatenate([tv, r])
-            ci = jnp.concatenate([ti, idx])
-            tv, top = jax.lax.top_k(cv, hcap)
-            ti = ci[top]
+                - jnp.sum(proj * proj, axis=1), 0.0)
+            max_r = jnp.maximum(max_r, jnp.sqrt(jnp.max(r2)))
         else:
             amax = jnp.maximum(amax, jnp.max(jnp.abs(block)))
-        return amax, tv, ti
+        return amax, max_r
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def pass2(carry, block, scale, c0):
+    def pass2(carry, block, scale, rscale, c0):
         buf, l1 = carry
         x = block @ w_dev if w_dev is not None else block
         lim = 127 if kind == "int8" else 7
@@ -585,16 +650,19 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
             rows = (lo | (hi << 4)).astype(jnp.int8)
         else:
             rows = q.astype(jnp.int8)
+        if w_dev is not None:
+            # residual-norm column, ceil-quantized (upper bound per row)
+            r = jnp.sqrt(jnp.maximum(
+                jnp.sum(block * block, axis=1)
+                - jnp.sum(x * x, axis=1), 0.0))
+            b = jnp.clip(jnp.ceil(r / rscale), 0, 127).astype(jnp.int8)
+            rows = jnp.concatenate([rows, b[:, None]], axis=1)
         if kind == "int8":  # field contract: int8 kinds only
             l1 = jnp.maximum(l1, jnp.max(jnp.sum(jnp.abs(q), axis=1)))
         buf = jax.lax.dynamic_update_slice(buf, rows, (c0, jnp.int32(0)))
         return buf, l1
 
-    state = (
-        jnp.float32(0.0),
-        jnp.zeros(hcap, jnp.float32),
-        jnp.full(hcap, -1, jnp.int32),
-    )
+    state = (jnp.float32(0.0), jnp.float32(0.0))
     blocks_iter = lambda: _occupied_slot_chunks(mm, ranges, chunk)  # noqa: E731
 
     def _padded_block(block):
@@ -605,37 +673,33 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
             ])
         return block
 
+    import time as _time
+
+    _p1_t0 = _time.monotonic()
+    _p1_bytes = 0
     for c0, block in blocks_iter():
         b = _padded_block(block)
         _uploaded[0] += b.nbytes
-        state = pass1(state, jnp.asarray(b), jnp.int32(c0))
+        _p1_bytes += b.nbytes
+        state = pass1(state, jnp.asarray(b))
     amax = float(state[0])
+    max_r = float(state[1])
+    # Feed realized GB-scale upload throughput back into the placement
+    # probe cache (the readback above fenced the stream, so the elapsed
+    # time is a sound lower bound on the link rate).
+    _record_realized_up_bps(_p1_bytes, _time.monotonic() - _p1_t0)
     scale = amax / (127.0 if kind == "int8" else 7.0)
+    resid_scale = (
+        max_r * _RESID_HEADROOM / 127.0 if rotation is not None else None
+    )
 
-    hi_slots = None
-    tail_max = 0.0
-    if rotation is not None:
-        tv = np.asarray(state[1])
-        ti = np.asarray(state[2])
-        live = ti >= 0
-        tv, ti = tv[live], ti[live]
-        order = np.argsort(-tv, kind="stable")
-        if len(order) > _RESID_HI_CAP:
-            tail_max = float(tv[order[_RESID_HI_CAP]])
-            order = order[:_RESID_HI_CAP]
-        hi_slots = np.sort(ti[order])
-        hi_slots = hi_slots[hi_slots < cap]
-        # chunks below hcap rows never filled the running top buffer —
-        # any -1 sentinel has been dropped above; residual==0 entries are
-        # harmless (zero rows re-rank to distance 1.0)
-
-    out_dim = (reduced_dim or d)
+    out_dim = (reduced_dim + 1) if rotation is not None else d
     if kind == "int4":
-        out_dim //= 2
+        out_dim = d // 2
     big_rows = n_chunks * chunk
     if scale == 0.0:
         buf = jnp.full((padded, out_dim), _fill_byte(kind), jnp.int8)
-        return buf, 0.0, hi_slots, tail_max, 0.0
+        return buf, 0.0, resid_scale, 0.0
     carry = (
         jnp.full((big_rows, out_dim), _fill_byte(kind), jnp.int8),
         jnp.int32(0),
@@ -644,7 +708,7 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
         b = _padded_block(block)
         _uploaded[0] += b.nbytes
         carry = pass2(carry, jnp.asarray(b), jnp.float32(scale),
-                      jnp.int32(c0))
+                      jnp.float32(resid_scale or 1.0), jnp.int32(c0))
     buf, l1 = carry
     if big_rows != padded:
         buf = buf[:padded]
@@ -652,7 +716,7 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
     # encodings match the host build (zeros transform to the kind's
     # zero-vector encoding)
     buf.block_until_ready()
-    return buf, scale, hi_slots, tail_max, float(l1)
+    return buf, scale, resid_scale, float(l1)
 
 
 def _build(
@@ -686,59 +750,46 @@ def _build(
 
     padded = _padded_rows(cap, mesh, kind)
     scale = None
-    hi_slots = None
-    tail_max = 0.0
+    resid_scale = None
     dev_corpus = None
     max_l1 = 0.0
     if kind in ("int8", "int4") and _use_device_build(
-        kind, cap, store.dim, mesh
+        kind, cap, store.dim, mesh, reduced_dim
     ):
         try:
-            dev_corpus, scale, hi_slots, tail_max, max_l1 = (
-                _device_build_corpus(
-                    mm, ranges, cap, padded, kind, reduced_dim, rotation
-                )
+            dev_corpus, scale, resid_scale, max_l1 = _device_build_corpus(
+                mm, ranges, cap, padded, kind, reduced_dim, rotation
             )
         except Exception:
             dev_corpus = None  # any device trouble: host path below
     if dev_corpus is None and kind in ("int8", "int4"):
         # Global amax over occupied rows (projected for the reduced
-        # tier); zero slots never contribute. The same pass collects the
-        # top-residual slots for the reduced tier's outlier coverage.
+        # tier); zero slots never contribute. The same pass measures the
+        # largest residual norm, which fixes the residual column's scale.
         amax = 0.0
-        best_r = np.zeros(0, np.float32)
-        best_s = np.zeros(0, np.int64)
+        max_r = 0.0
         for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
             if rotation is not None:
                 proj = block @ rotation
-                r = np.sqrt(np.maximum(
+                r2 = np.maximum(
                     np.einsum("ij,ij->i", block, block)
                     - np.einsum("ij,ij->i", proj, proj), 0.0,
-                ))
-                cand_r = np.concatenate([best_r, r])
-                cand_s = np.concatenate(
-                    [best_s, np.arange(c0, c0 + len(r), dtype=np.int64)]
                 )
-                keep = min(_RESID_HI_CAP + 1, len(cand_r))
-                top = np.argpartition(-cand_r, keep - 1)[:keep]
-                best_r, best_s = cand_r[top], cand_s[top]
+                if r2.size:
+                    max_r = max(max_r, float(np.sqrt(np.max(r2))))
                 block = proj
             if block.size:
                 amax = max(amax, float(np.max(np.abs(block))))
         scale = amax / (127.0 if kind == "int8" else 7.0)
         if rotation is not None:
-            order = np.argsort(-best_r, kind="stable")
-            if len(order) > _RESID_HI_CAP:
-                tail_max = float(best_r[order[_RESID_HI_CAP]])
-                order = order[:_RESID_HI_CAP]
-            hi_slots = np.sort(best_s[order])
+            resid_scale = max_r * _RESID_HEADROOM / 127.0
 
     if dev_corpus is None:
         out_dim = store.dim
         if rotation is not None:
-            out_dim = reduced_dim
+            out_dim = reduced_dim + 1  # +1: residual-norm column
         if kind == "int4":
-            out_dim = out_dim // 2
+            out_dim = store.dim // 2
         dtype = np.float32 if kind == "f32" else np.int8
         buf = np.full((padded, out_dim), _fill_byte(kind), dtype)
         for c0, block in _occupied_slot_chunks(mm, ranges, _BUILD_CHUNK_ROWS):
@@ -747,7 +798,7 @@ def _build(
             else:
                 # _transform packs all-zero rows to the kind's zero-vector
                 # encoding (0 / PACKED_ZERO_BYTE), matching the fill.
-                q = _transform(block, kind, rotation, scale)
+                q = _transform(block, kind, rotation, scale, resid_scale)
                 buf[c0 : c0 + block.shape[0]] = q
                 if kind == "int8" and q.size:
                     max_l1 = max(max_l1, float(
@@ -771,8 +822,7 @@ def _build(
         corpus=dev_corpus if dev_corpus is not None else _device_put(buf, mesh),
         scale=scale,
         rotation=rotation,
-        resid_hi_slots=hi_slots,
-        resid_tail_max=tail_max,
+        resid_scale=resid_scale,
         max_row_int_l1=max_l1,
         layout={p: (s, n, rev) for p, s, n, rev in ranges},
         mesh=mesh,
@@ -956,13 +1006,16 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
             arr, jnp.asarray(dst_p), saved
         )
 
-    # New-content bookkeeping for the serving margins: rows whose
-    # projection residual exceeds the entry's tail ceiling join the
-    # force-re-ranked outlier set; int8 row L1 maxima stay monotone.
-    new_hi = []
+    # New-content bookkeeping for the serving bounds. A patched row whose
+    # projection residual exceeds the residual column's representable
+    # ceiling (127 * resid_scale, which _RESID_HEADROOM sized above the
+    # build-time max) cannot carry a valid optimistic bound — bail to a
+    # rebuild, which refits resid_scale (and the rotation) on current
+    # content. int8 row L1 maxima stay monotone.
     new_max_l1 = sc.max_row_int_l1
 
-    def _track_new(raw: np.ndarray, slots: np.ndarray, q_rows: np.ndarray):
+    def _track_new(raw: np.ndarray, q_rows: np.ndarray) -> bool:
+        """False when a new row overflows the residual column."""
         nonlocal new_max_l1
         if sc.rotation is not None and raw.size:
             proj = raw @ sc.rotation
@@ -970,13 +1023,13 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
                 np.einsum("ij,ij->i", raw, raw)
                 - np.einsum("ij,ij->i", proj, proj), 0.0,
             ))
-            above = r > sc.resid_tail_max
-            if above.any():
-                new_hi.append(slots[above].astype(np.int64))
+            if np.any(r > 127.0 * float(sc.resid_scale or 0.0)):
+                return False
         if sc.kind == "int8" and q_rows.size:
             new_max_l1 = max(new_max_l1, float(
                 np.abs(q_rows.astype(np.int32)).sum(axis=1).max()
             ))
+        return True
 
     if changed:
         mm = store._mmap("r")
@@ -985,48 +1038,22 @@ def _patch(store, sc: SlotCorpus, gen: int) -> bool:
         for _, s, n, src, dst, novel, _ in plans:
             if src is None:
                 raw = np.asarray(mm[s : s + n])
-                rows = _transform(raw, sc.kind, sc.rotation, sc.scale)
+                rows = _transform(raw, sc.kind, sc.rotation, sc.scale,
+                                  sc.resid_scale)
+                if not _track_new(raw, rows):
+                    return False  # caller discards and rebuilds
                 arr = _write_rows(arr, rows, s, sc.mesh)
-                _track_new(raw, np.arange(s, s + n, dtype=np.int64), rows)
             elif len(novel):
                 raw = np.asarray(mm[s + novel])
-                rows = _transform(raw, sc.kind, sc.rotation, sc.scale)
+                rows = _transform(raw, sc.kind, sc.rotation, sc.scale,
+                                  sc.resid_scale)
+                if not _track_new(raw, rows):
+                    return False
                 arr = _scatter_upload(
                     arr, rows, (s + novel).astype(np.int32), sc.mesh
                 )
-                _track_new(raw, (s + novel).astype(np.int64), rows)
         del mm
 
-    if sc.resid_hi_slots is not None:
-        # Moved rows keep their residual: remap their outlier entries to
-        # the destination slots FIRST, then drop unremapped entries whose
-        # slots were freed (a freed range may be re-used by a changed
-        # doc, but that new content was tracked above).
-        hi = sc.resid_hi_slots.astype(np.int64)
-        moved = np.zeros(len(hi), bool)
-        for _, _, _, src, dst, _, _ in plans:
-            if src is None or not len(src):
-                continue
-            sidx = np.argsort(src)
-            pos = np.clip(np.searchsorted(src[sidx], hi), 0, len(src) - 1)
-            hit = (src[sidx][pos] == hi) & ~moved
-            hi = np.where(hit, dst[sidx][pos].astype(np.int64), hi)
-            moved |= hit
-        in_removed = np.zeros(len(hi), bool)
-        for s, n in removed:
-            in_removed |= (hi >= s) & (hi < s + n)
-        hi = hi[moved | ~in_removed]
-        if new_hi:
-            hi = np.concatenate([hi] + new_hi)
-        hi = np.unique(hi)
-        if len(hi) > 4 * _RESID_HI_CAP:
-            # The outlier set outgrew its budget: rebuild (refits the
-            # rotation and residual tail on current content). The caller
-            # treats False as discard-and-rebuild, so the half-applied
-            # device state above is dropped, as at the other mid-patch
-            # bail-outs.
-            return False
-        sc.resid_hi_slots = hi
     sc.max_row_int_l1 = new_max_l1
 
     # Hash snapshot bookkeeping mirrors the corpus mutations.

@@ -785,6 +785,15 @@ class Store:
         (no reduction needed), when the tier is disabled
         (SEMTOOLS_TPU_REDUCED_DIM=0), or when even the reduced corpus
         would not fit (the ANN tier takes over).
+
+        When the configured rung does not fit, HALVE it down to 32 before
+        surrendering to the host IVF-PQ tier: reduced-64d tops out around
+        67M rows on one chip's budget, and the 32d rung doubles that to
+        ~134M rows of device serving (exact re-rank, margin-certified
+        pool, ~50x faster than the host tier). Explicit sub-32 values are
+        honored as-is but never auto-halved further — below 32 dims the
+        projection keeps too little signal for the oversample policy's
+        calibration (tests pin 8/16d rungs only at toy scales).
         """
         rd = _env_int("SEMTOOLS_TPU_REDUCED_DIM", 64)
         if rd <= 0 or rd >= self.dim:
@@ -795,9 +804,15 @@ class Store:
             return None
         if self._int4_fits(slot_rows, budget):
             return None  # the int4 rung (dim/2 B/row) serves this size
-        if slot_rows * rd <= budget:
-            return rd
-        return None
+        while True:
+            # rd+1: the stored corpus is [rows, rd+1] int8 — the extra
+            # column is each row's residual norm (optimistic-bound
+            # serving, see patch_cache._build).
+            if slot_rows * (rd + 1) <= budget:
+                return rd
+            if rd <= 32:
+                return None
+            rd = max(rd // 2, 32)
 
     def _int4_fits(self, slot_rows: int, budget: int) -> bool:
         """True when the int4 capacity rung is available for this size:
@@ -814,8 +829,11 @@ class Store:
         """IVF-PQ is the LAST capacity tier: it serves only when the
         corpus cannot live on-device even in reduced-int8 form, or when
         forced with SEMTOOLS_TPU_FORCE_ANN=1. Everything smaller gets a
-        device scan with exact re-ranking — no recall tradeoff on corpora
-        the hardware can hold.
+        device scan with exact re-ranking, where served distances are
+        exact and the top-k pool is certified by the completion margin
+        (6-sigma by default, unconditional under
+        SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS=hard — see _topk_margin and
+        ARCHITECTURE.md's guaranteed/not-guaranteed split).
         """
         if os.environ.get("SEMTOOLS_TPU_FORCE_ANN") == "1":
             return True
@@ -827,7 +845,7 @@ class Store:
             return False
         if self._int4_fits(slot_rows, budget):
             # int8 over budget but the packed rung still serves on-device
-            # (exact re-rank, no recall tradeoff). Found by the capacity-
+            # (exact re-rank, margin-certified pool). Found by the capacity-
             # ladder policy sweep: _capacity_reduced_dim returns None when
             # int4 fits, which this check misread as "nothing fits" and
             # handed an int4-sized corpus to IVF-PQ.
@@ -1826,7 +1844,9 @@ class Store:
         if kind == "int4":
             return self.dim // 2
         if kind == "int8":
-            return reduced_dim or self.dim
+            # +1: the reduced corpus carries a per-row residual-norm
+            # column (the optimistic-bound augmentation, patch_cache).
+            return (reduced_dim + 1) if reduced_dim else self.dim
         return self.dim * 4
 
     @staticmethod
@@ -2148,13 +2168,37 @@ class Store:
             top_k, reduced_dim is not None, sel_rows
         )
 
+        q_r = q_perp = q_aug = None
+        if reduced_dim:
+            # Optimistic-bound augmentation: the stored corpus is
+            # [cap, rd+1] with each row's ceil-quantized residual norm in
+            # the last column; scoring the augmented query
+            # [q_r, q_perp * resid_scale / scale] with the SAME matmul
+            # yields (after the global rescale) q_r.x_r + q_perp*r_i —
+            # an UPPER bound on the true similarity q.x for every row, so
+            # 1 - it is a per-row HARD lower bound on the exact distance
+            # (up to int8 rounding of the projection columns). Selection
+            # by this bound makes the completion certificates below
+            # unconditional in the residual component — no alignment
+            # statistics (the r4 outlier-set design lost recall on
+            # corpora with more cluster directions than rd).
+            q_r = qs @ sc.rotation
+            q_perp = np.linalg.norm(qs - q_r @ sc.rotation.T, axis=1)
+            aug = (
+                q_perp * (float(sc.resid_scale or 0.0) / sc.scale)
+                if sc.scale else np.zeros(qn, np.float32)
+            )
+            q_aug = np.concatenate(
+                [q_r, aug[:, None]], axis=1
+            ).astype(np.float32)
+
         def _candidates(k_sel: int):
             """([Q, k_sel] candidate slots, [Q, k_sel] TRUE-SCALE quantized
             distances ascending). The distances feed the threshold-mode
             completion criterion; raw kernel values are rescaled per
             branch (the XLA paths score the unscaled int corpus)."""
             if reduced_dim:
-                d, i = _topk(qs @ sc.rotation, k_sel)
+                d, i = _topk(q_aug, k_sel)
                 dq = 1.0 - (1.0 - np.asarray(d)) * (sc.scale or 0.0)
             elif k_sel <= 64 and qn <= 32 and (mask is None or mesh is None):
                 # The fused int8 kernel's measured batch crossover matches
@@ -2192,28 +2236,17 @@ class Store:
             error is <= 0.5*scale*||q||_1 (q here is the vector actually
             scored against the stored int rows). The fused int8 kernel
             also quantizes the query: + 0.5*q_scale*||e||_1 <=
-            0.5*q_scale*sqrt(D) for unit rows. The reduced tier adds the
-            projection residual: |q.e - q_r.e_r| = |q_perp . e_perp| <=
-            ||q_perp|| (unit rows). Used ONLY to prove threshold-mode
-            pool completeness — a pool whose worst member's quantized
-            distance clears max_distance + margin provably contains
-            every within-threshold row.
+            0.5*q_scale*sqrt(D) for unit rows. On the reduced tier the
+            scored value is already the OPTIMISTIC bound (the augmented
+            residual column covers the projection residual exactly, and
+            its ceil quantization errs in the safe direction), so only
+            the projection columns' rounding remains. Used ONLY to prove
+            threshold-mode pool completeness — a pool whose worst
+            member's quantized distance clears max_distance + margin
+            provably contains every within-threshold row.
             """
             if reduced_dim:
-                q_r = qs @ sc.rotation
-                resid = np.linalg.norm(qs - q_r @ sc.rotation.T, axis=1)
-                # |q_perp . x_perp| <= ||q_perp|| * ||x_perp||; with the
-                # top-residual outlier rows force-included in the pool,
-                # every OTHER row's residual is under resid_tail_max —
-                # a measured ceiling, tighter than the unit-row bound
-                # (and still hard for non-unit rows, which break it).
-                r_ceil = (
-                    float(sc.resid_tail_max)
-                    if sc.resid_hi_slots is not None else 1.0
-                )
-                return resid * r_ceil + 0.5 * (sc.scale or 0.0) * np.abs(
-                    q_r
-                ).sum(1)
+                return 0.5 * (sc.scale or 0.0) * np.abs(q_r).sum(1)
             m = 0.5 * (sc.scale or 0.0) * np.abs(qs).sum(axis=1)
             # fused-kernel query quantization term (cheap; always add):
             # 0.5*q_scale*||e||_1, with true ||e||_1 bounded by the
@@ -2250,42 +2283,32 @@ class Store:
             return len(np.unique(slots[valid]))
 
         def _topk_margin(k_now: int) -> np.ndarray:
-            """[Q] bound (K sigmas) on |quantized - exact| distance per
-            query, for TOP-K completion.
+            """[Q] bound (K sigmas, or hard) on |quantized - exact|
+            distance per query, for TOP-K completion.
+
+            The default 6-sigma margin is STATISTICAL, not hard: a
+            corpus whose per-element rounding errors align with a query
+            can beat it (probability ~1e-9 per comparison under the
+            uniform-rounding model, but not zero). Set
+            ``SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS=hard`` for the worst-case
+            bound — 0.5*scale*||q||_1 corpus rounding, ~4-5x wider at
+            D=256, which makes the completion certificate unconditional
+            at the cost of deeper re-rank pools.
 
             Error sources: corpus int8 rounding (uniform +-scale/2 per
-            element -> sigma = scale*||q_eff||_2/sqrt(12)); query-side
+            element -> sigma = scale*||q_eff||_2/sqrt(12)); and query-side
             rounding as a HARD term, only on the fused-kernel path that
             actually quantizes the query (0.5*q_scale*||e||_1 with
-            ||e||_1 bounded by the corpus's measured max int-L1); and for
-            the reduced tier the projection residual. The residual term
-            bounds every row's error MAGNITUDE hard — outside the
-            force-re-ranked outlier set (sc.resid_hi_slots, appended to
-            every pool) no row's residual exceeds sc.resid_tail_max — but
-            its direction-alignment with the query's residual is
-            statistical (~1/sqrt(D - rd) for spread residuals). A row
-            whose residual aligns with the query's can exceed the K-sigma
-            margin — that is irreducible at this memory tier (the
-            projection discarded the data); the outlier set covers the
-            concentrated-residual rows where it happens systematically
-            (rare-topic lines), and the exact/int8/int4 full-dim tiers
-            plus threshold mode's hard margin remain for callers who need
-            guarantees. Same K-sigma model the int4 extraction validates
-            empirically."""
-            sigmas = float(
-                os.environ.get("SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS", "6")
-            )
-            if reduced_dim:
-                q_r = qs @ sc.rotation
-                q_perp = np.linalg.norm(qs - q_r @ sc.rotation.T, axis=1)
-                sig_p = (
-                    q_perp * float(sc.resid_tail_max)
-                    / np.sqrt(max(self.dim - reduced_dim, 1))
-                )
-                q_eff = q_r
-            else:
-                sig_p = np.zeros(qn)
-                q_eff = qs
+            ||e||_1 bounded by the corpus's measured max int-L1). The
+            reduced tier has NO residual term here: its scan scores the
+            per-row optimistic bound (augmented residual column, see
+            _candidates), which covers the projection residual exactly —
+            only the projection columns' rounding remains, same as the
+            full-dim tiers."""
+            env = os.environ.get("SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS", "6")
+            hard_mode = env.strip().lower() == "hard"
+            sigmas = 0.0 if hard_mode else float(env)
+            q_eff = q_r if reduced_dim else qs
             sig_c = (
                 (sc.scale or 0.0)
                 * np.linalg.norm(q_eff, axis=1) / np.sqrt(12.0)
@@ -2303,29 +2326,19 @@ class Store:
                 hard_q = 0.5 * q_scale * (sc.scale or 0.0) * (
                     float(sc.max_row_int_l1) + 0.5 * self.dim
                 )
+            if hard_mode:
+                # Worst case: every element's rounding error aligns with
+                # the query.
+                hard_c = 0.5 * (sc.scale or 0.0) * np.abs(q_eff).sum(axis=1)
+                return hard_c + hard_q + 1e-6
             # 1e-6: f32 arithmetic slack in the scan/re-rank dots
-            return sigmas * np.sqrt(sig_p**2 + sig_c**2) + hard_q + 1e-6
+            return sigmas * sig_c + hard_q + 1e-6
 
         k_target = min(oversample, sel_rows)
         k_sel = min(oversample + patch_cache._SLACK, sc.capacity)
         t_margin = _threshold_margin() if max_distance is not None else None
         while True:
             i, dq = _candidates(k_sel)
-            if (
-                reduced_dim
-                and sc.resid_hi_slots is not None
-                and len(sc.resid_hi_slots)
-            ):
-                # Force-include the projection's worst-represented rows:
-                # the completion margins only cover rows whose residual
-                # is under sc.resid_tail_max, which holds for every slot
-                # OUTSIDE this set.
-                i = np.concatenate([
-                    i,
-                    np.broadcast_to(
-                        sc.resid_hi_slots, (qn, len(sc.resid_hi_slots))
-                    ),
-                ], axis=1)
             min_valid = min(_unique_valid(i[r]) for r in range(qn))
             # Threshold-mode completion: every row OUTSIDE the pool has
             # quantized distance >= the pool's worst member; once that
@@ -2359,8 +2372,12 @@ class Store:
                 # quantized distance >= the pool's worst; once that worst
                 # clears the served k-th EXACT distance by the tier's
                 # error margin, no outside row can displace a served one
-                # (outlier rows above the margin's residual ceiling are
-                # force-included in the pool — see _topk_margin). The
+                # UP TO the margin's confidence — the default margin is
+                # 6-sigma statistical over int8 rounding only (the
+                # reduced tier's residual component is covered HARD by
+                # the optimistic-bound scan), unconditional under
+                # SEMTOOLS_TPU_TOPK_MARGIN_SIGMAS=hard (see _topk_margin;
+                # ARCHITECTURE.md's guaranteed/not-guaranteed split). The
                 # corpus-size-scaled oversample is only a warm start —
                 # dense clusters (5000+ rows within quantization noise of
                 # each other) overflow any fixed window (measured recall

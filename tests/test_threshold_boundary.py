@@ -191,8 +191,10 @@ def test_reduced_tier_outlier_row_is_served(tmp_path, monkeypatch):
     vector aligned with that direction. Its projected rank is thousands
     of positions below its exact rank, and its per-row error dwarfs any
     RMS-scale statistical margin — the corpus second moment barely moves
-    for one row in 30k. The top-residual outlier set (resid_hi_slots)
-    must force-include it in the exact re-rank regardless of margins."""
+    for one row in 30k. The residual-norm column (r5 optimistic-bound
+    design) must surface it: its large stored r_i boosts its optimistic
+    similarity for any high-q_perp query, so selection reaches it and
+    the exact re-rank serves it."""
     monkeypatch.setenv("SEMTOOLS_TPU_SHARDED", "0")
     rng = np.random.default_rng(11)
     n, d, rd = 30000, 64, 16
