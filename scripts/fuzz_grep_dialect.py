@@ -38,7 +38,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from semtools_tpu.ask.tools import _native_grep_safe  # noqa: E402
+from semtools_tpu.ask.tools import (  # noqa: E402
+    _compile_grep_pattern,
+    _native_grep_safe,
+)
 from semtools_tpu.utils import grepscan  # noqa: E402
 
 ATOMS = [
@@ -46,6 +49,7 @@ ATOMS = [
     r"\d", r"\D", r"\w", r"\W", r"\s", r"\S", r"\b", r"\B",
     r"\A", r"\Z", r"\.", r"\\", r"\*", r"\[", r"\]", r"\$", r"\^",
     r"\x41", r"\t",
+    r"\p{L}", r"\p{N}", r"\p{Alpha}", r"\P{L}", r"\pL", r"\p{Lu}",
     ".", "[abc]", "[a-f]", "[^ab]", "[0-9-]", "[]a]", "[[:digit:]]",
     "[[:alpha:]]", "[[.a.]]", "[a\\]b]", "[.,;]", "[=a=]",
 ]
@@ -114,7 +118,7 @@ def run(cases: int, seed: int) -> int:
             ignore_case = rng.random() < 0.25
             flags = re.IGNORECASE if ignore_case else 0
             try:
-                compiled = re.compile(pattern, flags)
+                compiled = _compile_grep_pattern(pattern, flags)
             except re.error:
                 continue  # grep_tool raises before any engine runs
             tried += 1

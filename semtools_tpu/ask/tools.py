@@ -291,7 +291,7 @@ def grep_tool(
     pat_text = pattern if is_regex else re.escape(pattern)
     flags = 0 if case_sensitive else re.IGNORECASE
     try:
-        compiled = re.compile(pat_text, flags)
+        compiled = _compile_grep_pattern(pat_text, flags)
     except re.error as e:
         raise ValueError(f"Invalid regex pattern: {e}")
 
@@ -320,6 +320,37 @@ def grep_tool(
     return "".join(out)
 
 
+# Unicode property classes of the reference's rust-regex dialect
+# (\p{L}, \P{Greek}, \pN — /root/reference/src/ask/tools.rs:443-516 uses
+# grep-regex, whose pattern language implements UTS#18 properties).
+# Python `re` rejects them ("bad escape \p"); the stdlib-adjacent
+# `regex` module implements the same UTS#18 property names with `re`'s
+# API, so patterns mentioning \p/\P compile through it instead. `regex`
+# is a behavioral superset of `re` for `re`-valid patterns, so the
+# textual (over-matching) detection below is safe: a false positive
+# (e.g. a literal r"\\p") compiles to the same matcher either way.
+_UNICODE_PROPERTY = re.compile(r"\\[pP]")
+
+
+def _compile_grep_pattern(pat_text: str, flags: int):
+    """Compile a grep pattern: Python ``re`` (the documented authority),
+    except \\p/\\P Unicode property classes go through the ``regex``
+    module — matching the capability the reference's rust-regex engine
+    grants agents instead of bouncing a ValueError."""
+    if _UNICODE_PROPERTY.search(pat_text):
+        try:
+            import regex as _regex
+        except ImportError:  # pragma: no cover - regex is bundled
+            return re.compile(pat_text, flags)  # documented bad-escape error
+        try:
+            return _regex.compile(pat_text, flags)
+        except _regex.error as e:
+            # normalize to re.error so grep_tool's single except clause
+            # turns any bad pattern into the agent-visible ValueError
+            raise re.error(str(e))
+    return re.compile(pat_text, flags)
+
+
 # Pattern escapes whose match set depends on Unicode tables (\d matches
 # U+0660, \w matches é, \b derives from \w) — the native scanner's
 # std::regex applies them bytewise to UTF-8, so they are only equivalent
@@ -340,12 +371,15 @@ _UNICODE_SENSITIVE = re.compile(r"\\[dwsbDWSBxuUN]")
 #   [] [^]  a leading ] is a LITERAL member to Python re ("[]a]" = {], a})
 #           but closes an EMPTY (never-matching) class in ECMAScript
 #   \B      matches the EMPTY string in ECMAScript but not in Python re
+#   \p \P   Unicode property classes (handled via the regex module, see
+#           _compile_grep_pattern); ECMAScript identity-escapes them to
+#           literal p/P
 # Everything else Python-only (named groups, lookbehind, inline flags,
 # {,n} bounds, conditionals, atomic groups) makes std::regex THROW, and
 # the ValueError already falls back to the Python path. Over-matching
 # here is always safe — Python re is the authority; routing native is
 # only an optimization.
-_DIALECT_DIVERGENT = re.compile(r"\\[AZB]|\[[:.=]|\[\^?\]")
+_DIALECT_DIVERGENT = re.compile(r"\\[AZBpP]|\[[:.=]|\[\^?\]")
 
 
 def _has_bytewise_unsafe_construct(pattern: str) -> bool:

@@ -557,3 +557,45 @@ def test_native_grep_safe_rejects_divergent_constructs():
     # common safe patterns still take the native path
     for pat in ("error", r"foo (bar|baz)+", r"^x{1,3}$", r"[a-f0-9]+"):
         assert _native_grep_safe(pat, False, ["ascii"]), pat
+
+
+def test_unicode_property_classes_match_rust_regex_semantics(tmp_path):
+    """\\p{..} classes are valid in the reference's rust-regex grep
+    dialect (/root/reference/src/ask/tools.rs:443-516). They must MATCH
+    here (via the regex module's UTS#18 properties) instead of bouncing
+    "Invalid regex pattern: bad escape \\p" back to the agent — on both
+    ASCII and non-ASCII content."""
+    f = tmp_path / "u.txt"
+    f.write_text("abc\n123\ncafé\nΣigma\n٠٦٦٠\n--- \n")
+    lines = f.read_text().splitlines()
+
+    import re as _re
+
+    def hits(pat):
+        out = grep_tool([str(f)], pat, is_regex=True, context_lines=0)
+        if out == "No matches found.":
+            return []
+        return sorted(
+            int(m.group(1))
+            for m in _re.finditer(r"<chunk file=\S+ start=(\d+)", out)
+        )
+
+    assert hits(r"\p{L}") == [0, 2, 3]          # letters incl. é, Σ
+    assert hits(r"\p{N}") == [1, 4]             # decimal digits incl. ٠
+    assert hits(r"\p{Alpha}") == [0, 2, 3]      # POSIX-name alias
+    assert hits(r"^\P{L}+$") == [1, 4, 5]       # lines with no letter
+    assert hits(r"\pL") == [0, 2, 3]            # single-letter form
+    assert hits(r"\p{Lu}") == [3]               # uppercase: Σ only
+    assert hits(r"\p{Greek}") == [3]            # script property
+    # invalid property names still surface a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Invalid regex pattern"):
+        grep_tool([str(f)], r"\p{NoSuchProp}", is_regex=True)
+
+
+def test_unicode_property_patterns_route_to_python():
+    from semtools_tpu.ask.tools import _native_grep_safe
+
+    for pat in (r"\p{L}", r"\P{N}+", r"x\pLy"):
+        assert not _native_grep_safe(pat, False, ["ascii"]), pat
