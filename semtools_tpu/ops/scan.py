@@ -32,6 +32,9 @@ import numpy as np
 # per chunk, a good grain for HBM streaming while keeping [Q, chunk]
 # distance tiles modest for small Q.
 SCAN_CHUNK = 1 << 20
+# Max chunk programs dispatched ahead of execution in the chunked scan
+# (see topk_scan): bounds transient HBM without draining the pipeline.
+_INFLIGHT_CHUNKS = 4
 
 
 # Full-f32 accumulation: the default TPU matmul precision truncates inputs
@@ -255,7 +258,7 @@ def topk_scan(
 
     parts_d = []
     parts_i = []
-    for start in range(0, e.shape[0], SCAN_CHUNK):
+    for ci, start in enumerate(range(0, e.shape[0], SCAN_CHUNK)):
         chunk = e[start : start + SCAN_CHUNK]
         kk = min(k_eff, chunk.shape[0])
         fn = chunk_for_shape(chunk.shape[0], masked=mask is not None)
@@ -265,6 +268,16 @@ def topk_scan(
             d, i = fn(q, chunk, start, n, mask[start : start + chunk.shape[0]], k=kk)
         parts_d.append(d)
         parts_i.append(i)
+        # Bound in-flight device memory: each dispatched-but-unexecuted
+        # chunk program pins its corpus slice copy + the f32 promote +
+        # the [Q, chunk] sims. Unbounded async dispatch at capacity
+        # scale (60M-row reduced corpus = 60 chunks x ~0.5 GB transients
+        # on a chip already holding the ~4-8 GB resident corpus) OOMs
+        # the 16 GB HBM — the r5 ladder's reduced64 hop died exactly
+        # here. A 4-program window keeps the pipeline full while capping
+        # transients at ~2 GB.
+        if (ci + 1) % _INFLIGHT_CHUNKS == 0:
+            jax.block_until_ready(d)
     dists = jnp.concatenate(parts_d, axis=1)
     idxs = jnp.concatenate(parts_i, axis=1)
     d, i = _merge_topk(dists, idxs, k=k_eff)
