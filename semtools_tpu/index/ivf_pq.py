@@ -28,6 +28,36 @@ from semtools_tpu.index.pq import PQCodebook, adc_tables, pq_encode, pq_fit
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+@jax.jit
+def _fused_assign_encode(chunk, centroids, c_norm_half, codebooks,
+                         cb_norm_half):
+    """One-dispatch build step: ``chunk`` [B, D] f32 ->
+    (assign [B] int32, codes [B, M] uint8).
+
+    Coarse assignment (argmax x.c - |c|^2/2), residual against the
+    assigned centroid, and per-subspace PQ encoding of that residual —
+    the same math as kmeans._assign + pq._encode run separately, at the
+    same HIGHEST matmul precision, fused so the corpus crosses the
+    host->device link exactly once per build."""
+    sims = jnp.dot(chunk, centroids.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
+    a = jnp.argmax(sims - c_norm_half[None, :], axis=1)
+    res = chunk - centroids[a]
+    resh = res.reshape(res.shape[0], codebooks.shape[0], codebooks.shape[2])
+    s2 = jnp.einsum("nmd,mkd->nmk", resh, codebooks, precision=_PRECISION)
+    codes = jnp.argmax(s2 - cb_norm_half[None], axis=2).astype(jnp.uint8)
+    return a.astype(jnp.int32), codes
+
+
+def _drain_fused(pending, assign, codes, n: int, chunk_rows: int) -> None:
+    """Read back one fused chunk's (assign, codes), trimming the zero
+    padding of the final chunk."""
+    start, (a_dev, c_dev) = pending
+    stop = min(start + chunk_rows, n)
+    assign[start:stop] = np.asarray(a_dev)[: stop - start]
+    codes[start:stop] = np.asarray(c_dev)[: stop - start]
+
+
 @dataclass
 class IvfPqIndex:
     centroids: np.ndarray  # [C, D]
@@ -89,11 +119,6 @@ class IvfPqIndex:
             sample = np.asarray(x)
         _report(f"training coarse quantizer ({nlist} lists, {train_rows} sample rows)")
         centroids, _ = kmeans_fit(sample, nlist, iters=train_iters, seed=seed, mesh=mesh)
-        # Exact nearest-centroid assignment of every row (argmax of
-        # x.c - |c|^2/2), chunked so the [chunk, nlist] sims intermediate
-        # stays ~128 MB regardless of nlist (a fixed 1M-row chunk at
-        # nlist=4096 would materialize 16 GB and OOM the chip). ``x`` may
-        # be an mmap: only one chunk is ever resident.
         import jax as _jax
         import jax.numpy as _jnp
 
@@ -101,15 +126,11 @@ class IvfPqIndex:
 
         assign_jit = _jax.jit(_assign)
         cj = _jnp.asarray(centroids)  # upload once, not per chunk
+        # Chunk so the [chunk, nlist] sims intermediate stays ~128 MB
+        # regardless of nlist (a fixed 1M-row chunk at nlist=4096 would
+        # materialize 16 GB and OOM the chip). ``x`` may be an mmap:
+        # only one chunk is ever resident.
         chunk_rows = max(8192, (1 << 25) // max(nlist, 1))
-        assign = np.empty(n, np.int64)
-        _report(f"assigning {n} rows to lists")
-        report_every = max(1, ((n + chunk_rows - 1) // chunk_rows) // 10)
-        for ci, start in enumerate(range(0, n, chunk_rows)):
-            chunk = _jnp.asarray(np.asarray(x[start:start + chunk_rows], np.float32))
-            assign[start:start + chunk_rows] = np.asarray(assign_jit(chunk, cj))
-            if ci % report_every == report_every - 1:
-                _report(f"  assigned {min(start + chunk_rows, n)}/{n}")
         # RESIDUAL PQ (classic IVFADC): quantize x - centroid[assign], not
         # x. On clustered data the raw vectors' variance is dominated by
         # the cluster centers, so raw-vector PQ wastes its dynamic range
@@ -126,31 +147,75 @@ class IvfPqIndex:
         # sampled-residual matrix and every row is encoded CHUNKED below,
         # so peak extra memory is O(chunk + codes), not O(n x D) — at 10M
         # rows the old full-residual copy alone was 10 GB.
+        # PQ trains on a SAMPLE of residuals, which only needs the
+        # sample's own assignments — assigning the full corpus up front
+        # (the pre-r5 shape) cost a whole extra streamed pass over x.
         pq_train_rows = min(n, 65_536)
         if pq_train_rows < n:
             rng_pq = np.random.default_rng(seed + 7)
             sel = np.sort(rng_pq.choice(n, pq_train_rows, replace=False))
-            pq_train = np.asarray(x[sel], np.float32) - centroids[assign[sel]]
+            srows = np.asarray(x[sel], np.float32)
         else:
-            pq_train = np.asarray(x, np.float32) - centroids[assign]
+            srows = np.asarray(x, np.float32)
+        s_assign = np.empty(srows.shape[0], np.int64)
+        for start in range(0, srows.shape[0], chunk_rows):
+            s_assign[start:start + chunk_rows] = np.asarray(
+                assign_jit(_jnp.asarray(srows[start:start + chunk_rows]), cj)
+            )
+        pq_train = srows - centroids[s_assign]
+        del srows, s_assign
         _report(f"training PQ codebooks (m={m}, {pq_train.shape[0]} residual rows)")
         pq = pq_fit(pq_train, m=m, iters=max(4, train_iters // 2), seed=seed + 1)
+
+        # ONE fused streamed pass over the corpus: each chunk crosses the
+        # link once and a single dispatch computes coarse assignment,
+        # residual, and PQ codes on the accelerator; only [chunk] ids +
+        # [chunk, m] codes come back down (m bytes/row vs 4*D up). This
+        # replaced the assign-pass + host-residual + encode-pass shape
+        # whose full-corpus matmuls bound the 10M-row build to the host
+        # (2,123 s measured; the link crossing is the only real cost on
+        # a healthy device path). Chunks are zero-padded to one shape so
+        # the loop shares a single executable, and the NEXT chunk is
+        # device_put before the current results are read back so the
+        # upload overlaps compute + readback (double buffering).
+        assign = np.empty(n, np.int64)
+        codes = np.empty((n, m), np.uint8)
+        _report(f"assigning + encoding {n} rows (fused device pass)")
+        report_every = max(1, ((n + chunk_rows - 1) // chunk_rows) // 10)
+        books_j = _jnp.asarray(pq.codebooks)
+        cb_norm_half = 0.5 * _jnp.sum(books_j * books_j, axis=2)
+        c_norm_half = 0.5 * _jnp.sum(cj * cj, axis=1)
+
+        def _staged(start: int):
+            blk = np.asarray(x[start:start + chunk_rows], np.float32)
+            if blk.shape[0] < chunk_rows:
+                blk = np.concatenate([
+                    blk,
+                    np.zeros((chunk_rows - blk.shape[0], blk.shape[1]),
+                             np.float32),
+                ])
+            return _jax.device_put(blk)
+
+        starts = list(range(0, n, chunk_rows))
+        pending = None  # (start, (assign_dev, codes_dev))
+        staged = _staged(starts[0]) if starts else None
+        for ci, start in enumerate(starts):
+            out = _fused_assign_encode(
+                staged, cj, c_norm_half, books_j, cb_norm_half
+            )
+            staged = _staged(starts[ci + 1]) if ci + 1 < len(starts) else None
+            if pending is not None:
+                _drain_fused(pending, assign, codes, n, chunk_rows)
+            pending = (start, out)
+            if ci % report_every == report_every - 1:
+                _report(f"  processed {min(start + chunk_rows, n)}/{n}")
+        if pending is not None:
+            _drain_fused(pending, assign, codes, n, chunk_rows)
 
         perm = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=nlist)
         offsets = np.zeros(nlist + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-
-        codes = np.empty((n, m), np.uint8)
-        _report(f"encoding {n} residual rows")
-        for ci, start in enumerate(range(0, n, chunk_rows)):
-            res = (
-                np.asarray(x[start:start + chunk_rows], np.float32)
-                - centroids[assign[start:start + chunk_rows]]
-            )
-            codes[start:start + chunk_rows] = pq_encode(res, pq)
-            if ci % report_every == report_every - 1:
-                _report(f"  encoded {min(start + chunk_rows, n)}/{n}")
         codes = np.ascontiguousarray(codes[perm])
         _report("finalizing (list permutation + publish)")
         vectors = np.ascontiguousarray(np.asarray(x)[perm], dtype=np.float32) if keep_vectors else None

@@ -46,6 +46,31 @@ CURRENT_EMBEDDING_VERSION = 2
 LINE_EMBEDDING_SIZE = 256
 
 _HOST_SCAN_BPS = None  # calibrated lazily by Store._host_scan_rate
+_HOST_MATMUL_FLOPS = None  # calibrated lazily by _host_matmul_flops
+
+
+def _host_matmul_flops() -> float:
+    """Measured host BLAS matmul throughput (FLOP/s), cached per process.
+
+    Feeds the ANN build-placement cost model: the build's host cost is
+    matmul-bound (coarse assignment + PQ encode), so a bytes/s transform
+    rate (patch_cache._host_transform_rate) does not transfer across
+    nlist. Best-of-two on a ~0.5 GFLOP problem: first call pays BLAS
+    thread-pool spin-up."""
+    global _HOST_MATMUL_FLOPS
+    if _HOST_MATMUL_FLOPS is None:
+        import time as _t
+
+        a = np.zeros((2048, 256), np.float32)
+        b = np.zeros((256, 512), np.float32)
+        flops = 2.0 * a.shape[0] * a.shape[1] * b.shape[1]
+        best = 0.0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            a @ b
+            best = max(best, flops / max(_t.perf_counter() - t0, 1e-9))
+        _HOST_MATMUL_FLOPS = best
+    return _HOST_MATMUL_FLOPS
 
 _VECTORS_FILE = "lines.f32"
 _HASH_FILE = "lines.h64"
@@ -1263,16 +1288,30 @@ class Store:
         self._ann_cache = (gen, state)
         return state
 
+    @staticmethod
+    def _ann_nlist(n_rows: int) -> int:
+        """Coarse-list count: ~4*sqrt(n), power-of-two so the kmeans and
+        probe executables (and their persistent-cache entries) are shared
+        across similarly-sized corpora, capped at 4096."""
+        return int(min(
+            4096, max(16, 1 << int(np.log2(max(4 * np.sqrt(n_rows), 16))))
+        ))
+
     def _ann_build_backend(self, n_rows: int) -> str:
         """'device' or 'cpu' for the ANN build's kmeans/assign/encode.
 
-        The build streams the corpus through the accelerator twice
-        (assignment + encode). Behind a degraded link that upload can
-        take hours for math a host CPU finishes in minutes, so ``auto``
-        probes the link and pins the build to the CPU backend when the
-        two passes would spend >30 s in transfer (round-2 judge item;
-        same family as the adaptive embed/scan policies).
-        ``SEMTOOLS_TPU_ANN_BUILD=device|host|auto`` overrides.
+        The fused build (index/ivf_pq._fused_assign_encode) streams the
+        corpus through the accelerator ONCE; its only real cost on a
+        healthy device path is that link crossing, since the per-row
+        matmuls (2*D*(nlist+256) flops) are noise to the MXU but bind a
+        host CPU for ~35 min at 10M rows / nlist=4096 (2,123 s measured,
+        the pre-r5 host build). ``auto`` therefore compares the two
+        paths' TOTAL wall-clock — link pass vs host matmul throughput —
+        instead of the old "transfer > 30 s means host" rule, which
+        routed every capacity-scale build to the slow path on any
+        tunneled link. ``SEMTOOLS_TPU_ANN_BUILD=device|host|auto``
+        overrides; a degraded link (kB/s floor) still lands on cpu
+        because the link term dominates the comparison.
         """
         mode = os.environ.get("SEMTOOLS_TPU_ANN_BUILD", "auto").lower()
         if mode in ("host", "cpu"):
@@ -1286,13 +1325,17 @@ class Store:
                 return "cpu"
         except Exception:
             return "cpu"
-        from semtools_tpu.ops.host_embed import _link_bandwidth
+        from semtools_tpu.store.patch_cache import _large_up_bps
 
-        bw = _link_bandwidth()
-        if bw is None:
+        up = _large_up_bps()
+        if up is None:
             return "cpu"
-        upload_s = 2.0 * n_rows * self.dim * 4 / bw["up_Bps"]
-        return "cpu" if upload_s > 30.0 else "device"
+        corpus_bytes = n_rows * self.dim * 4
+        nlist = self._ann_nlist(n_rows)
+        flops = 2.0 * n_rows * self.dim * (nlist + 256)
+        device_s = corpus_bytes / max(up, 1.0)
+        host_s = flops / max(_host_matmul_flops(), 1.0)
+        return "device" if device_s < host_s else "cpu"
 
     class _SlotRows:
         """Lazy row gather over (mmap, slots): ``build`` touches one chunk
@@ -1360,10 +1403,7 @@ class Store:
                 # Stage-level heartbeat: a 10M-row build runs for tens of
                 # minutes and silence reads as a hang.
                 print(f"  {msg}", file=sys.stderr, flush=True)
-        # Power-of-two nlist quantizes the kmeans/probe shapes so the
-        # jitted executables (and their persistent-cache entries) are
-        # shared across similarly-sized corpora.
-        nlist = int(min(4096, max(16, 1 << int(np.log2(max(4 * np.sqrt(n), 16))))))
+        nlist = self._ann_nlist(n)
         # PQ subspaces must divide the dim: 32 at the production dim 256
         # (8 dims/byte); odd custom dims take their largest divisor <= 32
         # (the soak found the hardcoded 32 crashing a dim-13 store).

@@ -140,3 +140,68 @@ def test_ivfpq_save_load_roundtrip(rng, tmp_path):
     d2, i2 = loaded.search(q, k=3)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_fused_assign_encode_matches_separate_passes(rng):
+    """The one-pass build kernel (_fused_assign_encode) must produce the
+    SAME assignments and PQ codes as the separate kmeans._assign +
+    residual + pq._encode reference math it fused (all matmuls at
+    HIGHEST precision, so the outputs are byte-identical on a given
+    backend)."""
+    import jax.numpy as jnp
+
+    from semtools_tpu.index.ivf_pq import _fused_assign_encode
+    from semtools_tpu.index.kmeans import _assign
+    from semtools_tpu.index.pq import _encode
+
+    d, m = 64, 8
+    x = rng.standard_normal((4096, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    centroids, _ = kmeans_fit(x[:1024], 32, iters=5)
+    pq = pq_fit(x[:1024] - centroids[np.asarray(
+        _assign(jnp.asarray(x[:1024]), jnp.asarray(centroids)))],
+        m=m, iters=3)
+
+    cj = jnp.asarray(centroids)
+    books = jnp.asarray(pq.codebooks)
+    a_f, c_f = _fused_assign_encode(
+        jnp.asarray(x), cj, 0.5 * jnp.sum(cj * cj, axis=1),
+        books, 0.5 * jnp.sum(books * books, axis=2))
+
+    a_ref = np.asarray(_assign(jnp.asarray(x), cj))
+    res = x - centroids[a_ref]
+    c_ref = np.asarray(_encode(
+        jnp.asarray(res.reshape(len(x), m, d // m)), books))
+    assert np.array_equal(np.asarray(a_f), a_ref)
+    assert np.array_equal(np.asarray(c_f), c_ref)
+
+
+def test_ann_build_backend_cost_model(tmp_path, monkeypatch):
+    """auto compares TOTAL wall-clock (one fused link pass vs host
+    matmul time), not the old 'transfer > 30 s means host' rule that
+    routed every capacity-scale build to a 35-minute host path on any
+    tunneled link."""
+    from semtools_tpu.store import patch_cache, store as store_mod
+    from semtools_tpu.store.store import Store
+
+    s = Store(str(tmp_path / "ws"), dim=256)
+    monkeypatch.delenv("SEMTOOLS_TPU_ANN_BUILD", raising=False)
+    # pretend the accelerator backend is live
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(store_mod, "_HOST_MATMUL_FLOPS", 10e9)  # 10 GFLOP/s
+
+    n = 10_000_000  # corpus 10 GB f32; nlist=4096 -> host ~45 min
+    # healthy link, 500 MB/s: one 10 GB pass = 20 s << host -> device
+    monkeypatch.setattr(patch_cache, "_large_up_bps", lambda: 500e6)
+    assert s._ann_build_backend(n) == "device"
+    # degraded tunnel, 50 kB/s: pass = 2.3 days >> host -> cpu
+    monkeypatch.setattr(patch_cache, "_large_up_bps", lambda: 50e3)
+    assert s._ann_build_backend(n) == "cpu"
+    # explicit override always wins
+    monkeypatch.setenv("SEMTOOLS_TPU_ANN_BUILD", "device")
+    assert s._ann_build_backend(n) == "device"
+    monkeypatch.setenv("SEMTOOLS_TPU_ANN_BUILD", "host")
+    assert s._ann_build_backend(n) == "cpu"
+    s.close()
