@@ -471,6 +471,13 @@ def serve(warm: bool = True) -> None:
     from semtools_tpu.utils.platform import disallow_reexec
 
     disallow_reexec()
+    # Concurrent read-only searches arriving within a small window merge
+    # into one batched device scan (store/coalesce.py) — behind a
+    # tunneled link, per-request readback otherwise costs ~one link RTT
+    # each while one batched scan costs ~one total.
+    from semtools_tpu.store import coalesce
+
+    coalesce.enable()
     with _Server(str(path), _Handler) as server:
         os.chmod(path, 0o600)
         print(f"semtools daemon listening on {path}", file=sys.stderr)

@@ -1681,6 +1681,27 @@ class Store:
         top_k: int,
         max_distance: Optional[float] = None,
     ) -> List[List[RankedLine]]:
+        """Batched search; in the daemon, concurrent same-shape calls
+        coalesce into one device dispatch (store/coalesce.py — per-call
+        link readback is the cost floor behind a tunneled link)."""
+        from semtools_tpu.store import coalesce
+
+        if coalesce.enabled():
+            return coalesce.search_batched(
+                self, query_vecs, subset_paths, top_k, max_distance,
+                self._search_batched_retry,
+            )
+        return self._search_batched_retry(
+            query_vecs, subset_paths, top_k, max_distance
+        )
+
+    def _search_batched_retry(
+        self,
+        query_vecs: np.ndarray,
+        subset_paths: Sequence[str],
+        top_k: int,
+        max_distance: Optional[float] = None,
+    ) -> List[List[RankedLine]]:
         """Batched search with a stale-snapshot retry: if a concurrent
         compact() swaps the vector-file epoch between this query's layout
         read and its row access, the row gather can fault (file retired:
