@@ -58,6 +58,11 @@ import numpy as np  # noqa: E402
 
 DIM = 256
 DOCS_INT8, DOCS_INT4, DOCS_RED = 14, 30, 60
+# reduced-32 auto-halve rung: past rows*65 > budget (the reduced-64
+# corpus with its residual column no longer fits; ~66M rows at 4 GiB)
+# the policy halves rd to 32 on its own — 73 docs lands ~72.6M rows,
+# inside the 64d-blown / 32d-fits band that previously fell to IVF-PQ.
+DOCS_RED32 = 73
 
 
 def _gen_doc(doc_id: int, rows: int, centers: np.ndarray, buf, noise):
@@ -201,7 +206,10 @@ def policy_table(budget: int):
         ("int4 edge", 2 * unit),
         ("reduced-64 rung", int(3.56 * unit)),
         ("reduced-64 edge", 4 * unit),
-        ("beyond device", int(4.3 * unit)),
+        ("reduced-32 rung", int(4.3 * unit)),
+        # 33 B/row (32 proj cols + residual col): fits to 256/33 = 7.75x
+        ("reduced-32 edge", int(7.7 * unit)),
+        ("beyond device", 8 * unit),
     ]:
         kind, rd = s._device_kind(n)
         rows.append({
@@ -228,7 +236,8 @@ unit = {budget} // 256
 for label, n in [("sharded int8", int(3.56 * unit)),
                  ("sharded int4", int(8 * 1.78 * unit)),
                  ("sharded reduced-64", int(8 * 3.56 * unit)),
-                 ("beyond 8-device mesh", int(8 * 4.3 * unit))]:
+                 ("sharded reduced-32", int(8 * 4.3 * unit)),
+                 ("beyond 8-device mesh", 8 * 8 * unit)]:
     print(json.dumps({{"config": "capacity_ladder_policy_mesh",
                        "label": label, "n": n, "devices": 8,
                        "serving_tier": s.serving_tier(n),
@@ -274,7 +283,8 @@ def main():
                          "are not regenerated, so a killed run resumes.")
     ap.add_argument("--skip-measure", action="store_true",
                     help="policy tables only")
-    ap.add_argument("--hops", default="int8,int4,reduced64,reduced32",
+    ap.add_argument("--hops",
+                    default="int8,int4,reduced64,reduced32,reduced32auto",
                     help="comma list of hops to measure")
     ap.add_argument("--skip-policy", action="store_true")
     args = ap.parse_args()
@@ -378,6 +388,20 @@ def main():
                 results.append(r)
             finally:
                 os.environ.pop("SEMTOOLS_TPU_REDUCED_DIM", None)
+        # The NATURAL reduced-32 rung: no forcing — grow past the point
+        # where the 64d corpus (65 B/row) blows the budget and let
+        # _capacity_reduced_dim auto-halve to 32 (33 B/row). This is the
+        # band (~66-130M rows at 4 GiB) that previously fell off to the
+        # ~50x-slower host IVF-PQ tier.
+        if "reduced32auto" in hops:
+            grow_to(DOCS_RED32)
+            from semtools_tpu.ops.reduce import reduced_oversample
+
+            r = run_hop(store, hop_paths(), "reduced32auto",
+                        "int8-mxu-scan-reduced32d", qs, args.k, args.reps)
+            r["oversample"] = reduced_oversample(
+                store.count_line_embeddings(), args.k)
+            results.append(r)
     finally:
         store.close()
         if own_td:
