@@ -129,9 +129,16 @@ def _link_health() -> dict:
     rtt_ms = float(np.median(rtts) * 1e3)
 
     small = np.zeros(1 << 16, np.float32)  # 256 kB
-    t0 = time.monotonic()
-    jnp.asarray(small).block_until_ready()
-    small_rate = small.nbytes / max(time.monotonic() - t0, 1e-9)
+    # max of two: the process's FIRST host->device transfer pays one-time
+    # path setup (r5 capture measured 1.5 MB/s pre vs 66 MB/s post on a
+    # healthy link and falsely marked the record degraded)
+    small_rate = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        jnp.asarray(small).block_until_ready()
+        small_rate = max(
+            small_rate, small.nbytes / max(time.monotonic() - t0, 1e-9)
+        )
     up = small_rate
     if small_rate > 2e6:
         big = np.zeros(1 << 21, np.float32)  # 8 MB
