@@ -59,11 +59,24 @@ TIERS = [
     # row, making the exact re-rank brute-force-equal. Subset queries and
     # stale-generation windows fall through to exact paths — also checked.
     {"SEMTOOLS_TPU_FORCE_ANN": "1"},
+    # Capacity rungs (r5): int4 packed serving — forced, sharded, and
+    # policy-selected by budget squeeze — so the randomized
+    # mutate/search campaign exercises split-half packing, the
+    # margin-complete candidate pools, and patched packed slots, not
+    # just the directed tests. The budget numbers straddle the
+    # soak-scale corpus (up to ~300 rows x 13/16 B int8): int8 blows
+    # 2600 B early while int4 fits, and 1800 B forces the reduced rung
+    # mid-churn as the corpus grows.
+    {"SEMTOOLS_TPU_STORE_INT4": "1"},
+    {"SEMTOOLS_TPU_SHARDED": "1", "SEMTOOLS_TPU_STORE_INT4": "1"},
+    {"SEMTOOLS_TPU_DEVICE_CACHE_BYTES": "2600"},
+    {"SEMTOOLS_TPU_REDUCED_DIM": "8", "SEMTOOLS_TPU_DEVICE_CACHE_BYTES": "1800"},
 ]
 CLEAR = [
     "SEMTOOLS_TPU_STORE_INT8", "SEMTOOLS_TPU_SHARDED", "SEMTOOLS_TPU_REDUCED_DIM",
     "SEMTOOLS_TPU_DEVICE_CACHE_BYTES", "SEMTOOLS_TPU_SCAN",
     "SEMTOOLS_TPU_SUBSET_DEVICE", "SEMTOOLS_TPU_FORCE_ANN",
+    "SEMTOOLS_TPU_STORE_INT4",
 ]
 
 
@@ -200,6 +213,10 @@ def soak_store(steps, seeds):
                         print(f"STORE MISMATCH seed={seed} tier={tier} d={d} "
                               f"step={step} k={top_k} t={t} q={r}")
         s.close()
+        # Per-campaign progress: a killed/timed-out run still leaves an
+        # auditable record of how far it got and with how many checks.
+        print(f"store campaign seed={seed} d={d} tier={tier or 'exact'}: "
+              f"{checks} cumulative checks, {fails} failures", flush=True)
     return checks, fails
 
 

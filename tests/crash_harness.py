@@ -396,10 +396,23 @@ def verify(store_dir: str, journal: str) -> int:
             rows = np.concatenate([read_rows[p] for p in paths], axis=0)
             rng = np.random.default_rng(99)
             qs = make_rows(rng, 3)
-            had_force = os.environ.get("SEMTOOLS_TPU_FORCE_ANN")
-            for force_ann in (False, True):
-                if force_ann:
-                    os.environ["SEMTOOLS_TPU_FORCE_ANN"] = "1"
+            # int4 leg: the packed tier rebuilds its device corpus from
+            # the surviving mmap bytes, and its packed-slot writes carry
+            # their own zero-byte contract (PACKED_ZERO_BYTE,
+            # ops/int4_scan.py) — a post-crash corpus with torn/zero rows
+            # must still pack and serve exactly.
+            tier_envs = (
+                {},
+                {"SEMTOOLS_TPU_STORE_INT4": "1"},
+                {"SEMTOOLS_TPU_FORCE_ANN": "1"},
+            )
+            saved = {
+                k: os.environ.get(k)
+                for t in tier_envs for k in t
+            }
+            for tier_env in tier_envs:
+                if tier_env:
+                    os.environ.update(tier_env)
                     device_cache.invalidate()
                 try:
                     per = s.search_line_embeddings_batched(qs, paths, 4)
@@ -414,14 +427,15 @@ def verify(store_dir: str, journal: str) -> int:
                                 for h, j in zip(got, order)
                             ),
                             f"post-crash search mismatch q={r} "
-                            f"force_ann={force_ann}",
+                            f"tier_env={tier_env}",
                         )
                 finally:
-                    if force_ann:
-                        if had_force is None:
-                            os.environ.pop("SEMTOOLS_TPU_FORCE_ANN", None)
-                        else:
-                            os.environ["SEMTOOLS_TPU_FORCE_ANN"] = had_force
+                    if tier_env:
+                        for k in tier_env:
+                            if saved[k] is None:
+                                os.environ.pop(k, None)
+                            else:
+                                os.environ[k] = saved[k]
                         device_cache.invalidate()
 
         # writability: the crash must not wedge the lock, allocator, or
