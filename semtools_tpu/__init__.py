@@ -23,7 +23,7 @@ The compute core is redesigned TPU-first rather than translated:
   partial top-k merged via all-gather over ICI (reference was single-process).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def __getattr__(name):

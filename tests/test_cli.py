@@ -171,6 +171,20 @@ def test_version_flag():
     assert r.stdout.strip().startswith("semtools ")
 
 
+def test_version_matches_packaging():
+    """__version__ must track pyproject's version — the 0.4.0 release
+    bumped only pyproject and `semtools --version` kept printing 0.3.0."""
+    import re
+    from pathlib import Path
+
+    import semtools_tpu
+
+    pyproject = (Path(semtools_tpu.__file__).parents[1] / "pyproject.toml"
+                 ).read_text()
+    m = re.search(r'^version = "([^"]+)"', pyproject, re.M)
+    assert m and m.group(1) == semtools_tpu.__version__
+
+
 def test_workspace_global_json_flag_position(corpus, tmp_path):
     # reference clap marks -j global on workspace: accepted before the action
     r = run_cli(["workspace", "use", "gjson"], home=tmp_path)
