@@ -677,11 +677,20 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
 
     _p1_t0 = _time.monotonic()
     _p1_bytes = 0
-    for c0, block in blocks_iter():
+    for ci, (c0, block) in enumerate(blocks_iter()):
         b = _padded_block(block)
         _uploaded[0] += b.nbytes
         _p1_bytes += b.nbytes
         state = pass1(state, jnp.asarray(b))
+        # Bound in-flight uploads: each dispatched jnp.asarray allocates
+        # its 1 GB device destination at enqueue, and the host loop runs
+        # far ahead of the link — 57 unbounded chunk uploads at the 60M-
+        # row ladder size filled the 16 GB HBM and surfaced as a
+        # RESOURCE_EXHAUSTED in the FIRST SCAN after the build. A
+        # 2-chunk window keeps upload/compute overlapped (the transform
+        # is noise next to the link) while capping transients at ~2 GB.
+        if ci % 2 == 1:
+            jax.block_until_ready(state[0])
     amax = float(state[0])
     max_r = float(state[1])
     # Feed realized GB-scale upload throughput back into the placement
@@ -704,11 +713,15 @@ def _device_build_corpus(mm, ranges, cap, padded, kind, reduced_dim,
         jnp.full((big_rows, out_dim), _fill_byte(kind), jnp.int8),
         jnp.int32(0),
     )
-    for c0, block in blocks_iter():
+    for ci, (c0, block) in enumerate(blocks_iter()):
         b = _padded_block(block)
         _uploaded[0] += b.nbytes
         carry = pass2(carry, jnp.asarray(b), jnp.float32(scale),
                       jnp.float32(resid_scale or 1.0), jnp.int32(c0))
+        # Same in-flight bound as pass 1 (block on the tiny l1 scalar,
+        # not the donated buffer).
+        if ci % 2 == 1:
+            jax.block_until_ready(carry[1])
     buf, l1 = carry
     if big_rows != padded:
         buf = buf[:padded]

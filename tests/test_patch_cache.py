@@ -572,6 +572,10 @@ def test_device_build_matches_host(tmp_path, monkeypatch, kind, rd):
     s.upsert_document_lines("/b.txt", rows[900:])
     s.delete_documents(["/a.txt"])  # fragmentation
 
+    # Small chunks so the streamed passes run MANY iterations — covers
+    # the in-flight upload bound (ci % 2 sync) that unbounded dispatch
+    # at ladder scale OOM'd the chip without.
+    monkeypatch.setattr(patch_cache, "_BUILD_CHUNK_ROWS", 256)
     monkeypatch.setenv("SEMTOOLS_TPU_BUILD", "device")
     dev = patch_cache._build(s, kind, rd)
     monkeypatch.setenv("SEMTOOLS_TPU_BUILD", "host")
