@@ -34,7 +34,10 @@ import numpy as np
 SCAN_CHUNK = 1 << 20
 # Max chunk programs dispatched ahead of execution in the chunked scan
 # (see topk_scan): bounds transient HBM without draining the pipeline.
-_INFLIGHT_CHUNKS = 4
+# 2, not 4: at the capacity-ladder's reduced tier (k ~16k, Q=32, 1M-row
+# chunks) one chunk program's sims + block copies + sort-based top_k
+# peak near 1 GB on top of the ~4.3 GB resident corpus.
+_INFLIGHT_CHUNKS = 2
 
 
 # Full-f32 accumulation: the default TPU matmul precision truncates inputs
@@ -256,8 +259,18 @@ def topk_scan(
         d, i = fn(*args, k=k_eff)
         return np.asarray(d), np.asarray(i)
 
-    parts_d = []
-    parts_i = []
+    # RUNNING top-k merge, not accumulate-all-then-merge: at capacity
+    # scale the accumulated parts ([Q, n_chunks*k] for k ~16k) plus the
+    # final concatenate + sort-based merge spiked hundreds of MB on top
+    # of the in-flight chunk programs and the resident corpus — the r5
+    # ladder's 60M-row reduced hop OOM'd the 16 GB chip three different
+    # ways here (readback, concat, merge) until both the window and the
+    # merge became incremental. Each step merges [Q, <=2k] — O(k) state.
+    # Ties stay stable toward the lower corpus index: chunks arrive in
+    # index order, the running best keeps tied entries in insertion
+    # order (lax.top_k prefers earlier positions), and new chunks are
+    # concatenated AFTER the best so far.
+    best_d = best_i = None
     for ci, start in enumerate(range(0, e.shape[0], SCAN_CHUNK)):
         chunk = e[start : start + SCAN_CHUNK]
         kk = min(k_eff, chunk.shape[0])
@@ -266,22 +279,24 @@ def topk_scan(
             d, i = fn(q, chunk, start, n, k=kk)
         else:
             d, i = fn(q, chunk, start, n, mask[start : start + chunk.shape[0]], k=kk)
-        parts_d.append(d)
-        parts_i.append(i)
+        if best_d is None:
+            best_d, best_i = d, i
+        else:
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate([best_i, i], axis=1)
+            best_d, best_i = _merge_topk(
+                cat_d, cat_i, k=min(k_eff, cat_d.shape[1])
+            )
         # Bound in-flight device memory: each dispatched-but-unexecuted
         # chunk program pins its corpus slice copy + the f32 promote +
-        # the [Q, chunk] sims. Unbounded async dispatch at capacity
-        # scale (60M-row reduced corpus = 60 chunks x ~0.5 GB transients
-        # on a chip already holding the ~4-8 GB resident corpus) OOMs
-        # the 16 GB HBM — the r5 ladder's reduced64 hop died exactly
-        # here. A 4-program window keeps the pipeline full while capping
-        # transients at ~2 GB.
+        # the [Q, chunk] sims + its top_k sort temps. Unbounded async
+        # dispatch at capacity scale (60M-row reduced corpus = 60 chunks
+        # x ~1 GB transients on a chip already holding the ~4.3 GB
+        # resident corpus) OOMs the 16 GB HBM. A small window keeps the
+        # pipeline full while capping transients.
         if (ci + 1) % _INFLIGHT_CHUNKS == 0:
-            jax.block_until_ready(d)
-    dists = jnp.concatenate(parts_d, axis=1)
-    idxs = jnp.concatenate(parts_i, axis=1)
-    d, i = _merge_topk(dists, idxs, k=k_eff)
-    return np.asarray(d), np.asarray(i)
+            jax.block_until_ready(best_d)
+    return np.asarray(best_d), np.asarray(best_i)
 
 
 @jax.jit
